@@ -1,0 +1,247 @@
+"""Host planner: frame payload bytes → `FramePlan` (reference layers L4/L5).
+
+This is the serial half of the pipeline (SURVEY.md §3.2 "rebuild cut"): the
+Huffman walks and the DC/MV prediction chains are inherently sequential, so
+they run on the TPU-VM host and everything the device needs is resolved here
+into dense tensors:
+
+- basisnum symbols + zero-run expansion  (ref `getDeltaBN`, SURVEY.md §2.2)
+- DC deltas + left/up prediction chain   (ref `getDeltaDC`/`dcBlock`)
+- MB types incl. skip-map spreading      (ref `spread_PB_descMap`)
+- MV deltas + prediction chain, chroma MV derivation
+- AOT basis descriptors, raw-block bytes (ref `GetAotBasis`/`OrgBlock` inputs)
+- the nest (from the luma DC grid, FORMAT.md §6.1)
+
+A C++ implementation of the same loop lives in `hvqm4_tpu/native/` for
+throughput; this Python version is the readable reference and the fallback.
+Both must produce identical `FramePlan`s (tested in tests/test_native.py).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .bitio import BitReader, HuffReader
+from .config import (
+    FRAME_HEADER_SIZE, MAX_BASES, N_STREAMS, SeqConfig,
+    STREAM_AUX, STREAM_BASISNUM, STREAM_DC, STREAM_MBTYPE, STREAM_MV,
+)
+from .plans import FramePlan, PlanePlan, build_nest
+
+CLS_INTRA = 0
+CLS_INTER = 1
+
+MB_COPY = 0
+MB_INTRA = 1
+MB_INTER = 2
+
+REF_PAST = 0
+REF_LAST = 1
+REF_BI = 2
+
+
+class PlannerError(ValueError):
+    """Malformed frame payload (invalid symbol, truncated stream, ...)."""
+
+
+class _BasisNumSource:
+    """basisnum symbols with run-escape expansion (FORMAT.md §5.3)."""
+
+    def __init__(self, h: HuffReader):
+        self.h = h
+        self.pending_zeros = 0
+
+    def next(self) -> int:
+        if self.pending_zeros:
+            self.pending_zeros -= 1
+            return 0
+        s = self.h.symbol()
+        if s == 7:
+            n = self.h.raw(8)
+            self.pending_zeros = n  # n+1 zeros total; emit one now
+            return 0
+        if s > 7:
+            raise PlannerError(f"basisnum symbol {s} out of range")
+        return s
+
+
+def _delta(h: HuffReader) -> int:
+    """Shared DC/MV delta decoding: symbol or 16-bit escape (FORMAT.md §5.4/§7.2)."""
+    s = h.symbol()
+    if s == 255:
+        return h.signed(16)
+    return s - 127
+
+
+class Planner:
+    """Stateless per-frame planner for one sequence configuration."""
+
+    def __init__(self, cfg: SeqConfig):
+        self.cfg = cfg
+
+    # -- public ---------------------------------------------------------------
+
+    def plan_frame(self, ftype: str, payload: bytes) -> FramePlan:
+        try:
+            return self._plan(ftype, payload)
+        except (EOFError, IndexError, struct.error) as e:
+            raise PlannerError(f"truncated/corrupt frame payload: {e}") from None
+
+    # -- internals ------------------------------------------------------------
+
+    def _plan(self, ftype: str, payload: bytes) -> FramePlan:
+        cfg = self.cfg
+        if len(payload) < FRAME_HEADER_SIZE:
+            raise PlannerError("payload shorter than frame header")
+        display_id, nest_x, nest_y, dc_shift, _r1, _r2 = struct.unpack_from(
+            ">IHHBBH", payload, 0)
+        sizes = struct.unpack_from(f">{N_STREAMS}I", payload, 12)
+        if dc_shift > 7:
+            raise PlannerError(f"dc_shift {dc_shift} out of range")
+        off = FRAME_HEADER_SIZE
+        streams = []
+        for sz in sizes:
+            if off + sz > len(payload):
+                raise PlannerError("stream overruns payload")
+            streams.append(payload[off:off + sz])
+            off += sz
+        if off != len(payload):
+            raise PlannerError("trailing bytes after streams")
+
+        bn = _BasisNumSource(HuffReader(streams[STREAM_BASISNUM]))
+        dch = HuffReader(streams[STREAM_DC])
+        aux = BitReader(streams[STREAM_AUX])
+        mbt = BitReader(streams[STREAM_MBTYPE])
+        mvh = HuffReader(streams[STREAM_MV])
+
+        mb_map = mv_map = mv2_map = ref_map = None
+        if ftype in ("P", "B"):
+            mb_map, mv_map, mv2_map, ref_map = self._mb_layer(ftype, mbt, mvh)
+        elif ftype != "I":
+            raise PlannerError(f"bad frame type {ftype!r}")
+
+        planes = []
+        for pi, (bh, bw) in enumerate(cfg.block_grids):
+            planes.append(self._plane(
+                pi, bh, bw, ftype, dc_shift, bn, dch, aux,
+                mb_map, mv_map, mv2_map, ref_map))
+
+        nest = None
+        if ftype == "I":
+            nest = build_nest(cfg, planes[0].dc, nest_x, nest_y)
+        return FramePlan(ftype=ftype, display_id=display_id, dc_shift=dc_shift,
+                         nest_x=nest_x, nest_y=nest_y, planes=planes, nest=nest)
+
+    def _mb_layer(self, ftype: str, mbt: BitReader, mvh: HuffReader):
+        """Read MB types, refsels and MVs once; planes inherit (FORMAT.md §7.1)."""
+        mh, mw = self.cfg.mb_grid
+        mb_map = np.zeros((mh, mw), np.uint8)
+        mv_map = np.zeros((mh, mw, 2), np.int32)
+        mv2_map = np.zeros((mh, mw, 2), np.int32)
+        ref_map = np.zeros((mh, mw), np.uint8)
+        pred = [0, 0]
+
+        def read_mv():
+            pred[0] += _delta(mvh)
+            pred[1] += _delta(mvh)
+            return (pred[0], pred[1])
+
+        for my in range(mh):
+            for mx in range(mw):
+                t = mbt.read_bits(2)
+                if t == 3:
+                    raise PlannerError("mbtype 3 invalid")
+                mb_map[my, mx] = t
+                if t == MB_COPY:
+                    # copy lowers to inter at mv 0 (plans.py); reference is
+                    # ref_last for P, ref_prev for B (FORMAT.md §7.1).
+                    ref_map[my, mx] = REF_LAST if ftype == "P" else REF_PAST
+                elif t == MB_INTER:
+                    if ftype == "B":
+                        rs = mbt.read_bits(2)
+                        if rs == 3:
+                            raise PlannerError("refsel 3 invalid")
+                        ref_map[my, mx] = rs
+                    else:
+                        ref_map[my, mx] = REF_LAST
+                    mv_map[my, mx] = read_mv()
+                    if ftype == "B" and ref_map[my, mx] == REF_BI:
+                        mv2_map[my, mx] = read_mv()
+        return mb_map, mv_map, mv2_map, ref_map
+
+    def _plane(self, pi, bh, bw, ftype, dc_shift, bn, dch, aux,
+               mb_map, mv_map, mv2_map, ref_map) -> PlanePlan:
+        cfg = self.cfg
+        p = PlanePlan.zeros(bh, bw)
+        # Block→MB mapping (FORMAT.md §7.3): luma and 4:4:4 chroma halve the
+        # block index; 4:2:0 chroma blocks are co-located with MBs 1:1.
+        chroma = pi > 0
+        shift_idx = 0 if (chroma and cfg.h_samp == 2) else 1
+        mv_shift = 1 if (chroma and cfg.h_samp == 2) else 0
+
+        for by in range(bh):
+            for bx in range(bw):
+                if ftype == "I":
+                    cls_ = CLS_INTRA
+                else:
+                    my, mx = by >> shift_idx, bx >> shift_idx
+                    t = mb_map[my, mx]
+                    cls_ = CLS_INTRA if t == MB_INTRA else CLS_INTER
+                if cls_ == CLS_INTRA:
+                    self._intra_block(p, by, bx, dc_shift, bn, dch, aux)
+                else:
+                    p.cls[by, bx] = CLS_INTER
+                    my, mx = (by >> shift_idx, bx >> shift_idx) \
+                        if ftype != "I" else (0, 0)
+                    t = mb_map[my, mx]
+                    p.refsel[by, bx] = ref_map[my, mx]
+                    if t == MB_INTER:
+                        p.mv[by, bx, 0] = mv_map[my, mx, 0] >> mv_shift
+                        p.mv[by, bx, 1] = mv_map[my, mx, 1] >> mv_shift
+                        if ref_map[my, mx] == REF_BI:
+                            p.mv2[by, bx, 0] = mv2_map[my, mx, 0] >> mv_shift
+                            p.mv2[by, bx, 1] = mv2_map[my, mx, 1] >> mv_shift
+                        k = bn.next()
+                        if k > MAX_BASES:
+                            raise PlannerError(f"inter residual count {k} invalid")
+                        p.mode[by, bx] = k
+                        for b in range(k):
+                            self._basis(p, by, bx, b, aux)
+                    # copy MB: mode 0, mv 0 — nothing consumed.
+        return p
+
+    def _intra_block(self, p: PlanePlan, by, bx, dc_shift, bn, dch, aux) -> None:
+        s = bn.next()
+        if s == 5 or s == 7:
+            raise PlannerError(f"intra basisnum {s} invalid")
+        p.cls[by, bx] = CLS_INTRA
+        p.mode[by, bx] = s
+        if s == 6:  # raw block; effective DC stays 128 (FORMAT.md §6.6)
+            for i in range(16):
+                p.raw[by, bx, i] = aux.read_bits(8)
+            return
+        # DC prediction chain (FORMAT.md §5.4): left, else up, else 128.
+        if bx > 0:
+            pred = int(p.dc[by, bx - 1])
+        elif by > 0:
+            pred = int(p.dc[by - 1, bx])
+        else:
+            pred = 128
+        v = _delta(dch)
+        p.dc[by, bx] = (pred + (v << dc_shift)) & 0xFF
+        for b in range(s):
+            self._basis(p, by, bx, b, aux)
+
+    @staticmethod
+    def _basis(p: PlanePlan, by, bx, b, aux: BitReader) -> None:
+        """32-bit AOT basis descriptor (FORMAT.md §6.5)."""
+        v = aux.read_bits(32)
+        p.basis_nx[by, bx, b] = (v >> 25) & 0x7F
+        p.basis_ny[by, bx, b] = (v >> 18) & 0x7F
+        p.basis_sx[by, bx, b] = ((v >> 17) & 1) + 1
+        p.basis_sy[by, bx, b] = ((v >> 16) & 1) + 1
+        p.basis_off[by, bx, b] = (v >> 8) & 0xFF
+        scale = v & 0xFF
+        p.basis_scale[by, bx, b] = scale - 256 if scale >= 128 else scale
