@@ -1,0 +1,144 @@
+"""Command-line driver (reference layer L0, SURVEY.md §2.1 `main`).
+
+    python -m hvqm4_tpu.cli info    clip.h4m
+    python -m hvqm4_tpu.cli decode  clip.h4m out.yuv [--backend jax|numpy]
+                                    [--ppm DIR] [--start-block K] [--profile]
+    python -m hvqm4_tpu.cli hash    clip.h4m            # oracle-compatible hashes
+    python -m hvqm4_tpu.cli audio   clip.h4m out.wav
+    python -m hvqm4_tpu.cli stats   clip.h4m            # per-clip mode histograms
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+import numpy as np
+
+from .audio import decode_record, records_to_wav
+from .container import Demuxer
+from .planner import Planner
+from .session import DecoderSession
+from .utils.stats import clip_stats
+
+
+def _fnv1a(data: bytes) -> int:
+    h = 2166136261
+    for b in data:
+        h = ((h ^ b) * 16777619) & 0xFFFFFFFF
+    return h
+
+
+def cmd_info(args) -> int:
+    d = Demuxer(Path(args.clip).read_bytes())
+    i = d.info
+    c = i.cfg
+    print(f"HVQM4 {c.version}  {c.width}x{c.height} "
+          f"{'4:2:0' if c.h_samp == 2 else '4:4:4'}")
+    print(f"blocks={i.block_count} video_frames={i.video_frames} "
+          f"audio_frames={i.audio_frames}")
+    fps = 1e6 / i.usec_per_frame if i.usec_per_frame else 0
+    print(f"usec_per_frame={i.usec_per_frame} ({fps:.2f} fps)")
+    if i.audio_channels:
+        print(f"audio: {i.audio_channels}ch {i.audio_sample_rate} Hz IMA-ADPCM")
+    return 0
+
+
+def cmd_decode(args) -> int:
+    data = Path(args.clip).read_bytes()
+    cfg = Demuxer(data).info.cfg
+    sess = DecoderSession(cfg, backend=args.backend, profile=args.profile)
+    out = open(args.output, "wb") if args.output else None
+    n = 0
+    for frame in sess.decode_clip(data, start_block=args.start_block):
+        if out:
+            out.write(frame.yuv_bytes())
+        if args.ppm:
+            _write_ppm(frame, cfg, Path(args.ppm) / f"frame{n:05d}.ppm")
+        n += 1
+    if out:
+        out.close()
+    print(f"decoded {n} frames", file=sys.stderr)
+    if args.profile:
+        print(sess.timer.report(), file=sys.stderr)
+    return 0
+
+
+def _write_ppm(frame, cfg, path: Path) -> None:
+    from .ops.csc import frame_to_rgb
+
+    rgb = np.asarray(frame_to_rgb(frame.planes, cfg.h_samp, cfg.v_samp))
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(b"P6\n%d %d\n255\n" % (rgb.shape[1], rgb.shape[0]))
+        f.write(rgb.tobytes())
+
+
+def cmd_hash(args) -> int:
+    """Per-frame FNV-1a hashes in the oracle's --hash format (cross-check)."""
+    data = Path(args.clip).read_bytes()
+    cfg = Demuxer(data).info.cfg
+    sess = DecoderSession(cfg, backend=args.backend)
+    for i, frame in enumerate(sess.decode_clip(data)):
+        print(f"frame {i} {frame.ftype} disp={frame.display_id} "
+              f"hash={_fnv1a(frame.yuv_bytes()):08x}")
+    return 0
+
+
+def cmd_audio(args) -> int:
+    data = Path(args.clip).read_bytes()
+    d = Demuxer(data)
+    ch = d.info.audio_channels
+    if not ch:
+        print("no audio in clip", file=sys.stderr)
+        return 1
+    recs = [decode_record(r.payload, ch) for r in d.audio_records()]
+    records_to_wav(recs, d.info.audio_sample_rate, args.output)
+    print(f"wrote {args.output}", file=sys.stderr)
+    return 0
+
+
+def cmd_stats(args) -> int:
+    data = Path(args.clip).read_bytes()
+    print(clip_stats(data))
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="hvqm4_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("info")
+    p.add_argument("clip")
+    p.set_defaults(fn=cmd_info)
+
+    p = sub.add_parser("decode")
+    p.add_argument("clip")
+    p.add_argument("output", nargs="?")
+    p.add_argument("--backend", default="jax", choices=["jax", "numpy"])
+    p.add_argument("--ppm", help="also dump RGB .ppm frames into DIR")
+    p.add_argument("--start-block", type=int, default=0)
+    p.add_argument("--profile", action="store_true")
+    p.set_defaults(fn=cmd_decode)
+
+    p = sub.add_parser("hash")
+    p.add_argument("clip")
+    p.add_argument("--backend", default="jax", choices=["jax", "numpy"])
+    p.set_defaults(fn=cmd_hash)
+
+    p = sub.add_parser("audio")
+    p.add_argument("clip")
+    p.add_argument("output")
+    p.set_defaults(fn=cmd_audio)
+
+    p = sub.add_parser("stats")
+    p.add_argument("clip")
+    p.set_defaults(fn=cmd_stats)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -15,11 +15,17 @@ import subprocess
 import numpy as np
 import pytest
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8").strip()
+
+# The axon sitecustomize force-registers the TPU plugin and overrides the
+# jax_platforms config to "axon,cpu"; pin it back to cpu for the test session.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 REPO = pathlib.Path(__file__).resolve().parent.parent
 

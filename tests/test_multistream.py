@@ -1,0 +1,68 @@
+"""Multi-stream vmap decode (BASELINE config 4) and mesh sharding tests."""
+
+import jax
+import numpy as np
+import pytest
+
+from hvqm4_tpu.config import SeqConfig
+from hvqm4_tpu.parallel.multistream import MultiStreamDecoder, shard_streams
+from hvqm4_tpu.session import DecoderSession
+from tools.encoder import make_clip
+
+CFG = SeqConfig(64, 48)
+
+
+def _single_stream_frames(cfg, clip):
+    sess = DecoderSession(cfg)
+    return [f.yuv_bytes() for f in sess.decode_clip(clip)]
+
+
+def _multi_frames(cfg, clips, sharding=None):
+    ms = MultiStreamDecoder(cfg, clips, sharding=sharding)
+    per_stream = [[] for _ in clips]
+    while True:
+        out = ms.step()
+        if out is None:
+            break
+        frames, plans, valid = out
+        fnp = [np.asarray(p) for p in frames]
+        for si, ok in enumerate(valid):
+            if ok:
+                per_stream[si].append(
+                    b"".join(fnp[pi][si].tobytes() for pi in range(3)))
+    return per_stream
+
+
+def test_multistream_matches_single():
+    clips = [make_clip(CFG, ["IPBPB", "IPP"], seed=s) for s in (1, 2)]
+    clips.append(make_clip(CFG, ["IPP"], seed=3))  # shorter: masks out early
+    expected = [_single_stream_frames(CFG, c) for c in clips]
+    got = _multi_frames(CFG, clips)
+    for si in range(len(clips)):
+        assert got[si] == expected[si], f"stream {si}"
+
+
+def test_multistream_poisons_failed_stream_only():
+    good = make_clip(CFG, ["IPP"], seed=4)
+    bad = bytearray(make_clip(CFG, ["IPP"], seed=5))
+    # corrupt the middle of the file body (frame payloads)
+    for i in range(len(bad) // 2, len(bad) // 2 + 40):
+        bad[i] ^= 0xA5
+    ms = MultiStreamDecoder(CFG, [good, bytes(bad)])
+    results = _multi_frames(CFG, [good, bytes(bad)])
+    assert results[0] == _single_stream_frames(CFG, good)
+    # bad stream produced at most a prefix before being poisoned
+    assert len(results[1]) <= 3
+
+
+def test_sharded_multistream_matches():
+    """8 streams over the 8-device CPU mesh: same bytes as unsharded."""
+    from jax.sharding import Mesh
+
+    devs = np.array(jax.devices())
+    assert devs.size == 8, "conftest must provide 8 virtual devices"
+    mesh = Mesh(devs, ("dp",))
+    clips = [make_clip(CFG, ["IPB"], seed=10 + s) for s in range(8)]
+    expected = _multi_frames(CFG, clips)
+    got = _multi_frames(CFG, clips, sharding=shard_streams(mesh))
+    assert got == expected
