@@ -15,6 +15,7 @@
 // into err_buf and returns nonzero (the per-stream poisoning contract of
 // SURVEY.md §5).
 
+#include <array>
 #include <cstdint>
 #include <cstring>
 #include <stdexcept>
