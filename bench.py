@@ -116,23 +116,26 @@ def main() -> None:
     frames_done, _ = full_pass(collect_hashes=False)
     pipeline_fps = frames_done / (time.perf_counter() - t0)
 
-    # device-only: pre-plan every step, replay on device
+    # device-only: pre-plan every step (deep-copied out of the ping-pong
+    # buffers), then replay on device
+    import copy
+
     ms = MultiStreamDecoder(cfg, clips, planner_factory=planner_factory)
-    all_plans = []
+    all_bufs = []
     while any(ms.active):
-        plans, _valid = ms.plan_step()
-        all_plans.append(plans)
+        buf, _metas, _valid = ms.plan_step()
+        all_bufs.append(copy.deepcopy(buf))
     ms2 = MultiStreamDecoder(cfg, clips, planner_factory=planner_factory)
-    jax.block_until_ready(ms2.device_step(all_plans[0]))  # warm
+    jax.block_until_ready(ms2.device_step(all_bufs[0]))  # warm
     reps = 3
     t0 = time.perf_counter()
     last = None
     for _ in range(reps):
         ms3 = MultiStreamDecoder(cfg, clips, planner_factory=planner_factory)
-        for plans in all_plans:
-            last = ms3.device_step(plans)
+        for buf in all_bufs:
+            last = ms3.device_step(buf)
     jax.block_until_ready(last)
-    device_fps = reps * len(all_plans) * n_streams / (time.perf_counter() - t0)
+    device_fps = reps * len(all_bufs) * n_streams / (time.perf_counter() - t0)
 
     print(json.dumps({
         "metric": "fps_per_chip_640x480_full_pipeline",

@@ -17,8 +17,8 @@ from pathlib import Path
 import numpy as np
 
 from .audio import decode_record, records_to_wav
-from .container import Demuxer
-from .planner import Planner
+from .container import ContainerError, Demuxer
+from .planner import Planner, PlannerError
 from .session import DecoderSession
 from .utils.stats import clip_stats
 
@@ -105,8 +105,19 @@ def cmd_stats(args) -> int:
     return 0
 
 
+def _select_platform(platform: str | None) -> None:
+    """Pin the JAX platform before first use. Needed because environment
+    sitecustomize hooks may override JAX_PLATFORMS (e.g. to a TPU plugin)."""
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="hvqm4_tpu")
+    ap.add_argument("--platform", choices=["cpu", "tpu", "axon"],
+                    help="force a JAX platform (default: environment choice)")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     p = sub.add_parser("info")
@@ -137,7 +148,12 @@ def main(argv=None) -> int:
     p.set_defaults(fn=cmd_stats)
 
     args = ap.parse_args(argv)
-    return args.fn(args)
+    _select_platform(args.platform)
+    try:
+        return args.fn(args)
+    except (ContainerError, PlannerError) as e:
+        print(f"hvqm4_tpu: error: {e}", file=sys.stderr)
+        return 1
 
 
 if __name__ == "__main__":

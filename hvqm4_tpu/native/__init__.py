@@ -75,28 +75,34 @@ def _ptr(a: np.ndarray) -> ctypes.c_void_p:
     return ctypes.c_void_p(a.ctypes.data)
 
 
+# order must match _PlaneOut fields / plane_plan_arrays keys
+_PLANE_KEYS = ("cls", "mode", "dc", "raw", "bnx", "bny", "bsx", "bsy",
+               "boff", "bscale", "mv", "mv2", "refsel")
+
+
 class NativePlanner:
-    """Drop-in `Planner` backed by the C++ entropy loop."""
+    """Drop-in `Planner` backed by the C++ entropy loop.
+
+    Two call styles:
+    - `plan_frame(ftype, payload)` → fresh `FramePlan` (Planner-compatible)
+    - `plan_frame_into(ftype, payload, plane_views, nest_view)` → zero-copy:
+      writes straight into caller buffers (e.g. one stream's slice of the
+      multi-stream batch tensors), returning only frame metadata. The C++
+      side writes every field the device core reads unmasked, so buffers may
+      be reused across frames without clearing.
+    """
 
     def __init__(self, cfg: SeqConfig):
         self.cfg = cfg
         self._lib = _load()
 
-    def plan_frame(self, ftype: str, payload: bytes) -> FramePlan:
+    def _call(self, ftype: str, payload: bytes, plane_dicts, nest: np.ndarray):
         cfg = self.cfg
         if ftype not in _FTYPE_CODE:
             raise PlannerError(f"bad frame type {ftype!r}")
-        planes = [PlanePlan.zeros(bh, bw) for bh, bw in cfg.block_grids]
         pouts = (_PlaneOut * 3)()
-        for i, p in enumerate(planes):
-            pouts[i] = _PlaneOut(
-                cls=_ptr(p.cls), mode=_ptr(p.mode), dc=_ptr(p.dc),
-                raw=_ptr(p.raw), bnx=_ptr(p.basis_nx), bny=_ptr(p.basis_ny),
-                bsx=_ptr(p.basis_sx), bsy=_ptr(p.basis_sy),
-                boff=_ptr(p.basis_off), bscale=_ptr(p.basis_scale),
-                mv=_ptr(p.mv), mv2=_ptr(p.mv2), refsel=_ptr(p.refsel))
-        nh, nw = cfg.nest_shape
-        nest = np.zeros((nh, nw), np.uint8)
+        for i, d in enumerate(plane_dicts):
+            pouts[i] = _PlaneOut(**{k: _ptr(d[k]) for k in _PLANE_KEYS})
         fout = _FrameOut(nest=_ptr(nest))
         err = ctypes.create_string_buffer(256)
         rc = self._lib.hvqm4_plan_frame(
@@ -105,8 +111,31 @@ class NativePlanner:
             pouts, ctypes.byref(fout), err, len(err))
         if rc != 0:
             raise PlannerError(err.value.decode(errors="replace"))
+        return fout
+
+    def plan_frame(self, ftype: str, payload: bytes) -> FramePlan:
+        cfg = self.cfg
+        planes = [PlanePlan.zeros(bh, bw) for bh, bw in cfg.block_grids]
+        dicts = [{
+            "cls": p.cls, "mode": p.mode, "dc": p.dc, "raw": p.raw,
+            "bnx": p.basis_nx, "bny": p.basis_ny, "bsx": p.basis_sx,
+            "bsy": p.basis_sy, "boff": p.basis_off, "bscale": p.basis_scale,
+            "mv": p.mv, "mv2": p.mv2, "refsel": p.refsel,
+        } for p in planes]
+        nh, nw = cfg.nest_shape
+        nest = np.zeros((nh, nw), np.uint8)
+        fout = self._call(ftype, payload, dicts, nest)
         return FramePlan(
             ftype=ftype, display_id=int(fout.display_id),
             dc_shift=int(fout.dc_shift), nest_x=int(fout.nest_x),
             nest_y=int(fout.nest_y), planes=planes,
             nest=nest if ftype == "I" else None)
+
+    def plan_frame_into(self, ftype: str, payload: bytes,
+                        plane_views: list[dict], nest_view: np.ndarray) -> dict:
+        for d in plane_views:
+            for k in _PLANE_KEYS:
+                assert d[k].flags.c_contiguous, f"{k} view must be contiguous"
+        fout = self._call(ftype, payload, plane_views, nest_view)
+        return {"display_id": int(fout.display_id),
+                "dc_shift": int(fout.dc_shift)}

@@ -240,7 +240,12 @@ struct Planner {
                         p.mode[bi] = (uint8_t)k;
                         for (int i = 0; i < k; i++) basis(p, bi, i);
                     } else {
-                        p.mode[bi] = 0;  // lowered copy: inter, mv 0, no residual
+                        // lowered copy: inter, mv 0, no residual. MVs are
+                        // written explicitly so output buffers may be reused
+                        // across frames without carrying stale vectors.
+                        p.mode[bi] = 0;
+                        p.mv[bi * 2 + 0] = p.mv[bi * 2 + 1] = 0;
+                        p.mv2[bi * 2 + 0] = p.mv2[bi * 2 + 1] = 0;
                     }
                 }
             }

@@ -10,9 +10,14 @@ training step:
 
 Streams advance in lock-step by *decode index*; per-stream frame types may
 differ (the step is type-agnostic: I-frames are all-intra plans whose nest
-slot is refreshed, reference rotation is masked per stream). Finished streams
-are masked inactive and decode a trivial plan (SURVEY.md §5 "fail per-stream
-without killing the batch").
+slot is refreshed, reference rotation is masked per stream). Finished or
+corrupt streams are masked inactive and decode a trivial plan (SURVEY.md §5
+"fail per-stream without killing the batch").
+
+Host-side cost engineering: the batch plan tensors are *ping-pong
+preallocated* and the native planner writes each stream's slice in place
+(`plan_frame_into`) — no per-frame allocation, no stacking copies. Device
+state buffers are donated to the step so XLA updates them in place.
 
 Sharding: `shard_streams` lays the N axis over a mesh's 'dp' axis; state and
 plans follow, so each chip owns N/n_chips streams and no cross-chip
@@ -23,20 +28,24 @@ workload — SURVEY.md §2.6).
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import SeqConfig
+from ..config import MAX_BASES, SeqConfig
 from ..container import Demuxer
 from ..ops import device_core
 from ..planner import Planner, PlannerError
 from ..plans import FramePlan, PlanePlan
 
+_PLANE_KEYS = ("cls", "mode", "dc", "raw", "bnx", "bny", "bsx", "bsy",
+               "boff", "bscale", "mv", "mv2", "refsel")
+
 
 def stack_plane_plans(plans: list[PlanePlan]) -> dict[str, np.ndarray]:
-    """N same-shape PlanePlans → dict of (N, ...) arrays."""
+    """N same-shape PlanePlans → dict of (N, ...) arrays (slow path)."""
     arrs = [device_core.plane_plan_arrays(p) for p in plans]
     return {k: np.stack([a[k] for a in arrs]) for k in arrs[0]}
 
@@ -45,14 +54,14 @@ def _decode_plane_batched(plans, nest, ref0, ref1):
     return jax.vmap(device_core.decode_plane_inter)(plans, nest, ref0, ref1)
 
 
-@jax.jit
+@functools.partial(jax.jit, donate_argnums=(1, 5, 6))
 def multi_frame_step(plane_plans: list, nest, new_nest, is_i, is_ref,
                      ref_prev: list, ref_last: list):
     """One lock-step decode of N streams.
 
     plane_plans: [plan_dict(N,...)] for Y,U,V     is_i/is_ref: (N,) bool
     nest/new_nest: (N, nh, nw) u8                 ref_*: [(N, ph, pw) u8] x3
-    Returns (frames [3], nest', ref_prev', ref_last').
+    Returns (frames [3], nest', ref_prev', ref_last'). State args are donated.
     """
     nest = jnp.where(is_i[:, None, None], new_nest, nest)
     frames = []
@@ -67,20 +76,17 @@ def multi_frame_step(plane_plans: list, nest, new_nest, is_i, is_ref,
     return frames, nest, new_prev, new_last
 
 
-def _trivial_plan(cfg: SeqConfig) -> FramePlan:
-    """Inactive-stream filler: all-intra weight blocks at DC 128."""
-    planes = [PlanePlan.zeros(bh, bw) for bh, bw in cfg.block_grids]
-    nh, nw = cfg.nest_shape
-    return FramePlan(ftype="I", display_id=0, dc_shift=0, nest_x=0, nest_y=0,
-                     planes=planes, nest=np.zeros((nh, nw), np.uint8))
-
-
 @dataclasses.dataclass
 class _Stream:
     records: list
     pos: int = 0
-    block: int = -1
     failed: bool = False
+
+
+@dataclasses.dataclass
+class FrameMeta:
+    ftype: str
+    display_id: int
 
 
 class MultiStreamDecoder:
@@ -92,6 +98,7 @@ class MultiStreamDecoder:
         self.n = len(clips)
         self.planner = planner_factory(cfg)
         self.sharding = sharding
+        self._use_into = hasattr(self.planner, "plan_frame_into")
         self.streams = []
         for clip in clips:
             d = Demuxer(clip)
@@ -101,69 +108,129 @@ class MultiStreamDecoder:
                     for r in d.video_records()]
             self.streams.append(_Stream(records=recs))
         nh, nw = cfg.nest_shape
-        dev = lambda x: (jax.device_put(x, self.sharding)  # noqa: E731
-                         if self.sharding is not None else jnp.asarray(x))
+        dev = self._put
         self.nest = dev(np.zeros((self.n, nh, nw), np.uint8))
         self.ref_prev = [dev(np.zeros((self.n, h, w), np.uint8))
                          for h, w in cfg.plane_shapes]
         self.ref_last = [dev(np.zeros((self.n, h, w), np.uint8))
                          for h, w in cfg.plane_shapes]
-        self._trivial = _trivial_plan(cfg)
+        # ping-pong host batch buffers (avoid racing an in-flight transfer)
+        self._bufs = [self._alloc_batch(), self._alloc_batch()]
+        self._cur = 0
+
+    def _put(self, x):
+        return (jax.device_put(x, self.sharding)
+                if self.sharding is not None else jnp.asarray(x))
+
+    def _alloc_batch(self):
+        n = self.n
+        nh, nw = self.cfg.nest_shape
+        planes = []
+        for bh, bw in self.cfg.block_grids:
+            planes.append({
+                "cls": np.zeros((n, bh, bw), np.uint8),
+                "mode": np.zeros((n, bh, bw), np.uint8),
+                "dc": np.full((n, bh, bw), 128, np.uint8),
+                "raw": np.zeros((n, bh, bw, 16), np.uint8),
+                "bnx": np.zeros((n, bh, bw, MAX_BASES), np.uint8),
+                "bny": np.zeros((n, bh, bw, MAX_BASES), np.uint8),
+                "bsx": np.zeros((n, bh, bw, MAX_BASES), np.uint8),
+                "bsy": np.zeros((n, bh, bw, MAX_BASES), np.uint8),
+                "boff": np.zeros((n, bh, bw, MAX_BASES), np.int16),
+                "bscale": np.zeros((n, bh, bw, MAX_BASES), np.int16),
+                "mv": np.zeros((n, bh, bw, 2), np.int16),
+                "mv2": np.zeros((n, bh, bw, 2), np.int16),
+                "refsel": np.zeros((n, bh, bw), np.uint8),
+            })
+        return {
+            "planes": planes,
+            "new_nest": np.zeros((n, nh, nw), np.uint8),
+            "is_i": np.zeros((n,), bool),
+            "is_ref": np.zeros((n,), bool),
+        }
 
     @property
     def active(self) -> list[bool]:
         return [s.pos < len(s.records) and not s.failed for s in self.streams]
 
+    # -- host half -------------------------------------------------------------
+
+    def _fill_trivial(self, buf, si: int) -> None:
+        """Inactive-stream filler: all-intra weight blocks at DC 128 (the
+        other fields are masked out by cls/mode on device)."""
+        for pp in buf["planes"]:
+            pp["cls"][si] = 0
+            pp["mode"][si] = 0
+            pp["dc"][si] = 128
+        buf["is_i"][si] = False
+        buf["is_ref"][si] = False
+
     def plan_step(self):
-        """Host side of one step: plan the next frame of every stream."""
-        plans, valid = [], []
-        for s in self.streams:
+        """Plan the next frame of every stream into the current batch buffers.
+
+        Returns (buf, metas, valid)."""
+        buf = self._bufs[self._cur]
+        metas: list[FrameMeta | None] = []
+        valid: list[bool] = []
+        for si, s in enumerate(self.streams):
             if s.failed or s.pos >= len(s.records):
-                plans.append(self._trivial)
+                self._fill_trivial(buf, si)
+                metas.append(None)
                 valid.append(False)
                 continue
-            block, fchar, payload = s.records[s.pos]
-            if block != s.block:
-                s.block = block  # GOP boundary: refs are stale; I-frame
-                                 # ignores them, planner needs no reset
+            _block, fchar, payload = s.records[s.pos]
+            s.pos += 1
             try:
-                plans.append(self.planner.plan_frame(fchar, payload))
-                valid.append(True)
+                meta = self._plan_into(buf, si, fchar, payload)
             except PlannerError:
                 s.failed = True  # poison one stream, not the batch
-                plans.append(self._trivial)
+                self._fill_trivial(buf, si)
+                metas.append(None)
                 valid.append(False)
-            s.pos += 1
-        return plans, valid
+                continue
+            buf["is_i"][si] = fchar == "I"
+            buf["is_ref"][si] = fchar in ("I", "P")
+            metas.append(meta)
+            valid.append(True)
+        return buf, metas, valid
 
-    def device_step(self, plans: list[FramePlan]):
-        """Device side of one step: batched decode + state rotation."""
-        nh, nw = self.cfg.nest_shape
-        plane_plans = [stack_plane_plans([p.planes[pi] for p in plans])
-                       for pi in range(3)]
-        new_nest = np.stack([
-            p.nest if p.nest is not None else np.zeros((nh, nw), np.uint8)
-            for p in plans])
-        is_i = np.array([p.ftype == "I" for p in plans])
-        is_ref = np.array([p.ftype in ("I", "P") for p in plans])
-        if self.sharding is not None:
-            put = lambda x: jax.device_put(x, self.sharding)  # noqa: E731
-            plane_plans = [{k: put(v) for k, v in pp.items()}
-                           for pp in plane_plans]
-            new_nest = put(new_nest)
-            is_i, is_ref = put(is_i), put(is_ref)
+    def _plan_into(self, buf, si: int, fchar: str, payload: bytes) -> FrameMeta:
+        if self._use_into:
+            views = [{k: pp[k][si] for k in _PLANE_KEYS}
+                     for pp in buf["planes"]]
+            meta = self.planner.plan_frame_into(fchar, payload, views,
+                                                buf["new_nest"][si])
+            return FrameMeta(fchar, meta["display_id"])
+        plan: FramePlan = self.planner.plan_frame(fchar, payload)
+        for pp, p in zip(buf["planes"], plan.planes):
+            src = device_core.plane_plan_arrays(p)
+            for k in _PLANE_KEYS:
+                pp[k][si] = src[k]
+        if plan.nest is not None:
+            buf["new_nest"][si] = plan.nest
+        return FrameMeta(fchar, plan.display_id)
+
+    # -- device half -----------------------------------------------------------
+
+    def device_step(self, buf):
+        """Batched decode of one planned step + state rotation."""
+        put = self._put
+        plane_plans = [{k: put(v) for k, v in pp.items()}
+                       for pp in buf["planes"]]
         frames, self.nest, self.ref_prev, self.ref_last = multi_frame_step(
-            plane_plans, self.nest, new_nest, is_i, is_ref,
+            plane_plans, self.nest, put(buf["new_nest"]),
+            put(buf["is_i"]), put(buf["is_ref"]),
             self.ref_prev, self.ref_last)
         return frames
 
     def step(self):
-        """plan + decode; returns ((frames, plans, valid)) or None when done."""
+        """plan + decode; returns (frames, metas, valid) or None when done."""
         if not any(self.active):
             return None
-        plans, valid = self.plan_step()
-        frames = self.device_step(plans)
-        return frames, plans, valid
+        buf, metas, valid = self.plan_step()
+        frames = self.device_step(buf)
+        self._cur ^= 1
+        return frames, metas, valid
 
 
 def shard_streams(mesh, axis: str = "dp"):

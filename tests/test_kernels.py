@@ -1,0 +1,45 @@
+"""Pallas kernels vs the XLA device core (interpreter mode on CPU).
+
+The same kernels compile natively on TPU; bit-exactness there is covered by
+bench.py's hash verification (kernels share the integer ops under test here).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hvqm4_tpu.ops import device_core as dc
+
+
+def _plan(rng, bh, bw):
+    from __graft_entry__ import _random_plane_plan
+
+    plan_np = _random_plane_plan(rng, bh, bw, 1)
+    plan = {k: jnp.asarray(v[0]) for k, v in plan_np.items()}
+    m = np.asarray(plan_np["mode"][0]).copy()
+    m[::7] = 6  # sprinkle raw blocks
+    plan["mode"] = jnp.asarray(m)
+    return plan
+
+
+@pytest.mark.parametrize("bh,bw", [(12, 16), (30, 40), (60, 80)])
+def test_intra_synth_pallas_matches_xla(bh, bw):
+    from hvqm4_tpu.kernels.intra import intra_synth_pallas
+
+    rng = np.random.default_rng(3)
+    plan = _plan(rng, bh, bw)
+    nest = jnp.asarray(rng.integers(0, 256, (38, 70), dtype=np.uint8))
+    ref, _ = dc._intra_pixels(plan, nest)
+    got = intra_synth_pallas(plan, nest, interpret=True)
+    assert jnp.array_equal(jnp.clip(ref, 0, 255), got)
+
+
+def test_intra_synth_pallas_portrait_nest():
+    from hvqm4_tpu.kernels.intra import intra_synth_pallas
+
+    rng = np.random.default_rng(4)
+    plan = _plan(rng, 16, 12)
+    nest = jnp.asarray(rng.integers(0, 256, (70, 38), dtype=np.uint8))
+    ref, _ = dc._intra_pixels(plan, nest)
+    got = intra_synth_pallas(plan, nest, interpret=True)
+    assert jnp.array_equal(jnp.clip(ref, 0, 255), got)
