@@ -95,15 +95,19 @@ def intra_synth_pallas(plan, nest, interpret: bool = False):
     Drop-in replacement for the XLA `_intra_pixels` intra half; the caller
     merges with inter blocks and packs to the plane.
     """
-    bh, bw = plan["mode"].shape
+    from ..ops.device_core import unpack_desc, unpack_meta
+
+    bh, bw = plan["meta"].shape
     n = bh * bw
     n_pad = -(-n // TILE_N) * TILE_N if n > TILE_N else -(-n // 128) * 128
 
     # --- XLA prologue: nest gather + neighbor grids + lane-major layout ---
     nh, nw = nest.shape
+    bnx, bny, bsx, bsy, boff, bscale = unpack_desc(plan["desc"])
+    cls_, _refsel, mode = unpack_meta(plan["meta"])
     i = jnp.arange(4, dtype=jnp.int32)
-    ny = _i32(plan["bny"])[:, :, :, None] + i[None, None, None, :] * _i32(plan["bsy"])[:, :, :, None]
-    nx = _i32(plan["bnx"])[:, :, :, None] + i[None, None, None, :] * _i32(plan["bsx"])[:, :, :, None]
+    ny = bny[:, :, :, None] + i[None, None, None, :] * bsy[:, :, :, None]
+    nx = bnx[:, :, :, None] + i[None, None, None, :] * bsx[:, :, :, None]
     idx = (ny % nh)[:, :, :, :, None] * nw + (nx % nw)[:, :, :, None, :]
     samples = jnp.take(_i32(nest.reshape(-1)), idx)          # (bh,bw,B,4,4)
     samples_t = samples.reshape(n, MAX_BASES * 16).T          # (64, n)
@@ -115,14 +119,13 @@ def intra_synth_pallas(plan, nest, interpret: bool = False):
     dcR = jnp.concatenate([dc[:, 1:], dc[:, -1:]], axis=1)
     dcn = jnp.stack([dc, dcU, dcD, dcL, dcR]).reshape(5, n)
 
-    mode = _i32(plan["mode"])
-    count = jnp.where((plan["cls"] == 0) & (mode >= 1) & (mode <= 4), mode,
-                      jnp.where(plan["cls"] != 0, mode, 0))
+    count = jnp.where((cls_ == 0) & (mode >= 1) & (mode <= 4), mode,
+                      jnp.where(cls_ != 0, mode, 0))
     meta = jnp.stack([mode.reshape(-1), count.reshape(-1),
                       jnp.zeros((n,), jnp.int32)])
     raw_t = _i32(plan["raw"]).reshape(n, 16).T
-    boff_t = _i32(plan["boff"]).reshape(n, MAX_BASES).T
-    bscale_t = _i32(plan["bscale"]).reshape(n, MAX_BASES).T
+    boff_t = boff.reshape(n, MAX_BASES).T
+    bscale_t = bscale.reshape(n, MAX_BASES).T
 
     args = [_pad_lanes(a, n_pad) for a in
             (samples_t, raw_t, dcn, meta, boff_t, bscale_t)]

@@ -1,13 +1,23 @@
 """Native host planner: ctypes bindings over `_entropy.cc` (SURVEY.md §7).
 
 Python's readable planner is the reference; this module is the production
-path (~100-300× faster on the serial entropy loop). The shared library is
-built on demand with g++ (no pybind11 in the image — plain `extern "C"` +
-ctypes per the environment constraints) and cached next to the source.
+path (LUT Huffman + 64-bit bit reader, ~300-600× faster than the Python
+loop). The shared library is built on demand with g++ (no pybind11 in the
+image — plain `extern "C"` + ctypes per the environment constraints) and
+cached next to the source.
 
-`NativePlanner` is a drop-in replacement for `planner.Planner` (same
-`plan_frame` → `FramePlan` contract, differential-tested in
-tests/test_native.py); errors raise `PlannerError` carrying the C++ message.
+The C++ side emits the *packed device plan layout* directly (see
+`ops.device_core.plane_plan_arrays`): meta/dc/raw/desc/mv/mv2. Two call
+styles:
+
+- `plan_frame(ftype, payload)` → `FramePlan` (Planner-compatible; unpacks)
+- `plan_frame_into(ftype, payload, plane_views, nest_view)` → zero-copy:
+  writes straight into caller buffers (one stream's slice of the
+  multi-stream batch tensors). Every field the device core reads unmasked is
+  written on every call, so buffers may be reused across frames.
+
+Errors raise `PlannerError` carrying the C++ message (per-stream poisoning,
+SURVEY.md §5).
 """
 
 from __future__ import annotations
@@ -18,7 +28,7 @@ import subprocess
 
 import numpy as np
 
-from ..config import SeqConfig
+from ..config import MAX_BASES, SeqConfig
 from ..planner import PlannerError
 from ..plans import FramePlan, PlanePlan
 
@@ -28,11 +38,12 @@ _LIB = _DIR / "_entropy.so"
 
 _FTYPE_CODE = {"I": 0, "P": 1, "B": 2}
 
+# order must match the C PlaneOut struct / packed plan keys
+PLANE_KEYS = ("meta", "dc", "raw", "desc", "mv", "mv2")
+
 
 class _PlaneOut(ctypes.Structure):
-    _fields_ = [(n, ctypes.c_void_p) for n in (
-        "cls", "mode", "dc", "raw", "bnx", "bny", "bsx", "bsy",
-        "boff", "bscale", "mv", "mv2", "refsel")]
+    _fields_ = [(n, ctypes.c_void_p) for n in PLANE_KEYS]
 
 
 class _FrameOut(ctypes.Structure):
@@ -75,22 +86,48 @@ def _ptr(a: np.ndarray) -> ctypes.c_void_p:
     return ctypes.c_void_p(a.ctypes.data)
 
 
-# order must match _PlaneOut fields / plane_plan_arrays keys
-_PLANE_KEYS = ("cls", "mode", "dc", "raw", "bnx", "bny", "bsx", "bsy",
-               "boff", "bscale", "mv", "mv2", "refsel")
+def alloc_packed_plane(bh: int, bw: int) -> dict[str, np.ndarray]:
+    """Allocate one plane's packed plan arrays."""
+    return {
+        "meta": np.zeros((bh, bw), np.uint8),
+        "dc": np.full((bh, bw), 128, np.uint8),
+        "raw": np.zeros((bh, bw, 16), np.uint8),
+        "desc": np.zeros((bh, bw, MAX_BASES), np.uint32),
+        "mv": np.zeros((bh, bw, 2), np.int16),
+        "mv2": np.zeros((bh, bw, 2), np.int16),
+    }
+
+
+def unpack_plane(d: dict[str, np.ndarray]) -> PlanePlan:
+    """Packed plan dict → readable PlanePlan (vectorized)."""
+    meta = d["meta"]
+    cls_ = (meta >> 5) & 1
+    refsel = (meta >> 3) & 3
+    mode = meta & 7
+    desc = d["desc"]
+    nbases = np.where(
+        ((cls_ == 0) & (mode >= 1) & (mode <= 4)) | (cls_ == 1), mode, 0)
+    live = (np.arange(MAX_BASES)[None, None, :] < nbases[:, :, None])
+    scale8 = (desc & 0xFF).astype(np.int16)
+    return PlanePlan(
+        cls=cls_.astype(np.uint8),
+        mode=mode.astype(np.uint8),
+        dc=d["dc"].copy(),
+        raw=d["raw"].copy(),
+        basis_nx=np.where(live, (desc >> 25) & 0x7F, 0).astype(np.uint8),
+        basis_ny=np.where(live, (desc >> 18) & 0x7F, 0).astype(np.uint8),
+        basis_sx=np.where(live, ((desc >> 17) & 1) + 1, 0).astype(np.uint8),
+        basis_sy=np.where(live, ((desc >> 16) & 1) + 1, 0).astype(np.uint8),
+        basis_off=np.where(live, (desc >> 8) & 0xFF, 0).astype(np.int16),
+        basis_scale=np.where(live, scale8 - ((scale8 & 0x80) << 1), 0).astype(np.int16),
+        mv=d["mv"].copy(),
+        mv2=d["mv2"].copy(),
+        refsel=refsel.astype(np.uint8),
+    )
 
 
 class NativePlanner:
-    """Drop-in `Planner` backed by the C++ entropy loop.
-
-    Two call styles:
-    - `plan_frame(ftype, payload)` → fresh `FramePlan` (Planner-compatible)
-    - `plan_frame_into(ftype, payload, plane_views, nest_view)` → zero-copy:
-      writes straight into caller buffers (e.g. one stream's slice of the
-      multi-stream batch tensors), returning only frame metadata. The C++
-      side writes every field the device core reads unmasked, so buffers may
-      be reused across frames without clearing.
-    """
+    """Drop-in `Planner` backed by the C++ entropy loop."""
 
     def __init__(self, cfg: SeqConfig):
         self.cfg = cfg
@@ -102,7 +139,7 @@ class NativePlanner:
             raise PlannerError(f"bad frame type {ftype!r}")
         pouts = (_PlaneOut * 3)()
         for i, d in enumerate(plane_dicts):
-            pouts[i] = _PlaneOut(**{k: _ptr(d[k]) for k in _PLANE_KEYS})
+            pouts[i] = _PlaneOut(**{k: _ptr(d[k]) for k in PLANE_KEYS})
         fout = _FrameOut(nest=_ptr(nest))
         err = ctypes.create_string_buffer(256)
         rc = self._lib.hvqm4_plan_frame(
@@ -115,16 +152,13 @@ class NativePlanner:
 
     def plan_frame(self, ftype: str, payload: bytes) -> FramePlan:
         cfg = self.cfg
-        planes = [PlanePlan.zeros(bh, bw) for bh, bw in cfg.block_grids]
-        dicts = [{
-            "cls": p.cls, "mode": p.mode, "dc": p.dc, "raw": p.raw,
-            "bnx": p.basis_nx, "bny": p.basis_ny, "bsx": p.basis_sx,
-            "bsy": p.basis_sy, "boff": p.basis_off, "bscale": p.basis_scale,
-            "mv": p.mv, "mv2": p.mv2, "refsel": p.refsel,
-        } for p in planes]
+        dicts = [alloc_packed_plane(bh, bw) for bh, bw in cfg.block_grids]
         nh, nw = cfg.nest_shape
         nest = np.zeros((nh, nw), np.uint8)
         fout = self._call(ftype, payload, dicts, nest)
+        # buffers are fresh here, so masked fields are already zero and the
+        # unpacked FramePlan is canonical
+        planes = [unpack_plane(d) for d in dicts]
         return FramePlan(
             ftype=ftype, display_id=int(fout.display_id),
             dc_shift=int(fout.dc_shift), nest_x=int(fout.nest_x),
@@ -133,9 +167,6 @@ class NativePlanner:
 
     def plan_frame_into(self, ftype: str, payload: bytes,
                         plane_views: list[dict], nest_view: np.ndarray) -> dict:
-        for d in plane_views:
-            for k in _PLANE_KEYS:
-                assert d[k].flags.c_contiguous, f"{k} view must be contiguous"
         fout = self._call(ftype, payload, plane_views, nest_view)
         return {"display_id": int(fout.display_id),
                 "dc_shift": int(fout.dc_shift)}

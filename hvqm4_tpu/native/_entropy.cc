@@ -6,20 +6,29 @@
 // same frame→plan resolution as `hvqm4_tpu/planner.py` (docs/FORMAT.md §3–§7)
 // and is differential-tested against it (tests/test_native.py).
 //
-// Thread-safety: no global mutable state; every call works on caller-provided
-// buffers, so Python can fan out streams across threads with the GIL released
-// (ctypes releases it around foreign calls).
+// Performance notes:
+// - 64-bit windowed bit reader (refills 8 bytes at a time, branch-light).
+// - Single-level 12-bit Huffman LUT with tree-walk fallback for longer codes;
+//   the LUT is built once per (stream, frame) during tree parsing.
+// - Outputs are written in the *packed device layout* (42 B/block): basis
+//   descriptors stay in their 32-bit wire format (FORMAT.md §6.5) and
+//   cls/refsel/mode pack into one meta byte — the device core unpacks with
+//   shifts, and host→device transfer shrinks ~30%.
+// - Every field the device reads unmasked is written on every call, so output
+//   buffers may be reused across frames without clearing.
 //
-// Error handling: longjmp-free — deep reads return via C++ exceptions caught
-// at the boundary; the entry point returns 0 on success or writes a message
-// into err_buf and returns nonzero (the per-stream poisoning contract of
-// SURVEY.md §5).
+// Thread-safety: no global mutable state (scratch lives in the per-call
+// stack / caller buffers), so Python can fan out streams across threads with
+// the GIL released (ctypes releases it around foreign calls).
+//
+// Error handling: exceptions caught at the boundary; returns 0 on success or
+// writes a message into err_buf and returns nonzero (the per-stream
+// poisoning contract of SURVEY.md §5).
 
 #include <array>
 #include <cstdint>
 #include <cstring>
 #include <stdexcept>
-#include <string>
 #include <vector>
 
 namespace {
@@ -28,68 +37,129 @@ struct Error : std::runtime_error {
     using std::runtime_error::runtime_error;
 };
 
-// ---------------- bit reader (MSB-first) ----------------
+// ---------------- 64-bit windowed bit reader (MSB-first) ----------------
 
 struct BitReader {
     const uint8_t* d = nullptr;
-    size_t nbits = 0, pos = 0;
+    size_t nbytes = 0;
+    size_t byte_pos = 0;   // next byte to load into the window
+    uint64_t window = 0;   // MSB-aligned pending bits
+    int have = 0;          // valid bits in window (from MSB side)
 
     void init(const uint8_t* data, size_t n) {
         d = data;
-        nbits = 8 * n;
-        pos = 0;
+        nbytes = n;
+        byte_pos = 0;
+        window = 0;
+        have = 0;
     }
-    inline unsigned bit() {
-        if (pos >= nbits) throw Error("bit stream exhausted");
-        unsigned v = (d[pos >> 3] >> (7 - (pos & 7))) & 1u;
-        pos++;
-        return v;
+
+    inline void refill() {
+        while (have <= 56 && byte_pos < nbytes) {
+            window |= (uint64_t)d[byte_pos++] << (56 - have);
+            have += 8;
+        }
     }
+
+    // peek up to 32 bits (zero-padded past end; overconsumption is caught
+    // in take()/bits())
+    inline uint32_t peek(int n) {
+        if (have < n) refill();
+        return (uint32_t)(window >> (64 - n));
+    }
+
+    inline void take(int n) {
+        if (n > have) throw Error("bit stream exhausted");
+        window <<= n;
+        have -= n;
+    }
+
     inline uint32_t bits(int n) {
-        uint32_t v = 0;
-        for (int i = 0; i < n; i++) v = (v << 1) | bit();
+        if (have < n) {
+            refill();
+            if (have < n) throw Error("bit stream exhausted");
+        }
+        uint32_t v = (uint32_t)(window >> (64 - n));
+        window <<= n;
+        have -= n;
         return v;
     }
+
+    inline unsigned bit() { return bits(1); }
+
     inline int32_t sbits(int n) {
         uint32_t v = bits(n);
-        if (v >= (1u << (n - 1))) return (int32_t)v - (1 << n);
+        if (v >= (1u << (n - 1))) return (int32_t)v - (int32_t)(1u << n);
         return (int32_t)v;
     }
 };
 
-// ---------------- Huffman ----------------
+// ---------------- Huffman with 12-bit decode LUT ----------------
+
+constexpr int LUT_BITS = 12;
 
 struct Huff {
-    // nodes: child pair; leaves encoded as -(sym+1)
-    std::vector<std::array<int, 2>> nodes;
+    std::vector<std::array<int, 2>> nodes;  // leaves: -(sym+1)
+    // lut[i]: (len << 16) | sym for codes of length <= LUT_BITS;
+    // (0x8000'0000 | node) for longer codes (continue walking at `node`
+    // after consuming LUT_BITS bits); 0 = invalid (unreachable in a valid
+    // serialized tree).
+    std::vector<uint32_t> lut;
     int root = 0;
     bool present = false;
     BitReader br;
 
-    int read_tree(int depth) {
+    int read_tree(int depth, uint32_t code, int len) {
         if (depth > 64) throw Error("huffman tree too deep");
         if (br.bit()) {
             int idx = (int)nodes.size();
             nodes.push_back({0, 0});
-            int c0 = read_tree(depth + 1);
-            int c1 = read_tree(depth + 1);
+            int c0 = read_tree(depth + 1, code << 1, len + 1);
+            int c1 = read_tree(depth + 1, (code << 1) | 1, len + 1);
             nodes[idx] = {c0, c1};
+            if (len == LUT_BITS) {  // deep subtree: continuation entry
+                lut[code] = 0x80000000u | (uint32_t)idx;
+            }
             return idx;
         }
-        return -((int)br.bits(8) + 1);
+        int sym = (int)br.bits(8);
+        if (len <= LUT_BITS) {
+            // fill all LUT slots prefixed by this code
+            uint32_t base = code << (LUT_BITS - len);
+            uint32_t cnt = 1u << (LUT_BITS - len);
+            uint32_t entry = ((uint32_t)len << 16) | (uint32_t)sym;
+            for (uint32_t i = 0; i < cnt; i++) lut[base + i] = entry;
+        }
+        return -(sym + 1);
     }
+
     void init(const uint8_t* d, size_t n) {
         nodes.clear();
         present = n > 0;
         br.init(d, n);
-        root = present ? read_tree(0) : 0;
+        if (!present) return;
+        lut.assign(1u << LUT_BITS, 0);
+        root = read_tree(0, 0, 0);
+        if (root < 0) {  // degenerate single-leaf tree: 0-bit symbols
+            uint32_t entry = (uint32_t)(-root - 1);  // len 0
+            lut.assign(1u << LUT_BITS, entry);
+        }
     }
+
     inline int symbol() {
         if (!present) throw Error("symbol from empty huffman stream");
-        int node = root;
+        uint32_t p = br.peek(LUT_BITS);
+        uint32_t e = lut[p];
+        if (!(e & 0x80000000u)) {
+            br.take((int)(e >> 16));
+            return (int)(e & 0xFFFF);
+        }
+        br.take(LUT_BITS);
+        int node = (int)(e & 0x7FFFFFFFu);
         while (node >= 0) node = nodes[node][br.bit()];
         return -node - 1;
     }
+
     inline int32_t delta() {
         int s = symbol();
         if (s == 255) return br.sbits(16);
@@ -97,22 +167,16 @@ struct Huff {
     }
 };
 
-// ---------------- output plan layout (matches plans.PlanePlan) ----------------
+// ---------------- packed output plan layout ----------------
+// meta byte: mode(0..6) in bits 0-2, refsel in bits 3-4, cls in bit 5.
 
 struct PlaneOut {
-    uint8_t* cls;      // bh*bw
-    uint8_t* mode;     // bh*bw
-    uint8_t* dc;       // bh*bw
-    uint8_t* raw;      // bh*bw*16
-    uint8_t* bnx;      // bh*bw*4
-    uint8_t* bny;
-    uint8_t* bsx;
-    uint8_t* bsy;
-    int16_t* boff;     // bh*bw*4
-    int16_t* bscale;   // bh*bw*4
-    int16_t* mv;       // bh*bw*2
-    int16_t* mv2;      // bh*bw*2
-    uint8_t* refsel;   // bh*bw
+    uint8_t* meta;   // bh*bw
+    uint8_t* dc;     // bh*bw
+    uint8_t* raw;    // bh*bw*16
+    uint32_t* desc;  // bh*bw*4 (wire-format 32-bit basis descriptors)
+    int16_t* mv;     // bh*bw*2
+    int16_t* mv2;    // bh*bw*2
 };
 
 struct FrameOut {
@@ -152,17 +216,6 @@ struct Planner {
         return s;
     }
 
-    inline void basis(PlaneOut& p, size_t bi, int k) {
-        uint32_t v = aux.bits(32);
-        p.bnx[bi * 4 + k] = (v >> 25) & 0x7F;
-        p.bny[bi * 4 + k] = (v >> 18) & 0x7F;
-        p.bsx[bi * 4 + k] = (uint8_t)(((v >> 17) & 1) + 1);
-        p.bsy[bi * 4 + k] = (uint8_t)(((v >> 16) & 1) + 1);
-        p.boff[bi * 4 + k] = (int16_t)((v >> 8) & 0xFF);
-        int sc = (int)(v & 0xFF);
-        p.bscale[bi * 4 + k] = (int16_t)(sc >= 128 ? sc - 256 : sc);
-    }
-
     void mb_layer() {
         mbs.assign((size_t)mh * mw, MBInfo{});
         int32_t px = 0, py = 0;
@@ -199,37 +252,34 @@ struct Planner {
         const bool chroma_mb = (pi > 0 && h_samp == 2);
         const int shift_idx = chroma_mb ? 0 : 1;
         const int mv_shift = chroma_mb ? 1 : 0;
+        uint8_t* dcg = p.dc;  // the output DC grid doubles as the
+                              // prediction scratch (it IS the effective grid)
         for (int by = 0; by < H; by++) {
+            const MBInfo* mbrow =
+                (ftype != 0) ? &mbs[(size_t)(by >> shift_idx) * mw] : nullptr;
             for (int bx = 0; bx < W; bx++) {
                 const size_t bi = (size_t)by * W + bx;
-                bool intra = true;
-                const MBInfo* mb = nullptr;
-                if (ftype != 0) {
-                    mb = &mbs[(size_t)(by >> shift_idx) * mw + (bx >> shift_idx)];
-                    intra = (mb->type == MB_INTRA);
-                }
-                if (intra) {
+                const MBInfo* mb = mbrow ? &mbrow[bx >> shift_idx] : nullptr;
+                if (!mb || mb->type == MB_INTRA) {
                     int mode = basisnum();
                     if (mode == 5) throw Error("intra basisnum 5 invalid");
-                    p.cls[bi] = 0;
-                    p.mode[bi] = (uint8_t)mode;
+                    p.meta[bi] = (uint8_t)mode;  // cls=0 refsel=0
                     if (mode == 6) {
                         for (int i = 0; i < 16; i++)
                             p.raw[bi * 16 + i] = (uint8_t)aux.bits(8);
-                        p.dc[bi] = 128;
+                        p.dc[bi] = dcg[bi] = 128;
                     } else {
-                        int pred = bx > 0   ? p.dc[bi - 1]
-                                   : by > 0 ? p.dc[bi - W]
+                        int pred = bx > 0   ? dcg[bi - 1]
+                                   : by > 0 ? dcg[bi - W]
                                             : 128;
                         int32_t v = dch.delta();
-                        p.dc[bi] =
-                            (uint8_t)((uint32_t)(pred + v * (1 << dc_shift)) & 0xFF);
-                        for (int k = 0; k < mode; k++) basis(p, bi, k);
+                        p.dc[bi] = dcg[bi] = (uint8_t)(
+                            (uint32_t)(pred + v * (1 << dc_shift)) & 0xFF);
+                        for (int k = 0; k < mode; k++)
+                            p.desc[bi * 4 + k] = aux.bits(32);
                     }
                 } else {
-                    p.cls[bi] = 1;
-                    p.dc[bi] = 128;
-                    p.refsel[bi] = mb->refsel;
+                    p.dc[bi] = dcg[bi] = 128;
                     if (mb->type == MB_INTER) {
                         p.mv[bi * 2 + 0] = (int16_t)(mb->mvx >> mv_shift);
                         p.mv[bi * 2 + 1] = (int16_t)(mb->mvy >> mv_shift);
@@ -237,13 +287,11 @@ struct Planner {
                         p.mv2[bi * 2 + 1] = (int16_t)(mb->mv2y >> mv_shift);
                         int k = basisnum();
                         if (k > 4) throw Error("inter residual count invalid");
-                        p.mode[bi] = (uint8_t)k;
-                        for (int i = 0; i < k; i++) basis(p, bi, i);
-                    } else {
-                        // lowered copy: inter, mv 0, no residual. MVs are
-                        // written explicitly so output buffers may be reused
-                        // across frames without carrying stale vectors.
-                        p.mode[bi] = 0;
+                        p.meta[bi] = (uint8_t)(0x20 | (mb->refsel << 3) | k);
+                        for (int i = 0; i < k; i++)
+                            p.desc[bi * 4 + i] = aux.bits(32);
+                    } else {  // lowered copy: inter, mv 0, no residual
+                        p.meta[bi] = (uint8_t)(0x20 | (mb->refsel << 3));
                         p.mv[bi * 2 + 0] = p.mv[bi * 2 + 1] = 0;
                         p.mv2[bi * 2 + 0] = p.mv2[bi * 2 + 1] = 0;
                     }

@@ -31,25 +31,40 @@ _W = np.array([4, 1, 0, 0], np.int32)
 
 
 def plane_plan_arrays(p: PlanePlan) -> dict[str, np.ndarray]:
-    """PlanePlan → flat dict of arrays (a jit-friendly pytree leaf set).
+    """PlanePlan → the *packed* device plan layout (42 B/block).
 
-    Dtypes are chosen for upload compactness; the device core widens to i32.
+    Host→device bandwidth is a first-order cost (and, through the test
+    tunnel, a leak multiplier), so the upload format is minimal:
+
+    - ``meta`` u8: mode in bits 0-2, refsel in bits 3-4, cls in bit 5
+    - ``desc`` u32[4]: basis descriptors in wire format (FORMAT.md §6.5)
+    - ``dc`` u8, ``raw`` u8[16], ``mv``/``mv2`` i16[2]
+
+    The native planner emits this layout directly; this function packs the
+    readable `PlanePlan` for the Python path. The device core unpacks with
+    shifts (free — it fuses into the consuming ops).
     """
+    meta = (p.mode | (p.refsel << 3) | (p.cls << 5)).astype(np.uint8)
+    desc = ((p.basis_nx.astype(np.uint32) << 25)
+            | (p.basis_ny.astype(np.uint32) << 18)
+            | ((np.maximum(p.basis_sx.astype(np.uint32), 1) - 1) << 17)
+            | ((np.maximum(p.basis_sy.astype(np.uint32), 1) - 1) << 16)
+            | ((p.basis_off.astype(np.int64) & 0xFF).astype(np.uint32) << 8)
+            | (p.basis_scale.astype(np.int64) & 0xFF).astype(np.uint32))
     return {
-        "cls": p.cls,
-        "mode": p.mode,
+        "meta": meta,
         "dc": p.dc,
         "raw": p.raw,
-        "bnx": p.basis_nx,
-        "bny": p.basis_ny,
-        "bsx": p.basis_sx,
-        "bsy": p.basis_sy,
-        "boff": p.basis_off,
-        "bscale": p.basis_scale,
+        "desc": desc,
         "mv": p.mv,
         "mv2": p.mv2,
-        "refsel": p.refsel,
     }
+
+
+def unpack_meta(meta):
+    """meta u8 → (cls, refsel, mode) i32."""
+    m = _i32(meta)
+    return _sra(m, 5) & 1, _sra(m, 3) & 3, m & 7
 
 
 def _sra(x, n):
@@ -86,6 +101,19 @@ def weight_blocks(dc_grid):
     return c + _sra(acc + 8, 4)
 
 
+def unpack_desc(desc):
+    """Wire-format u32 basis descriptors (FORMAT.md §6.5) → i32 fields."""
+    d = _i32(desc.astype(jnp.uint32))  # logical ops below mask sign bits away
+    nx = _sra(d, 25) & 0x7F
+    ny = _sra(d, 18) & 0x7F
+    sx = (_sra(d, 17) & 1) + 1
+    sy = (_sra(d, 16) & 1) + 1
+    off = _sra(d, 8) & 0xFF
+    scale8 = d & 0xFF
+    scale = scale8 - ((scale8 & 0x80) << 1)  # sign-extend 8-bit
+    return nx, ny, sx, sy, off, scale
+
+
 def aot_acc(plan, nest, count):
     """AOT accumulator for all blocks (FORMAT.md §6.2) → (bh,bw,4,4) i32.
 
@@ -93,22 +121,23 @@ def aot_acc(plan, nest, count):
     device-side `GetAotBasis`/`GetMCAotBasis`.
     """
     nh, nw = nest.shape
+    bnx, bny, bsx, bsy, boff, bscale = unpack_desc(plan["desc"])
     i = jnp.arange(4, dtype=jnp.int32)
-    ny = _i32(plan["bny"])[:, :, :, None] + i[None, None, None, :] * _i32(plan["bsy"])[:, :, :, None]
-    nx = _i32(plan["bnx"])[:, :, :, None] + i[None, None, None, :] * _i32(plan["bsx"])[:, :, :, None]
+    ny = bny[:, :, :, None] + i[None, None, None, :] * bsy[:, :, :, None]
+    nx = bnx[:, :, :, None] + i[None, None, None, :] * bsx[:, :, :, None]
     idx = (ny % nh)[:, :, :, :, None] * nw + (nx % nw)[:, :, :, None, :]
     samples = jnp.take(_i32(nest.reshape(-1)), idx)                 # (bh,bw,B,4,4)
-    terms = (samples - _i32(plan["boff"])[:, :, :, None, None]) \
-        * _i32(plan["bscale"])[:, :, :, None, None]
+    terms = (samples - boff[:, :, :, None, None]) \
+        * bscale[:, :, :, None, None]
     mask = (jnp.arange(MAX_BASES)[None, None, :] < count[:, :, None])
     return jnp.sum(terms * mask[:, :, :, None, None], axis=2)
 
 
 def _intra_pixels(plan, nest):
-    bh, bw = plan["mode"].shape
-    mode = _i32(plan["mode"])
-    count = jnp.where((plan["cls"] == 0) & (mode >= 1) & (mode <= 4), mode, 0)
-    inter_count = jnp.where(plan["cls"] != 0, mode, 0)
+    bh, bw = plan["meta"].shape
+    cls_, _refsel, mode = unpack_meta(plan["meta"])
+    count = jnp.where((cls_ == 0) & (mode >= 1) & (mode <= 4), mode, 0)
+    inter_count = jnp.where(cls_ != 0, mode, 0)
     acc = aot_acc(plan, nest, count + inter_count)
     dc = _i32(plan["dc"])[:, :, None, None]
     wpx = weight_blocks(plan["dc"])
@@ -177,14 +206,15 @@ def decode_plane_inter(plan, nest, ref0, ref1):
     (FORMAT.md §7.5).
     """
     intra, acc = _intra_pixels(plan, nest)
+    cls_, refsel, _mode = unpack_meta(plan["meta"])
     pf = mc_predict(ref0, plan["mv"])
     pl_ = mc_predict(ref1, plan["mv"])
     pb = mc_predict(ref1, plan["mv2"])
-    sel = _i32(plan["refsel"])[:, :, None, None]
+    sel = refsel[:, :, None, None]
     pred = jnp.where(sel == 0, pf,
                      jnp.where(sel == 1, pl_, _sra(pf + pb + 1, 1)))
     inter = pred + _sra(acc, 4)
-    px = jnp.where((plan["cls"] == 0)[:, :, None, None], intra, inter)
+    px = jnp.where((cls_ == 0)[:, :, None, None], intra, inter)
     return _blocks_to_plane(px)
 
 

@@ -40,8 +40,7 @@ from ..ops import device_core
 from ..planner import Planner, PlannerError
 from ..plans import FramePlan, PlanePlan
 
-_PLANE_KEYS = ("cls", "mode", "dc", "raw", "bnx", "bny", "bsx", "bsy",
-               "boff", "bscale", "mv", "mv2", "refsel")
+_PLANE_KEYS = ("meta", "dc", "raw", "desc", "mv", "mv2")
 
 
 def stack_plane_plans(plans: list[PlanePlan]) -> dict[str, np.ndarray]:
@@ -128,19 +127,12 @@ class MultiStreamDecoder:
         planes = []
         for bh, bw in self.cfg.block_grids:
             planes.append({
-                "cls": np.zeros((n, bh, bw), np.uint8),
-                "mode": np.zeros((n, bh, bw), np.uint8),
+                "meta": np.zeros((n, bh, bw), np.uint8),
                 "dc": np.full((n, bh, bw), 128, np.uint8),
                 "raw": np.zeros((n, bh, bw, 16), np.uint8),
-                "bnx": np.zeros((n, bh, bw, MAX_BASES), np.uint8),
-                "bny": np.zeros((n, bh, bw, MAX_BASES), np.uint8),
-                "bsx": np.zeros((n, bh, bw, MAX_BASES), np.uint8),
-                "bsy": np.zeros((n, bh, bw, MAX_BASES), np.uint8),
-                "boff": np.zeros((n, bh, bw, MAX_BASES), np.int16),
-                "bscale": np.zeros((n, bh, bw, MAX_BASES), np.int16),
+                "desc": np.zeros((n, bh, bw, MAX_BASES), np.uint32),
                 "mv": np.zeros((n, bh, bw, 2), np.int16),
                 "mv2": np.zeros((n, bh, bw, 2), np.int16),
-                "refsel": np.zeros((n, bh, bw), np.uint8),
             })
         return {
             "planes": planes,
@@ -157,10 +149,9 @@ class MultiStreamDecoder:
 
     def _fill_trivial(self, buf, si: int) -> None:
         """Inactive-stream filler: all-intra weight blocks at DC 128 (the
-        other fields are masked out by cls/mode on device)."""
+        other fields are masked out by meta on device)."""
         for pp in buf["planes"]:
-            pp["cls"][si] = 0
-            pp["mode"][si] = 0
+            pp["meta"][si] = 0
             pp["dc"][si] = 128
         buf["is_i"][si] = False
         buf["is_ref"][si] = False

@@ -16,9 +16,9 @@ def _plan(rng, bh, bw):
 
     plan_np = _random_plane_plan(rng, bh, bw, 1)
     plan = {k: jnp.asarray(v[0]) for k, v in plan_np.items()}
-    m = np.asarray(plan_np["mode"][0]).copy()
-    m[::7] = 6  # sprinkle raw blocks
-    plan["mode"] = jnp.asarray(m)
+    m = np.asarray(plan_np["meta"][0]).copy()
+    m[::7] = (m[::7] & 0xD8) | 6  # sprinkle intra raw blocks (cls=0, mode=6)
+    plan["meta"] = jnp.asarray(m)
     return plan
 
 
