@@ -2,14 +2,22 @@
 
 Measures, on the real chip:
   - oracle_fps:  C reference decoder, single core -O2 (the baseline denominator)
-  - value:       full-pipeline frames/sec/chip at 640×480 — host planning +
-                 plan upload + batched device decode over N parallel streams
-                 (the honest end-to-end number; BASELINE.json metric)
+  - value:       full-pipeline frames/sec/chip at 640×480 — host planning
+                 (native C++ planner) overlapped with plan upload + batched
+                 device decode over N parallel streams (the honest end-to-end
+                 number; BASELINE.json metric)
   - device_fps:  device-side decode throughput with plans pre-built (isolates
-                 the TPU core from the host entropy bound)
+                 the TPU core + transfer from the host entropy bound)
   - bitexact:    decoded frames hash-identical to the C oracle on this backend
 
-Env knobs: HVQM4_BENCH_STREAMS (default 4), HVQM4_BENCH_CLIP (default
+Each measurement phase runs in its own subprocess: the axon test tunnel's
+PJRT client leaks per byte transferred and wedges under sustained traffic,
+but the remote side recovers when a client disconnects — fresh processes keep
+every phase inside the clean measurement window. On a direct-attached TPU-VM
+none of that applies (and the subprocess structure is merely a mild
+slowdown from re-initialization; compilations come from the persistent cache).
+
+Env knobs: HVQM4_BENCH_STREAMS (default 8), HVQM4_BENCH_CLIP (default
 testdata/ref640.h4m, generated if missing).
 """
 
@@ -44,19 +52,6 @@ def ensure_clip(path: pathlib.Path):
     return cfg, path.read_bytes()
 
 
-def oracle_fps(oracle: pathlib.Path, clip_path: pathlib.Path) -> float:
-    out = subprocess.run([str(oracle), "--bench", "5", str(clip_path)],
-                         check=True, capture_output=True, text=True)
-    return float(json.loads(out.stdout)["fps"])
-
-
-def oracle_hashes(oracle: pathlib.Path, clip_path: pathlib.Path) -> list[str]:
-    out = subprocess.run([str(oracle), "--hash", str(clip_path), "/dev/null"],
-                         check=True, capture_output=True, text=True)
-    return [line.split("hash=")[1] for line in out.stdout.splitlines()
-            if "hash=" in line]
-
-
 def _fnv1a(data: bytes) -> str:
     h = 2166136261
     for b in data:
@@ -64,91 +59,148 @@ def _fnv1a(data: bytes) -> str:
     return f"{h:08x}"
 
 
-def main() -> None:
-    n_streams = int(os.environ.get("HVQM4_BENCH_STREAMS", "4"))
+def _setup(n_streams: int):
     clip_path = pathlib.Path(os.environ.get(
         "HVQM4_BENCH_CLIP", str(REPO / "testdata" / "ref640.h4m")))
-
-    oracle = ensure_oracle()
     cfg, clip = ensure_clip(clip_path)
-    base_fps = oracle_fps(oracle, clip_path)
-
-    import jax
 
     from hvqm4_tpu.parallel.multistream import MultiStreamDecoder
     from hvqm4_tpu.planner import Planner
 
-    planner_name = "python"
     planner_factory = Planner
+    planner_name = "python"
     try:
         from hvqm4_tpu.native import NativePlanner
 
         planner_factory = NativePlanner
         planner_name = "native"
-    except Exception as e:  # native module optional
-        print(f"bench: native planner unavailable ({e}); using python",
-              file=sys.stderr)
+    except Exception as e:  # pragma: no cover - native module optional
+        print(f"bench: native planner unavailable ({e})", file=sys.stderr)
 
-    clips = [clip] * n_streams
+    def make_ms():
+        return MultiStreamDecoder(cfg, [clip] * n_streams,
+                                  planner_factory=planner_factory)
 
-    def full_pass(collect_hashes: bool):
-        ms = MultiStreamDecoder(cfg, clips, planner_factory=planner_factory)
-        hashes, frames_done, last = [], 0, None
-        while True:
-            out = ms.step()
-            if out is None:
-                break
-            frames, _plans, valid = out
-            frames_done += sum(valid)
-            last = frames
-            if collect_hashes:
-                fnp = [np.asarray(p) for p in frames]
-                hashes.append(_fnv1a(b"".join(
-                    fnp[pi][0].tobytes() for pi in range(3))))
-        jax.block_until_ready(last)
-        return frames_done, hashes
+    return cfg, clip_path, make_ms, planner_name
 
-    # warmup (compiles) + bit-exactness vs oracle on stream 0
-    _, hashes = full_pass(collect_hashes=True)
-    bitexact = hashes == oracle_hashes(oracle, clip_path)
 
+# ---------------------------------------------------------------------------
+# Phases (each runs in its own process: `python bench.py --phase X`)
+# ---------------------------------------------------------------------------
+
+def phase_pipeline(n_streams: int) -> dict:
+    import jax
+
+    _cfg, _cp, make_ms, planner_name = _setup(n_streams)
+    ms = make_ms()  # compile warmup (persistent-cache backed)
+    for _ in range(2):
+        out = ms.step()
+        jax.block_until_ready(out[0])
+    del ms
+
+    ms = make_ms()
     t0 = time.perf_counter()
-    frames_done, _ = full_pass(collect_hashes=False)
-    pipeline_fps = frames_done / (time.perf_counter() - t0)
+    frames_done, last = 0, None
+    for frames, _metas, valid in ms.run_pipelined():
+        frames_done += sum(valid)
+        last = frames
+    jax.block_until_ready(last)
+    fps = frames_done / (time.perf_counter() - t0)
+    return {"pipeline_fps": round(fps, 2), "planner": planner_name,
+            "backend": jax.devices()[0].platform}
 
-    # device-only: pre-plan every step (deep-copied out of the ping-pong
-    # buffers), then replay on device
+
+def phase_device(n_streams: int) -> dict:
     import copy
 
-    ms = MultiStreamDecoder(cfg, clips, planner_factory=planner_factory)
+    import jax
+
+    _cfg, _cp, make_ms, _pn = _setup(n_streams)
+    ms = make_ms()
     all_bufs = []
     while any(ms.active):
         buf, _metas, _valid = ms.plan_step()
         all_bufs.append(copy.deepcopy(buf))
-    ms2 = MultiStreamDecoder(cfg, clips, planner_factory=planner_factory)
+        ms._cur ^= 1
+    ms2 = make_ms()
     jax.block_until_ready(ms2.device_step(all_bufs[0]))  # warm
-    reps = 3
+    ms3 = make_ms()
     t0 = time.perf_counter()
     last = None
-    for _ in range(reps):
-        ms3 = MultiStreamDecoder(cfg, clips, planner_factory=planner_factory)
-        for buf in all_bufs:
-            last = ms3.device_step(buf)
+    for buf in all_bufs:
+        last = ms3.device_step(buf)
     jax.block_until_ready(last)
-    device_fps = reps * len(all_bufs) * n_streams / (time.perf_counter() - t0)
+    fps = len(all_bufs) * n_streams / (time.perf_counter() - t0)
+    return {"device_fps": round(fps, 2)}
 
+
+def phase_hash(n_streams: int) -> dict:
+    """Bit-exactness vs the C oracle, verified on stream 0 of the same
+    batched configuration the throughput phases use (same compiled
+    executable; multi-stream equality is separately covered by tests/)."""
+    import jax
+
+    _cfg, clip_path, make_ms, _pn = _setup(n_streams)
+    ms = make_ms()
+    hashes = []
+    while True:
+        out = ms.step()
+        if out is None:
+            break
+        frames, _metas, _valid = out
+        # read back only stream 0's planes (device-side slice)
+        fnp = [np.asarray(frames[pi][0]) for pi in range(3)]
+        hashes.append(_fnv1a(b"".join(p.tobytes() for p in fnp)))
+
+    oracle = ensure_oracle()
+    res = subprocess.run([str(oracle), "--hash", str(clip_path), "/dev/null"],
+                         check=True, capture_output=True, text=True)
+    want = [line.split("hash=")[1] for line in res.stdout.splitlines()
+            if "hash=" in line]
+    return {"bitexact": hashes == want}
+
+
+def main() -> None:
+    n_streams = int(os.environ.get("HVQM4_BENCH_STREAMS", "8"))
+    if len(sys.argv) == 3 and sys.argv[1] == "--phase":
+        out = {"pipeline": phase_pipeline, "device": phase_device,
+               "hash": phase_hash}[sys.argv[2]](n_streams)
+        print(json.dumps(out))
+        return
+
+    oracle = ensure_oracle()
+    clip_path = pathlib.Path(os.environ.get(
+        "HVQM4_BENCH_CLIP", str(REPO / "testdata" / "ref640.h4m")))
+    ensure_clip(clip_path)
+    res = subprocess.run([str(oracle), "--bench", "5", str(clip_path)],
+                         check=True, capture_output=True, text=True)
+    base_fps = float(json.loads(res.stdout)["fps"])
+
+    merged: dict = {}
+    for phase in ("pipeline", "device", "hash"):
+        print(f"bench: phase {phase}", file=sys.stderr, flush=True)
+        r = subprocess.run(
+            [sys.executable, __file__, "--phase", phase],
+            capture_output=True, text=True, timeout=900)
+        if r.returncode != 0:
+            print(r.stderr[-2000:], file=sys.stderr)
+            raise SystemExit(f"bench phase {phase} failed")
+        merged.update(json.loads(r.stdout.strip().splitlines()[-1]))
+        time.sleep(15)  # let the tunnel remote side settle between clients
+
+    pipeline_fps = merged["pipeline_fps"]
     print(json.dumps({
         "metric": "fps_per_chip_640x480_full_pipeline",
-        "value": round(pipeline_fps, 2),
+        "value": pipeline_fps,
         "unit": "frames/s",
         "vs_baseline": round(pipeline_fps / base_fps, 3),
-        "device_fps": round(device_fps, 2),
-        "device_vs_baseline": round(device_fps / base_fps, 3),
+        "device_fps": merged["device_fps"],
+        "device_vs_baseline": round(merged["device_fps"] / base_fps, 3),
         "oracle_fps": round(base_fps, 2),
         "streams": n_streams,
-        "planner": planner_name,
-        "bitexact": bool(bitexact),
-        "backend": jax.devices()[0].platform,
+        "planner": merged["planner"],
+        "bitexact": merged["bitexact"],
+        "backend": merged["backend"],
     }))
 
 

@@ -223,6 +223,27 @@ class MultiStreamDecoder:
         self._cur ^= 1
         return frames, metas, valid
 
+    def run_pipelined(self):
+        """Generator over steps with host/device overlap (SURVEY.md §2.6).
+
+        While the device executes step k from one ping-pong buffer, a worker
+        thread plans step k+1 into the other (the native planner releases the
+        GIL inside ctypes, so entropy decode genuinely overlaps device
+        dispatch/transfer). Yields (frames, metas, valid) per step.
+        """
+        import concurrent.futures as cf
+
+        with cf.ThreadPoolExecutor(max_workers=1) as ex:
+            if not any(self.active):
+                return
+            fut = ex.submit(self.plan_step)
+            while fut is not None:
+                buf, metas, valid = fut.result()
+                self._cur ^= 1
+                fut = ex.submit(self.plan_step) if any(self.active) else None
+                frames = self.device_step(buf)
+                yield frames, metas, valid
+
 
 def shard_streams(mesh, axis: str = "dp"):
     """NamedSharding placing the stream axis over a mesh axis (others replicated)."""
