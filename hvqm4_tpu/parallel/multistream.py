@@ -14,15 +14,21 @@ slot is refreshed, reference rotation is masked per stream). Finished or
 corrupt streams are masked inactive and decode a trivial plan (SURVEY.md §5
 "fail per-stream without killing the batch").
 
-Host-side cost engineering: the batch plan tensors are *ping-pong
-preallocated* and the native planner writes each stream's slice in place
-(`plan_frame_into`) — no per-frame allocation, no stacking copies. Device
-state buffers are donated to the step so XLA updates them in place.
+Host-side cost engineering:
+- the batch plan tensors live in ONE contiguous host **arena** per ping-pong
+  slot; the native planner writes each stream's field slices in place
+  (`plan_frame_into`) — no per-frame allocation, no stacking copies;
+- each step uploads the arena as a single u8 transfer (one host→device
+  round-trip instead of ~20 — interconnect latency, not bandwidth, dominated
+  the per-field path) and the jitted step bitcasts field views out of it;
+- device state buffers are donated to the step so XLA updates them in place;
+- `run_pipelined` plans step k+1 on a worker thread (the C++ planner releases
+  the GIL) while the device executes step k.
 
-Sharding: `shard_streams` lays the N axis over a mesh's 'dp' axis; state and
-plans follow, so each chip owns N/n_chips streams and no cross-chip
-communication exists on the decode path (the correct answer for this
-workload — SURVEY.md §2.6).
+Sharding: `shard_streams` lays the N axis over a mesh's 'dp' axis; in mesh
+mode plans upload per-field (each field is N-major and shardable), so each
+chip owns N/n_chips streams and no cross-chip communication exists on the
+decode path (the correct answer for this workload — SURVEY.md §2.6).
 """
 
 from __future__ import annotations
@@ -42,6 +48,15 @@ from ..plans import FramePlan, PlanePlan
 
 _PLANE_KEYS = ("meta", "dc", "raw", "desc", "mv", "mv2")
 
+_FIELD_SPECS = (
+    ("meta", np.uint8, ()),
+    ("dc", np.uint8, ()),
+    ("raw", np.uint8, (16,)),
+    ("desc", np.uint32, (MAX_BASES,)),
+    ("mv", np.int16, (2,)),
+    ("mv2", np.int16, (2,)),
+)
+
 
 def stack_plane_plans(plans: list[PlanePlan]) -> dict[str, np.ndarray]:
     """N same-shape PlanePlans → dict of (N, ...) arrays (slow path)."""
@@ -49,30 +64,120 @@ def stack_plane_plans(plans: list[PlanePlan]) -> dict[str, np.ndarray]:
     return {k: np.stack([a[k] for a in arrs]) for k in arrs[0]}
 
 
-def _decode_plane_batched(plans, nest, ref0, ref1):
-    return jax.vmap(device_core.decode_plane_inter)(plans, nest, ref0, ref1)
+# ---------------------------------------------------------------------------
+# Arena layout: one contiguous u8 buffer holding every plan field + step flags
+# ---------------------------------------------------------------------------
 
+@functools.lru_cache(maxsize=None)
+def _arena_entries(cfg: SeqConfig, n: int):
+    """Three dtype-homogeneous arenas (u8 / i16 / u32): one upload each.
 
-@functools.partial(jax.jit, donate_argnums=(1, 5, 6))
-def multi_frame_step(plane_plans: list, nest, new_nest, is_i, is_ref,
-                     ref_prev: list, ref_last: list):
-    """One lock-step decode of N streams.
+    A single mixed-dtype u8 arena would be ideal (one transfer), but
+    reinterpreting it on device — whether via bitcast_convert_type or
+    byte-lane shifts — reliably hangs the TPU compiler at this size, so
+    fields are grouped by dtype instead: plain slices, no reinterpretation,
+    still only 3 h2d round-trips per step.
 
-    plane_plans: [plan_dict(N,...)] for Y,U,V     is_i/is_ref: (N,) bool
-    nest/new_nest: (N, nh, nw) u8                 ref_*: [(N, ph, pw) u8] x3
-    Returns (frames [3], nest', ref_prev', ref_last'). State args are donated.
+    Returns ({dtype_name: [(field_name, plane|-1, shape, elem_off, elems)]},
+             {dtype_name: total_elems}).
     """
+    groups: dict[str, list] = {"u8": [], "i16": [], "u32": []}
+    totals = {"u8": 0, "i16": 0, "u32": 0}
+    keymap = {np.dtype(np.uint8): "u8", np.dtype(np.int16): "i16",
+              np.dtype(np.uint32): "u32"}
+
+    def add(name, pi, dtype, shape):
+        g = keymap[np.dtype(dtype)]
+        elems = int(np.prod(shape))
+        groups[g].append((name, pi, shape, totals[g], elems))
+        totals[g] += elems
+
+    for pi, (bh, bw) in enumerate(cfg.block_grids):
+        for name, dtype, tail in _FIELD_SPECS:
+            add(name, pi, dtype, (n, bh, bw, *tail))
+    nh, nw = cfg.nest_shape
+    add("new_nest", -1, np.uint8, (n, nh, nw))
+    add("is_i", -1, np.uint8, (n,))
+    add("is_ref", -1, np.uint8, (n,))
+    return ({k: tuple(v) for k, v in groups.items()}, totals)
+
+
+_ARENA_DTYPES = {"u8": np.uint8, "i16": np.int16, "u32": np.uint32}
+
+
+def _arena_views(cfg: SeqConfig, n: int, arenas: dict):
+    """Writable numpy views into the arenas: (plane dicts, extras dict)."""
+    groups, _totals = _arena_entries(cfg, n)
+    planes = [dict() for _ in cfg.block_grids]
+    extras = {}
+    for g, entries in groups.items():
+        for name, pi, shape, off, elems in entries:
+            view = arenas[g][off:off + elems].reshape(shape)
+            if pi >= 0:
+                planes[pi][name] = view
+            else:
+                extras[name] = view
+    return planes, extras
+
+
+def _unpack_arena(cfg: SeqConfig, n: int, arenas: dict):
+    """In-jit: typed arenas → (plane plan dicts, new_nest, is_i, is_ref)."""
+    groups, _totals = _arena_entries(cfg, n)
+    planes = [dict() for _ in cfg.block_grids]
+    extras = {}
+    for g, entries in groups.items():
+        for name, pi, shape, off, elems in entries:
+            arr = jax.lax.slice(arenas[g], (off,), (off + elems,)).reshape(shape)
+            if pi >= 0:
+                planes[pi][name] = arr
+            else:
+                extras[name] = arr
+    return planes, extras["new_nest"], extras["is_i"] != 0, extras["is_ref"] != 0
+
+
+# ---------------------------------------------------------------------------
+# The decode step
+# ---------------------------------------------------------------------------
+
+def _step_body(plane_plans: list, nest, new_nest, is_i, is_ref,
+               ref_prev: list, ref_last: list):
     nest = jnp.where(is_i[:, None, None], new_nest, nest)
     frames = []
     for pi, plans in enumerate(plane_plans):
-        frames.append(_decode_plane_batched(plans, nest,
-                                            ref_prev[pi], ref_last[pi]))
+        frames.append(jax.vmap(device_core.decode_plane_inter)(
+            plans, nest, ref_prev[pi], ref_last[pi]))
     m = is_ref
     new_prev = [jnp.where(m[:, None, None], ref_last[pi], ref_prev[pi])
                 for pi in range(3)]
     new_last = [jnp.where(m[:, None, None], frames[pi], ref_last[pi])
                 for pi in range(3)]
     return frames, nest, new_prev, new_last
+
+
+@functools.partial(jax.jit, donate_argnums=(1, 5, 6))
+def multi_frame_step(plane_plans: list, nest, new_nest, is_i, is_ref,
+                     ref_prev: list, ref_last: list):
+    """One lock-step decode of N streams (reference form; per-field inputs).
+
+    plane_plans: [plan_dict(N,...)] for Y,U,V     is_i/is_ref: (N,) bool
+    nest/new_nest: (N, nh, nw) u8                 ref_*: [(N, ph, pw) u8] x3
+    Returns (frames [3], nest', ref_prev', ref_last'). State args are donated.
+    """
+    return _step_body(plane_plans, nest, new_nest, is_i, is_ref,
+                      ref_prev, ref_last)
+
+
+@functools.lru_cache(maxsize=None)
+def _arena_step(cfg: SeqConfig, n: int):
+    """Jitted production step: (arena u8, nest, ref_prev, ref_last) → ..."""
+
+    @functools.partial(jax.jit, donate_argnums=(1, 2, 3))
+    def step(arenas, nest, ref_prev, ref_last):
+        plane_plans, new_nest, is_i, is_ref = _unpack_arena(cfg, n, arenas)
+        return _step_body(plane_plans, nest, new_nest, is_i, is_ref,
+                          ref_prev, ref_last)
+
+    return step
 
 
 @dataclasses.dataclass
@@ -113,33 +218,20 @@ class MultiStreamDecoder:
                          for h, w in cfg.plane_shapes]
         self.ref_last = [dev(np.zeros((self.n, h, w), np.uint8))
                          for h, w in cfg.plane_shapes]
-        # ping-pong host batch buffers (avoid racing an in-flight transfer)
-        self._bufs = [self._alloc_batch(), self._alloc_batch()]
+        # ping-pong host arenas (avoid racing an in-flight transfer)
+        _groups, totals = _arena_entries(cfg, self.n)
+        self._bufs = []
+        for _ in range(2):
+            arenas = {g: np.zeros(t, _ARENA_DTYPES[g])
+                      for g, t in totals.items()}
+            planes, extras = _arena_views(cfg, self.n, arenas)
+            self._bufs.append({"arenas": arenas, "planes": planes, **extras})
         self._cur = 0
+        self._step_fn = _arena_step(cfg, self.n)
 
     def _put(self, x):
         return (jax.device_put(x, self.sharding)
                 if self.sharding is not None else jnp.asarray(x))
-
-    def _alloc_batch(self):
-        n = self.n
-        nh, nw = self.cfg.nest_shape
-        planes = []
-        for bh, bw in self.cfg.block_grids:
-            planes.append({
-                "meta": np.zeros((n, bh, bw), np.uint8),
-                "dc": np.full((n, bh, bw), 128, np.uint8),
-                "raw": np.zeros((n, bh, bw, 16), np.uint8),
-                "desc": np.zeros((n, bh, bw, MAX_BASES), np.uint32),
-                "mv": np.zeros((n, bh, bw, 2), np.int16),
-                "mv2": np.zeros((n, bh, bw, 2), np.int16),
-            })
-        return {
-            "planes": planes,
-            "new_nest": np.zeros((n, nh, nw), np.uint8),
-            "is_i": np.zeros((n,), bool),
-            "is_ref": np.zeros((n,), bool),
-        }
 
     @property
     def active(self) -> list[bool]:
@@ -153,8 +245,8 @@ class MultiStreamDecoder:
         for pp in buf["planes"]:
             pp["meta"][si] = 0
             pp["dc"][si] = 128
-        buf["is_i"][si] = False
-        buf["is_ref"][si] = False
+        buf["is_i"][si] = 0
+        buf["is_ref"][si] = 0
 
     def plan_step(self):
         """Plan the next frame of every stream into the current batch buffers.
@@ -179,8 +271,8 @@ class MultiStreamDecoder:
                 metas.append(None)
                 valid.append(False)
                 continue
-            buf["is_i"][si] = fchar == "I"
-            buf["is_ref"][si] = fchar in ("I", "P")
+            buf["is_i"][si] = 1 if fchar == "I" else 0
+            buf["is_ref"][si] = 1 if fchar in ("I", "P") else 0
             metas.append(meta)
             valid.append(True)
         return buf, metas, valid
@@ -205,12 +297,19 @@ class MultiStreamDecoder:
 
     def device_step(self, buf):
         """Batched decode of one planned step + state rotation."""
+        if self.sharding is None:
+            # production path: 3 typed-arena uploads (vs ~20 per-field ones)
+            arenas = {g: jnp.asarray(a) for g, a in buf["arenas"].items()}
+            frames, self.nest, self.ref_prev, self.ref_last = self._step_fn(
+                arenas, self.nest, self.ref_prev, self.ref_last)
+            return frames
+        # mesh path: per-field uploads (each field is N-major and shardable)
         put = self._put
-        plane_plans = [{k: put(v) for k, v in pp.items()}
+        plane_plans = [{k: put(np.ascontiguousarray(v)) for k, v in pp.items()}
                        for pp in buf["planes"]]
         frames, self.nest, self.ref_prev, self.ref_last = multi_frame_step(
-            plane_plans, self.nest, put(buf["new_nest"]),
-            put(buf["is_i"]), put(buf["is_ref"]),
+            plane_plans, self.nest, put(np.ascontiguousarray(buf["new_nest"])),
+            put(buf["is_i"] != 0), put(buf["is_ref"] != 0),
             self.ref_prev, self.ref_last)
         return frames
 
@@ -226,7 +325,7 @@ class MultiStreamDecoder:
     def run_pipelined(self):
         """Generator over steps with host/device overlap (SURVEY.md §2.6).
 
-        While the device executes step k from one ping-pong buffer, a worker
+        While the device executes step k from one ping-pong arena, a worker
         thread plans step k+1 into the other (the native planner releases the
         GIL inside ctypes, so entropy decode genuinely overlaps device
         dispatch/transfer). Yields (frames, metas, valid) per step.
