@@ -120,7 +120,9 @@ def phase_device(n_streams: int) -> dict:
     all_bufs = []
     while any(ms.active):
         buf, _metas, _valid = ms.plan_step()
-        all_bufs.append(copy.deepcopy(buf))
+        # snapshot only the upload payload (prepared ctypes blocks are not
+        # copyable and device_step needs just the arenas)
+        all_bufs.append({"arenas": copy.deepcopy(buf["arenas"])})
         ms._cur ^= 1
     ms2 = make_ms()
     jax.block_until_ready(ms2.device_step(all_bufs[0]))  # warm

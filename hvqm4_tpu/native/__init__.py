@@ -58,7 +58,8 @@ def _build() -> pathlib.Path:
     if _LIB.exists() and _LIB.stat().st_mtime >= _SRC.stat().st_mtime:
         return _LIB
     subprocess.run(
-        ["g++", "-std=c++17", "-O3", "-fPIC", "-shared", "-Wall", "-Wextra",
+        ["g++", "-std=c++17", "-O3", "-march=native", "-fPIC", "-shared",
+         "-Wall", "-Wextra",
          "-o", str(_LIB), str(_SRC)],
         check=True, capture_output=True, text=True)
     return _LIB
@@ -170,3 +171,26 @@ class NativePlanner:
         fout = self._call(ftype, payload, plane_views, nest_view)
         return {"display_id": int(fout.display_id),
                 "dc_shift": int(fout.dc_shift)}
+
+    # -- prepared-call fast path (hot loop: one ctypes call, zero setup) ------
+
+    def prepare(self, plane_views: list[dict], nest_view: np.ndarray):
+        """Pre-build the ctypes argument block for a stable set of output
+        views (e.g. one stream's slice of the multi-stream arenas)."""
+        pouts = (_PlaneOut * 3)()
+        for i, d in enumerate(plane_views):
+            pouts[i] = _PlaneOut(**{k: _ptr(d[k]) for k in PLANE_KEYS})
+        fout = _FrameOut(nest=_ptr(nest_view))
+        err = ctypes.create_string_buffer(256)
+        return (pouts, fout, err)
+
+    def plan_frame_prepared(self, ftype: str, payload: bytes, prep) -> int:
+        """Plan into a prepared argument block; returns display_id."""
+        pouts, fout, err = prep
+        rc = self._lib.hvqm4_plan_frame(
+            payload, len(payload), _FTYPE_CODE[ftype],
+            self.cfg.width, self.cfg.height, self.cfg.h_samp, self.cfg.v_samp,
+            pouts, ctypes.byref(fout), err, len(err))
+        if rc != 0:
+            raise PlannerError(err.value.decode(errors="replace"))
+        return int(fout.display_id)

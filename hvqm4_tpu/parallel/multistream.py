@@ -225,7 +225,18 @@ class MultiStreamDecoder:
             arenas = {g: np.zeros(t, _ARENA_DTYPES[g])
                       for g, t in totals.items()}
             planes, extras = _arena_views(cfg, self.n, arenas)
-            self._bufs.append({"arenas": arenas, "planes": planes, **extras})
+            buf = {"arenas": arenas, "planes": planes, **extras}
+            # per-stream view dicts are stable: precompute once so the
+            # planning hot loop is a bare ctypes call (GIL-released C++)
+            buf["stream_views"] = [
+                ([{k: pp[k][si] for k in _PLANE_KEYS} for pp in planes],
+                 extras["new_nest"][si])
+                for si in range(self.n)]
+            if hasattr(self.planner, "prepare"):
+                buf["prepared"] = [
+                    self.planner.prepare(v, nv)
+                    for v, nv in buf["stream_views"]]
+            self._bufs.append(buf)
         self._cur = 0
         self._step_fn = _arena_step(cfg, self.n)
 
@@ -278,11 +289,14 @@ class MultiStreamDecoder:
         return buf, metas, valid
 
     def _plan_into(self, buf, si: int, fchar: str, payload: bytes) -> FrameMeta:
+        if "prepared" in buf:
+            disp = self.planner.plan_frame_prepared(fchar, payload,
+                                                    buf["prepared"][si])
+            return FrameMeta(fchar, disp)
         if self._use_into:
-            views = [{k: pp[k][si] for k in _PLANE_KEYS}
-                     for pp in buf["planes"]]
+            views, nest_view = buf["stream_views"][si]
             meta = self.planner.plan_frame_into(fchar, payload, views,
-                                                buf["new_nest"][si])
+                                                nest_view)
             return FrameMeta(fchar, meta["display_id"])
         plan: FramePlan = self.planner.plan_frame(fchar, payload)
         for pp, p in zip(buf["planes"], plan.planes):
