@@ -51,7 +51,10 @@ def cmd_decode(args) -> int:
     sess = DecoderSession(cfg, backend=args.backend, profile=args.profile)
     out = open(args.output, "wb") if args.output else None
     n = 0
-    for frame in sess.decode_clip(data, start_block=args.start_block):
+    it = (sess.decode_clip_display_order(data, start_block=args.start_block)
+          if args.display_order else
+          sess.decode_clip(data, start_block=args.start_block))
+    for frame in it:
         if out:
             out.write(frame.yuv_bytes())
         if args.ppm:
@@ -130,6 +133,8 @@ def main(argv=None) -> int:
     p.add_argument("--backend", default="jax", choices=["jax", "numpy"])
     p.add_argument("--ppm", help="also dump RGB .ppm frames into DIR")
     p.add_argument("--start-block", type=int, default=0)
+    p.add_argument("--display-order", action="store_true",
+                   help="emit frames in presentation order (default: decode order)")
     p.add_argument("--profile", action="store_true")
     p.set_defaults(fn=cmd_decode)
 

@@ -139,7 +139,11 @@ class DecoderSession:
         return self.decode_plan(plan)
 
     def decode_clip(self, data: bytes, start_block: int = 0) -> Iterator[DecodedFrame]:
-        """Decode a whole `.h4m` file (optionally seeking to a GOP block)."""
+        """Decode a whole `.h4m` file (optionally seeking to a GOP block).
+
+        Frames are yielded in *decode order* (the conformance surface, same
+        as the C oracle's output). Use `decode_clip_display_order` for
+        presentation order."""
         demux = Demuxer(data)
         if demux.info.cfg != self.cfg:
             raise ValueError("clip parameters do not match session config")
@@ -148,6 +152,27 @@ class DecoderSession:
             for rec in demux.block_records(b):
                 if rec.media_type == MEDIA_VIDEO:
                     yield self.decode_record(rec)
+
+    def decode_clip_display_order(self, data: bytes,
+                                  start_block: int = 0) -> Iterator[DecodedFrame]:
+        """Decode and yield frames in *display* order.
+
+        The reference's `main` handles presentation reordering by rotating
+        past/present/future buffers (SURVEY.md §3.4); here a small pending map
+        holds each anchor until the B-frames displayed before it have decoded
+        (bounded by the GOP's B-run length — frames stay on device).
+        """
+        pending: dict[int, DecodedFrame] = {}
+        next_disp: int | None = None
+        for frame in self.decode_clip(data, start_block=start_block):
+            if next_disp is None:
+                next_disp = frame.display_id  # seek: start at first decoded id
+            pending[frame.display_id] = frame
+            while next_disp in pending:
+                yield pending.pop(next_disp)
+                next_disp += 1
+        for disp in sorted(pending):  # trailing anchors
+            yield pending.pop(disp)
 
 
 # ---------------------------------------------------------------------------

@@ -58,10 +58,9 @@ def test_native_speedup():
     t0 = time.perf_counter()
     for r in recs:
         nat.plan_frame(r.frame_char, r.payload)
-    t_nat = time.perf_counter() - t0
+    t_nat_per_frame = (time.perf_counter() - t0) / len(recs)
     t0 = time.perf_counter()
     py.plan_frame(recs[0].frame_char, recs[0].payload)
-    t_py = time.perf_counter() - t0
-    speedup = (t_py / len(recs)) / (t_nat / len(recs) / len(recs))
+    t_py_per_frame = time.perf_counter() - t0
     # conservative bound; typical is >100x
-    assert t_nat / len(recs) < t_py / 5, (t_nat, t_py)
+    assert t_nat_per_frame < t_py_per_frame / 5, (t_nat_per_frame, t_py_per_frame)
