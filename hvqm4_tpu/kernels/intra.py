@@ -47,7 +47,7 @@ TILE_N = 2048
 
 
 def _kernel(samples_ref, raw_ref, dcn_ref, meta_ref, boff_ref, bscale_ref,
-            out_ref):
+            out_ref, acc_ref):
     mode = meta_ref[0:1, :]
     count = meta_ref[1:2, :]
     dc = dcn_ref[0:1, :]
@@ -79,6 +79,7 @@ def _kernel(samples_ref, raw_ref, dcn_ref, meta_ref, boff_ref, bscale_ref,
 
     px = jnp.where(mode == 0, wpx, jnp.where(mode == 6, raw_ref[:], apx))
     out_ref[:] = jnp.clip(px, 0, 255)
+    acc_ref[:] = acc  # inter blocks reuse the residual accumulator
 
 
 def _pad_lanes(x, n_pad):
@@ -137,13 +138,20 @@ def intra_synth_pallas(plan, nest, interpret: bool = False):
         return pl.BlockSpec((rows, tile), lambda j: (0, j),
                             memory_space=pltpu.VMEM)
 
-    out = pl.pallas_call(
+    out, acc = pl.pallas_call(
         _kernel,
-        out_shape=jax.ShapeDtypeStruct((16, n_pad), jnp.int32),
+        out_shape=(jax.ShapeDtypeStruct((16, n_pad), jnp.int32),
+                   jax.ShapeDtypeStruct((16, n_pad), jnp.int32)),
         grid=grid,
         in_specs=[spec(64), spec(16), spec(5), spec(3), spec(4), spec(4)],
-        out_specs=spec(16),
+        out_specs=(spec(16), spec(16)),
         interpret=interpret,
     )(*args)
 
-    return out[:, :n].T.reshape(bh, bw, 4, 4)
+    return (out[:, :n].T.reshape(bh, bw, 4, 4),
+            acc[:, :n].T.reshape(bh, bw, 4, 4))
+
+
+def intra_synth_pallas_px(plan, nest, interpret: bool = False):
+    """Pixels only (test convenience)."""
+    return intra_synth_pallas(plan, nest, interpret=interpret)[0]

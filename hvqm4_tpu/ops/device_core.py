@@ -19,6 +19,7 @@ module is the always-correct XLA reference path and the default.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -133,7 +134,20 @@ def aot_acc(plan, nest, count):
     return jnp.sum(terms * mask[:, :, :, None, None], axis=2)
 
 
+# Pallas kernel routing, fixed at import: "off" (XLA, default), "on"
+# (compiled Pallas kernels), or "interpret" (Pallas interpreter — CI /
+# non-TPU backends). Import-time because the choice must be stable across
+# jit traces. NOTE: this environment's TPU tunnel cannot compile Mosaic
+# kernels (see .claude/skills/verify), so "on" is for real TPU-VMs.
+_PALLAS_MODE = os.environ.get("HVQM4_PALLAS", "off")
+
+
 def _intra_pixels(plan, nest):
+    if _PALLAS_MODE != "off":
+        from ..kernels.intra import intra_synth_pallas
+
+        return intra_synth_pallas(plan, nest,
+                                  interpret=_PALLAS_MODE == "interpret")
     bh, bw = plan["meta"].shape
     cls_, _refsel, mode = unpack_meta(plan["meta"])
     count = jnp.where((cls_ == 0) & (mode >= 1) & (mode <= 4), mode, 0)

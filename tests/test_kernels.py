@@ -29,9 +29,10 @@ def test_intra_synth_pallas_matches_xla(bh, bw):
     rng = np.random.default_rng(3)
     plan = _plan(rng, bh, bw)
     nest = jnp.asarray(rng.integers(0, 256, (38, 70), dtype=np.uint8))
-    ref, _ = dc._intra_pixels(plan, nest)
-    got = intra_synth_pallas(plan, nest, interpret=True)
-    assert jnp.array_equal(jnp.clip(ref, 0, 255), got)
+    ref_px, ref_acc = dc._intra_pixels(plan, nest)
+    got_px, got_acc = intra_synth_pallas(plan, nest, interpret=True)
+    assert jnp.array_equal(jnp.clip(ref_px, 0, 255), got_px)
+    assert jnp.array_equal(ref_acc, got_acc)
 
 
 def test_intra_synth_pallas_portrait_nest():
@@ -40,6 +41,7 @@ def test_intra_synth_pallas_portrait_nest():
     rng = np.random.default_rng(4)
     plan = _plan(rng, 16, 12)
     nest = jnp.asarray(rng.integers(0, 256, (70, 38), dtype=np.uint8))
-    ref, _ = dc._intra_pixels(plan, nest)
-    got = intra_synth_pallas(plan, nest, interpret=True)
-    assert jnp.array_equal(jnp.clip(ref, 0, 255), got)
+    ref_px, ref_acc = dc._intra_pixels(plan, nest)
+    got_px, got_acc = intra_synth_pallas(plan, nest, interpret=True)
+    assert jnp.array_equal(jnp.clip(ref_px, 0, 255), got_px)
+    assert jnp.array_equal(ref_acc, got_acc)
