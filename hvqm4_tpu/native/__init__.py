@@ -59,7 +59,7 @@ def _build() -> pathlib.Path:
         return _LIB
     subprocess.run(
         ["g++", "-std=c++17", "-O3", "-march=native", "-fPIC", "-shared",
-         "-Wall", "-Wextra",
+         "-Wall", "-Wextra", "-pthread",
          "-o", str(_LIB), str(_SRC)],
         check=True, capture_output=True, text=True)
     return _LIB

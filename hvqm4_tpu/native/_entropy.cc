@@ -26,7 +26,10 @@
 // poisoning contract of SURVEY.md §5).
 
 #include <array>
+#include <atomic>
 #include <cstdint>
+#include <cstdlib>
+#include <thread>
 #include <cstring>
 #include <stdexcept>
 #include <vector>
@@ -193,14 +196,22 @@ struct MBInfo {
 
 constexpr int MB_COPY = 0, MB_INTRA = 1, MB_INTER = 2;
 
-struct Planner {
+struct Geometry {
     int width, height, h_samp, v_samp;
     int pw[3], ph[3], bw[3], bh[3], mh, mw, nest_h, nest_w;
+};
+
+// One slice's decode context (the whole frame is one slice when unsliced);
+// writes disjoint block rows of the shared outputs, so slices can run on
+// separate threads (FORMAT.md Â§9).
+struct SliceDec {
+    const Geometry* g;
     int ftype;  // 0=I 1=P 2=B
+    int ms0, ms1;  // MB-row range [ms0, ms1)
     Huff bn, dch, mvh;
     BitReader aux, mbt;
     int bn_zero_run = 0;
-    std::vector<MBInfo> mbs;
+    MBInfo* mbs;  // shared, row-disjoint
 
     inline int basisnum() {
         if (bn_zero_run) {
@@ -216,47 +227,52 @@ struct Planner {
         return s;
     }
 
-    void mb_layer() {
-        mbs.assign((size_t)mh * mw, MBInfo{});
-        int32_t px = 0, py = 0;
-        for (auto& mb : mbs) {
-            unsigned t = mbt.bits(2);
-            if (t == 3) throw Error("mbtype 3 invalid");
-            mb.type = (uint8_t)t;
-            if (t == MB_COPY) {
-                mb.refsel = (ftype == 1) ? 1 : 0;
-            } else if (t == MB_INTER) {
-                if (ftype == 2) {
-                    unsigned rs = mbt.bits(2);
-                    if (rs == 3) throw Error("refsel 3 invalid");
-                    mb.refsel = (uint8_t)rs;
-                } else {
-                    mb.refsel = 1;
-                }
-                px += mvh.delta();
-                py += mvh.delta();
-                mb.mvx = px;
-                mb.mvy = py;
-                if (ftype == 2 && mb.refsel == 2) {
+    void mb_rows() {
+        int32_t px = 0, py = 0;  // MV chain resets per slice
+        for (int my = ms0; my < ms1; my++) {
+            for (int mx = 0; mx < g->mw; mx++) {
+                MBInfo& mb = mbs[(size_t)my * g->mw + mx];
+                mb = MBInfo{};
+                unsigned t = mbt.bits(2);
+                if (t == 3) throw Error("mbtype 3 invalid");
+                mb.type = (uint8_t)t;
+                if (t == MB_COPY) {
+                    mb.refsel = (ftype == 1) ? 1 : 0;
+                } else if (t == MB_INTER) {
+                    if (ftype == 2) {
+                        unsigned rs = mbt.bits(2);
+                        if (rs == 3) throw Error("refsel 3 invalid");
+                        mb.refsel = (uint8_t)rs;
+                    } else {
+                        mb.refsel = 1;
+                    }
                     px += mvh.delta();
                     py += mvh.delta();
-                    mb.mv2x = px;
-                    mb.mv2y = py;
+                    mb.mvx = px;
+                    mb.mvy = py;
+                    if (ftype == 2 && mb.refsel == 2) {
+                        px += mvh.delta();
+                        py += mvh.delta();
+                        mb.mv2x = px;
+                        mb.mv2y = py;
+                    }
                 }
             }
         }
     }
 
     void plane(int pi, int dc_shift, PlaneOut& p) {
-        const int W = bw[pi], H = bh[pi];
-        const bool chroma_mb = (pi > 0 && h_samp == 2);
+        const int W = g->bw[pi];
+        const bool chroma_mb = (pi > 0 && g->h_samp == 2);
         const int shift_idx = chroma_mb ? 0 : 1;
         const int mv_shift = chroma_mb ? 1 : 0;
+        const int rpm = chroma_mb ? 1 : 2;  // block rows per MB row
+        const int row0 = ms0 * rpm, row1 = ms1 * rpm;
         uint8_t* dcg = p.dc;  // the output DC grid doubles as the
                               // prediction scratch (it IS the effective grid)
-        for (int by = 0; by < H; by++) {
+        for (int by = row0; by < row1; by++) {
             const MBInfo* mbrow =
-                (ftype != 0) ? &mbs[(size_t)(by >> shift_idx) * mw] : nullptr;
+                (ftype != 0) ? &mbs[(size_t)(by >> shift_idx) * g->mw] : nullptr;
             for (int bx = 0; bx < W; bx++) {
                 const size_t bi = (size_t)by * W + bx;
                 const MBInfo* mb = mbrow ? &mbrow[bx >> shift_idx] : nullptr;
@@ -269,9 +285,9 @@ struct Planner {
                             p.raw[bi * 16 + i] = (uint8_t)aux.bits(8);
                         p.dc[bi] = dcg[bi] = 128;
                     } else {
-                        int pred = bx > 0   ? dcg[bi - 1]
-                                   : by > 0 ? dcg[bi - W]
-                                            : 128;
+                        int pred = bx > 0        ? dcg[bi - 1]
+                                   : by > row0   ? dcg[bi - W]
+                                                 : 128;
                         int32_t v = dch.delta();
                         p.dc[bi] = dcg[bi] = (uint8_t)(
                             (uint32_t)(pred + v * (1 << dc_shift)) & 0xFF);
@@ -314,22 +330,21 @@ extern "C" int hvqm4_plan_frame(const uint8_t* payload, size_t n, int ftype,
                                 PlaneOut* planes /* [3] */, FrameOut* fout,
                                 char* err_buf, size_t err_len) {
     try {
-        Planner pl;
-        pl.width = width;
-        pl.height = height;
-        pl.h_samp = h_samp;
-        pl.v_samp = v_samp;
-        pl.ftype = ftype;
+        Geometry g;
+        g.width = width;
+        g.height = height;
+        g.h_samp = h_samp;
+        g.v_samp = v_samp;
         for (int p = 0; p < 3; p++) {
-            pl.pw[p] = p ? width / h_samp : width;
-            pl.ph[p] = p ? height / v_samp : height;
-            pl.bw[p] = pl.pw[p] / 4;
-            pl.bh[p] = pl.ph[p] / 4;
+            g.pw[p] = p ? width / h_samp : width;
+            g.ph[p] = p ? height / v_samp : height;
+            g.bw[p] = g.pw[p] / 4;
+            g.bh[p] = g.ph[p] / 4;
         }
-        pl.mh = height / 8;
-        pl.mw = width / 8;
-        pl.nest_h = width >= height ? 38 : 70;
-        pl.nest_w = width >= height ? 70 : 38;
+        g.mh = height / 8;
+        g.mw = width / 8;
+        g.nest_h = width >= height ? 38 : 70;
+        g.nest_w = width >= height ? 70 : 38;
 
         constexpr size_t FRAME_HDR = 12 + 4 * 6;
         if (n < FRAME_HDR) throw Error("payload shorter than frame header");
@@ -337,34 +352,107 @@ extern "C" int hvqm4_plan_frame(const uint8_t* payload, size_t n, int ftype,
         fout->nest_x = rd16(payload + 4);
         fout->nest_y = rd16(payload + 6);
         fout->dc_shift = payload[8];
+        const int S = payload[9] > 1 ? payload[9] : 1;
         if (fout->dc_shift > 7) throw Error("dc_shift out of range");
+        if (S > g.mh) throw Error("slice count exceeds MB rows");
+
+        size_t off = FRAME_HDR;
+        const uint8_t* seg = nullptr;  // 6 x S u32 sub-table (FORMAT.md §9)
+        if (S > 1) {
+            size_t sub = 4u * 6 * (size_t)S;
+            if (off + sub > n) throw Error("truncated slice sub-table");
+            seg = payload + off;
+            off += sub;
+        }
         const uint8_t* sp[6];
-        size_t sn[6], off = FRAME_HDR;
+        size_t sn[6];
         for (int i = 0; i < 6; i++) {
             sn[i] = rd32(payload + 12 + 4 * i);
             if (off + sn[i] > n) throw Error("stream overruns payload");
             sp[i] = payload + off;
             off += sn[i];
+            if (seg) {
+                size_t tot = 0;
+                for (int sl = 0; sl < S; sl++)
+                    tot += rd32(seg + 4 * (i * S + sl));
+                if (tot != sn[i])
+                    throw Error("slice segments do not sum to stream size");
+            }
         }
         if (off != n) throw Error("trailing bytes after streams");
 
-        pl.bn.init(sp[0], sn[0]);
-        pl.dch.init(sp[1], sn[1]);
-        pl.aux.init(sp[2], sn[2]);
-        pl.mbt.init(sp[3], sn[3]);
-        pl.mvh.init(sp[4], sn[4]);
+        std::vector<MBInfo> mbs;
+        if (ftype != 0) mbs.resize((size_t)g.mh * g.mw);
 
-        if (ftype != 0) pl.mb_layer();
-        for (int pi = 0; pi < 3; pi++)
-            pl.plane(pi, (int)fout->dc_shift, planes[pi]);
+        std::vector<SliceDec> slices(S);
+        for (int sl = 0; sl < S; sl++) {
+            SliceDec& d = slices[sl];
+            d.g = &g;
+            d.ftype = ftype;
+            d.ms0 = sl * g.mh / S;
+            d.ms1 = (sl + 1) * g.mh / S;
+            d.mbs = mbs.data();
+            const uint8_t* sd[6];
+            size_t sl_len[6];
+            for (int k = 0; k < 6; k++) {
+                if (seg) {
+                    size_t start = 0;
+                    for (int i = 0; i < sl; i++)
+                        start += rd32(seg + 4 * (k * S + i));
+                    sd[k] = sp[k] + start;
+                    sl_len[k] = rd32(seg + 4 * (k * S + sl));
+                } else {
+                    sd[k] = sp[k];
+                    sl_len[k] = sn[k];
+                }
+            }
+            d.bn.init(sd[0], sl_len[0]);
+            d.dch.init(sd[1], sl_len[1]);
+            d.aux.init(sd[2], sl_len[2]);
+            d.mbt.init(sd[3], sl_len[3]);
+            d.mvh.init(sd[4], sl_len[4]);
+        }
+
+        const int dc_shift = (int)fout->dc_shift;
+        auto run_slice = [&](SliceDec& d) {
+            if (d.ftype != 0) d.mb_rows();
+            for (int pi = 0; pi < 3; pi++) d.plane(pi, dc_shift, planes[pi]);
+        };
+
+        const char* tenv = std::getenv("HVQM4_PLANNER_THREADS");
+        int want = tenv ? std::atoi(tenv) : 1;
+        int n_threads = std::min<int>(S, std::max(want, 1));
+        if (n_threads > 1) {
+            // slices write disjoint block rows; errors collected per thread
+            std::vector<std::string> errs(S);
+            std::vector<std::thread> pool;
+            std::atomic<int> next{0};
+            for (int t = 0; t < n_threads; t++) {
+                pool.emplace_back([&]() {
+                    int sl;
+                    while ((sl = next.fetch_add(1)) < S) {
+                        try {
+                            run_slice(slices[sl]);
+                        } catch (const std::exception& e) {
+                            errs[sl] = e.what();
+                        }
+                    }
+                });
+            }
+            for (auto& th : pool) th.join();
+            for (auto& e : errs)
+                if (!e.empty()) throw Error(e);
+        } else {
+            for (auto& d : slices) run_slice(d);
+        }
 
         if (ftype == 0) {  // nest from luma DC grid (FORMAT.md §6.1)
-            const int BW = pl.bw[0], BH = pl.bh[0];
-            for (int y = 0; y < pl.nest_h; y++) {
+            const int BW = g.bw[0], BH = g.bh[0];
+            for (int y = 0; y < g.nest_h; y++) {
                 int ry = (int)((fout->nest_y + y) % BH);
-                for (int x = 0; x < pl.nest_w; x++) {
+                for (int x = 0; x < g.nest_w; x++) {
                     int rx = (int)((fout->nest_x + x) % BW);
-                    fout->nest[y * pl.nest_w + x] =
+                    fout->nest[y * g.nest_w + x] =
                         planes[0].dc[(size_t)ry * BW + rx];
                 }
             }

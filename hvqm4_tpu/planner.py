@@ -86,47 +86,83 @@ class Planner:
     def plan_frame(self, ftype: str, payload: bytes) -> FramePlan:
         try:
             return self._plan(ftype, payload)
-        except (EOFError, IndexError, struct.error) as e:
+        except PlannerError:
+            raise
+        except (EOFError, IndexError, ValueError, struct.error) as e:
+            # ValueError covers bitio-level rejections (e.g. tree too deep)
             raise PlannerError(f"truncated/corrupt frame payload: {e}") from None
 
     # -- internals ------------------------------------------------------------
 
     def _plan(self, ftype: str, payload: bytes) -> FramePlan:
         cfg = self.cfg
+        if ftype not in ("I", "P", "B"):
+            raise PlannerError(f"bad frame type {ftype!r}")
         if len(payload) < FRAME_HEADER_SIZE:
             raise PlannerError("payload shorter than frame header")
-        display_id, nest_x, nest_y, dc_shift, _r1, _r2 = struct.unpack_from(
+        display_id, nest_x, nest_y, dc_shift, n_slices, _r2 = struct.unpack_from(
             ">IHHBBH", payload, 0)
         sizes = struct.unpack_from(f">{N_STREAMS}I", payload, 12)
         if dc_shift > 7:
             raise PlannerError(f"dc_shift {dc_shift} out of range")
+        mh, _mw = cfg.mb_grid
+        S = max(n_slices, 1)
+        if S > mh:
+            raise PlannerError(f"slice count {S} exceeds MB rows {mh}")
         off = FRAME_HEADER_SIZE
+        seg_sizes = None
+        if n_slices >= 2:  # sliced layout (FORMAT.md §9): 6 x S sub-table
+            sub_len = 4 * N_STREAMS * S
+            if off + sub_len > len(payload):
+                raise PlannerError("truncated slice sub-table")
+            seg_sizes = [struct.unpack_from(f">{S}I", payload,
+                                            off + 4 * S * k)
+                         for k in range(N_STREAMS)]
+            off += sub_len
         streams = []
-        for sz in sizes:
+        for k, sz in enumerate(sizes):
             if off + sz > len(payload):
                 raise PlannerError("stream overruns payload")
+            if seg_sizes is not None and sum(seg_sizes[k]) != sz:
+                raise PlannerError("slice segments do not sum to stream size")
             streams.append(payload[off:off + sz])
             off += sz
         if off != len(payload):
             raise PlannerError("trailing bytes after streams")
 
-        bn = _BasisNumSource(HuffReader(streams[STREAM_BASISNUM]))
-        dch = HuffReader(streams[STREAM_DC])
-        aux = BitReader(streams[STREAM_AUX])
-        mbt = BitReader(streams[STREAM_MBTYPE])
-        mvh = HuffReader(streams[STREAM_MV])
+        def slice_streams(s: int) -> list[bytes]:
+            if seg_sizes is None:
+                return streams
+            out = []
+            for k in range(N_STREAMS):
+                start = sum(seg_sizes[k][:s])
+                out.append(streams[k][start:start + seg_sizes[k][s]])
+            return out
 
-        mb_map = mv_map = mv2_map = ref_map = None
-        if ftype in ("P", "B"):
-            mb_map, mv_map, mv2_map, ref_map = self._mb_layer(ftype, mbt, mvh)
-        elif ftype != "I":
-            raise PlannerError(f"bad frame type {ftype!r}")
+        planes = [PlanePlan.zeros(bh, bw) for bh, bw in cfg.block_grids]
+        mb_map = np.zeros(cfg.mb_grid, np.uint8)
+        mv_map = np.zeros((*cfg.mb_grid, 2), np.int32)
+        mv2_map = np.zeros((*cfg.mb_grid, 2), np.int32)
+        ref_map = np.zeros(cfg.mb_grid, np.uint8)
 
-        planes = []
-        for pi, (bh, bw) in enumerate(cfg.block_grids):
-            planes.append(self._plane(
-                pi, bh, bw, ftype, dc_shift, bn, dch, aux,
-                mb_map, mv_map, mv2_map, ref_map))
+        for s in range(S):
+            segs = slice_streams(s)
+            bn = _BasisNumSource(HuffReader(segs[STREAM_BASISNUM]))
+            dch = HuffReader(segs[STREAM_DC])
+            aux = BitReader(segs[STREAM_AUX])
+            mbt = BitReader(segs[STREAM_MBTYPE])
+            mvh = HuffReader(segs[STREAM_MV])
+            ms0, ms1 = s * mh // S, (s + 1) * mh // S
+            if ftype in ("P", "B"):
+                self._mb_rows(ftype, mbt, mvh, mb_map, mv_map, mv2_map,
+                              ref_map, ms0, ms1)
+            for pi, (bh, bw) in enumerate(cfg.block_grids):
+                chroma = pi > 0
+                rows_per_mb = 1 if (chroma and cfg.h_samp == 2) else 2
+                self._plane_rows(
+                    planes[pi], pi, bw, ftype, dc_shift, bn, dch, aux,
+                    mb_map, mv_map, mv2_map, ref_map,
+                    ms0 * rows_per_mb, ms1 * rows_per_mb)
 
         nest = None
         if ftype == "I":
@@ -134,13 +170,12 @@ class Planner:
         return FramePlan(ftype=ftype, display_id=display_id, dc_shift=dc_shift,
                          nest_x=nest_x, nest_y=nest_y, planes=planes, nest=nest)
 
-    def _mb_layer(self, ftype: str, mbt: BitReader, mvh: HuffReader):
-        """Read MB types, refsels and MVs once; planes inherit (FORMAT.md §7.1)."""
-        mh, mw = self.cfg.mb_grid
-        mb_map = np.zeros((mh, mw), np.uint8)
-        mv_map = np.zeros((mh, mw, 2), np.int32)
-        mv2_map = np.zeros((mh, mw, 2), np.int32)
-        ref_map = np.zeros((mh, mw), np.uint8)
+    def _mb_rows(self, ftype: str, mbt: BitReader, mvh: HuffReader,
+                 mb_map, mv_map, mv2_map, ref_map, ms0: int, ms1: int):
+        """Read one slice's MB rows (FORMAT.md §7.1/§9); planes inherit.
+
+        The MV prediction chain starts at (0,0) per slice."""
+        _mh, mw = self.cfg.mb_grid
         pred = [0, 0]
 
         def read_mv():
@@ -148,7 +183,7 @@ class Planner:
             pred[1] += _delta(mvh)
             return (pred[0], pred[1])
 
-        for my in range(mh):
+        for my in range(ms0, ms1):
             for mx in range(mw):
                 t = mbt.read_bits(2)
                 if t == 3:
@@ -169,19 +204,19 @@ class Planner:
                     mv_map[my, mx] = read_mv()
                     if ftype == "B" and ref_map[my, mx] == REF_BI:
                         mv2_map[my, mx] = read_mv()
-        return mb_map, mv_map, mv2_map, ref_map
 
-    def _plane(self, pi, bh, bw, ftype, dc_shift, bn, dch, aux,
-               mb_map, mv_map, mv2_map, ref_map) -> PlanePlan:
+    def _plane_rows(self, p, pi, bw, ftype, dc_shift, bn, dch, aux,
+                    mb_map, mv_map, mv2_map, ref_map,
+                    row0: int, row1: int) -> None:
+        """Scan one plane's block rows [row0, row1) of one slice."""
         cfg = self.cfg
-        p = PlanePlan.zeros(bh, bw)
         # Block→MB mapping (FORMAT.md §7.3): luma and 4:4:4 chroma halve the
         # block index; 4:2:0 chroma blocks are co-located with MBs 1:1.
         chroma = pi > 0
         shift_idx = 0 if (chroma and cfg.h_samp == 2) else 1
         mv_shift = 1 if (chroma and cfg.h_samp == 2) else 0
 
-        for by in range(bh):
+        for by in range(row0, row1):
             for bx in range(bw):
                 if ftype == "I":
                     cls_ = CLS_INTRA
@@ -190,7 +225,7 @@ class Planner:
                     t = mb_map[my, mx]
                     cls_ = CLS_INTRA if t == MB_INTRA else CLS_INTER
                 if cls_ == CLS_INTRA:
-                    self._intra_block(p, by, bx, dc_shift, bn, dch, aux)
+                    self._intra_block(p, by, bx, dc_shift, bn, dch, aux, row0)
                 else:
                     p.cls[by, bx] = CLS_INTER
                     my, mx = (by >> shift_idx, bx >> shift_idx) \
@@ -210,9 +245,9 @@ class Planner:
                         for b in range(k):
                             self._basis(p, by, bx, b, aux)
                     # copy MB: mode 0, mv 0 — nothing consumed.
-        return p
 
-    def _intra_block(self, p: PlanePlan, by, bx, dc_shift, bn, dch, aux) -> None:
+    def _intra_block(self, p: PlanePlan, by, bx, dc_shift, bn, dch, aux,
+                     row0: int) -> None:
         s = bn.next()
         if s == 5 or s == 7:
             raise PlannerError(f"intra basisnum {s} invalid")
@@ -222,10 +257,11 @@ class Planner:
             for i in range(16):
                 p.raw[by, bx, i] = aux.read_bits(8)
             return
-        # DC prediction chain (FORMAT.md §5.4): left, else up, else 128.
+        # DC prediction chain (FORMAT.md §5.4/§9): left, else up-within-slice,
+        # else 128.
         if bx > 0:
             pred = int(p.dc[by, bx - 1])
-        elif by > 0:
+        elif by > row0:
             pred = int(p.dc[by - 1, bx])
         else:
             pred = 128

@@ -235,13 +235,15 @@ static void read_basis(Blk *b, int i, BR *aux) {
     b->bscale[i] = (int16_t)(sc >= 128 ? sc - 256 : sc);
 }
 
+/* One slice's block rows [row0, row1) of one plane (FORMAT.md §5/§9;
+ * row0 = 0, row1 = bh for unsliced frames). */
 static void entropy_plane(Dec *s, int pi, char ftype, int dc_shift,
-                          Streams *st, const MB *mbs) {
-    int bw = s->bw[pi], bh = s->bh[pi];
+                          Streams *st, const MB *mbs, int row0, int row1) {
+    int bw = s->bw[pi];
     Blk *blks = s->blk[pi];
     int chroma_mb = (pi > 0 && s->h_samp == 2); /* 4:2:0 chroma: block==MB */
     int mv_shift = chroma_mb ? 1 : 0;
-    for (int by = 0; by < bh; by++) {
+    for (int by = row0; by < row1; by++) {
         for (int bx = 0; bx < bw; bx++) {
             Blk *b = &blks[by * bw + bx];
             memset(b, 0, sizeof *b);
@@ -263,10 +265,10 @@ static void entropy_plane(Dec *s, int pi, char ftype, int dc_shift,
                     for (int i = 0; i < 16; i++)
                         b->raw[i] = (uint8_t)br_bits(&st->aux, 8);
                 } else {
-                    int pred;
+                    int pred; /* up-neighbor only within the slice (§9) */
                     if (bx > 0)
                         pred = blks[by * bw + bx - 1].dc;
-                    else if (by > 0)
+                    else if (by > row0)
                         pred = blks[(by - 1) * bw + bx].dc;
                     else
                         pred = 128;
@@ -410,10 +412,70 @@ static void build_nest(Dec *s, int nest_x, int nest_y) {
     }
 }
 
-/* ---------------- frame decode (reference L3) ---------------- */
 
 #define N_STREAMS 6
 #define FRAME_HDR (12 + 4 * N_STREAMS)
+
+/* One slice's MB rows (FORMAT.md §7.1/§9); MV chain resets per slice. */
+static void mb_rows(char ftype, Streams *st, MB *mbs, int mw,
+                    int ms0, int ms1) {
+    int32_t px = 0, py = 0;
+    for (int my = ms0; my < ms1; my++) {
+        for (int mx = 0; mx < mw; mx++) {
+            MB *mb = &mbs[(size_t)my * mw + mx];
+            memset(mb, 0, sizeof *mb);
+            unsigned t = br_bits(&st->mbt, 2);
+            if (t == 3) die("mbtype 3 invalid");
+            mb->mbtype = (uint8_t)t;
+            if (t == MB_COPY) {
+                mb->refsel = (ftype == 'P') ? 1 : 0;
+            } else if (t == MB_INTER) {
+                if (ftype == 'B') {
+                    unsigned rs = br_bits(&st->mbt, 2);
+                    if (rs == 3) die("refsel 3 invalid");
+                    mb->refsel = (uint8_t)rs;
+                } else {
+                    mb->refsel = 1;
+                }
+                px += huff_delta(&st->mv);
+                py += huff_delta(&st->mv);
+                mb->mvx = (int16_t)px;
+                mb->mvy = (int16_t)py;
+                if (ftype == 'B' && mb->refsel == 2) {
+                    px += huff_delta(&st->mv);
+                    py += huff_delta(&st->mv);
+                    mb->mv2x = (int16_t)px;
+                    mb->mv2y = (int16_t)py;
+                }
+            }
+        }
+    }
+}
+
+/* Position stream readers on slice sl's segments (FORMAT.md §9). */
+static void init_slice_streams(Streams *st, const uint8_t *sp[N_STREAMS],
+                               const size_t sn[N_STREAMS], const uint8_t *seg,
+                               int sl, int n_slices) {
+    (void)sn;
+    st->bn_zero_run = 0;
+    for (int k = 0; k < N_STREAMS; k++) {
+        size_t start = 0, len = 0;
+        for (int i = 0; i < sl; i++)
+            start += be32(seg + 4 * (k * n_slices + i));
+        len = be32(seg + 4 * (k * n_slices + sl));
+        const uint8_t *d = sp[k] + start;
+        switch (k) {
+        case 0: huff_init(&st->bn, d, len); break;
+        case 1: huff_init(&st->dc, d, len); break;
+        case 2: br_init(&st->aux, d, len); break;
+        case 3: br_init(&st->mbt, d, len); break;
+        case 4: huff_init(&st->mv, d, len); break;
+        default: break;
+        }
+    }
+}
+
+/* ---------------- frame decode (reference L3) ---------------- */
 
 static uint8_t *decode_frame(Dec *s, char ftype, const uint8_t *p, size_t n,
                              uint32_t *display_id) {
@@ -421,65 +483,68 @@ static uint8_t *decode_frame(Dec *s, char ftype, const uint8_t *p, size_t n,
     *display_id = be32(p);
     int nest_x = be16(p + 4), nest_y = be16(p + 6);
     int dc_shift = p[8];
+    int n_slices = p[9] > 1 ? p[9] : 1;
     if (dc_shift > 7) die("dc_shift out of range");
+    if (n_slices > s->mh) die("slice count exceeds MB rows");
     const uint8_t *sp[N_STREAMS];
     size_t sn[N_STREAMS];
     size_t off = FRAME_HDR;
+    const uint8_t *seg = NULL; /* 6 x S u32 segment sub-table (§9) */
+    if (n_slices > 1) {
+        size_t sub = 4u * N_STREAMS * (size_t)n_slices;
+        if (off + sub > n) die("truncated slice sub-table");
+        seg = p + off;
+        off += sub;
+    }
     for (int i = 0; i < N_STREAMS; i++) {
         sn[i] = be32(p + 12 + 4 * i);
         if (off + sn[i] > n) die("stream overruns payload");
         sp[i] = p + off;
         off += sn[i];
+        if (seg) { /* validate the segment sums */
+            size_t tot = 0;
+            for (int sl = 0; sl < n_slices; sl++)
+                tot += be32(seg + 4 * (i * n_slices + sl));
+            if (tot != sn[i]) die("slice segments do not sum to stream size");
+        }
     }
     if (off != n) die("trailing bytes after streams");
 
     Streams st;
     st.bn_zero_run = 0;
-    huff_init(&st.bn, sp[0], sn[0]);
-    huff_init(&st.dc, sp[1], sn[1]);
-    br_init(&st.aux, sp[2], sn[2]);
-    br_init(&st.mbt, sp[3], sn[3]);
-    huff_init(&st.mv, sp[4], sn[4]);
+    if (n_slices == 1) {
+        huff_init(&st.bn, sp[0], sn[0]);
+        huff_init(&st.dc, sp[1], sn[1]);
+        br_init(&st.aux, sp[2], sn[2]);
+        br_init(&st.mbt, sp[3], sn[3]);
+        huff_init(&st.mv, sp[4], sn[4]);
+    }
 
-    /* MB layer (FORMAT.md §7.1) */
+    /* MB layer (FORMAT.md §7.1) + per-plane entropy, per slice (§9) */
     MB *mbs = NULL;
     if (ftype != 'I') {
         if (!s->ref_last) die("P/B frame without reference");
         if (ftype == 'B' && !s->ref_prev) die("B frame without two references");
         mbs = calloc((size_t)s->mh * s->mw, sizeof(MB));
         if (!mbs) die("oom");
-        int32_t px = 0, py = 0;
-        for (int m = 0; m < s->mh * s->mw; m++) {
-            MB *mb = &mbs[m];
-            unsigned t = br_bits(&st.mbt, 2);
-            if (t == 3) die("mbtype 3 invalid");
-            mb->mbtype = (uint8_t)t;
-            if (t == MB_COPY) {
-                mb->refsel = (ftype == 'P') ? 1 : 0;
-            } else if (t == MB_INTER) {
-                if (ftype == 'B') {
-                    unsigned rs = br_bits(&st.mbt, 2);
-                    if (rs == 3) die("refsel 3 invalid");
-                    mb->refsel = (uint8_t)rs;
-                } else {
-                    mb->refsel = 1;
-                }
-                px += huff_delta(&st.mv);
-                py += huff_delta(&st.mv);
-                mb->mvx = (int16_t)px;
-                mb->mvy = (int16_t)py;
-                if (ftype == 'B' && mb->refsel == 2) {
-                    px += huff_delta(&st.mv);
-                    py += huff_delta(&st.mv);
-                    mb->mv2x = (int16_t)px;
-                    mb->mv2y = (int16_t)py;
-                }
-            }
+    }
+    for (int sl = 0; sl < n_slices; sl++) {
+        Streams sst;
+        Streams *stp;
+        if (n_slices > 1) {
+            init_slice_streams(&sst, sp, sn, seg, sl, n_slices);
+            stp = &sst;
+        } else {
+            stp = &st;
+        }
+        int ms0 = sl * s->mh / n_slices, ms1 = (sl + 1) * s->mh / n_slices;
+        if (ftype != 'I') mb_rows(ftype, stp, mbs, s->mw, ms0, ms1);
+        for (int pi = 0; pi < 3; pi++) {
+            int rpm = (pi > 0 && s->h_samp == 2) ? 1 : 2; /* block rows/MB row */
+            entropy_plane(s, pi, ftype, dc_shift, stp, mbs,
+                          ms0 * rpm, ms1 * rpm);
         }
     }
-
-    for (int pi = 0; pi < 3; pi++)
-        entropy_plane(s, pi, ftype, dc_shift, &st, mbs);
     free(mbs);
 
     if (ftype == 'I') build_nest(s, nest_x, nest_y);

@@ -33,18 +33,36 @@ from hvqm4_tpu.config import (  # noqa: E402
 MB_COPY, MB_INTRA, MB_INTER = 0, 1, 2
 
 
-class FrameEncoder:
-    """Encodes one video frame payload from random-but-valid choices."""
+class _SliceWriters:
+    """One slice's independent stream writers (FORMAT.md §9)."""
 
-    def __init__(self, cfg: SeqConfig, rng: np.random.Generator, dc_shift: int):
-        self.cfg = cfg
-        self.rng = rng
-        self.dc_shift = dc_shift
+    def __init__(self):
         self.bn_syms: list[int] = []          # basisnum, pre run-coding
         self.dc = HuffWriter()
         self.aux = BitWriter()
         self.mbt = BitWriter()
         self.mv = HuffWriter()
+
+
+class FrameEncoder:
+    """Encodes one video frame payload from random-but-valid choices.
+
+    `slices` >= 2 emits the sliced layout of FORMAT.md §9 (per-slice
+    segments with independent trees and prediction chains); 1 emits the
+    classic layout — both go through the same slice loop, since a single
+    slice's decode order equals the unsliced order.
+    """
+
+    def __init__(self, cfg: SeqConfig, rng: np.random.Generator,
+                 dc_shift: int, slices: int = 1):
+        self.cfg = cfg
+        self.rng = rng
+        self.dc_shift = dc_shift
+        mh, _mw = cfg.mb_grid
+        if not (1 <= slices <= mh):
+            raise ValueError(f"slice count must be in [1, {mh}]")
+        self.slices = slices
+        self.sw: _SliceWriters | None = None   # current slice's writers
 
     # -- stream helpers -------------------------------------------------------
 
@@ -63,18 +81,18 @@ class FrameEncoder:
              | int(self.rng.integers(0, 2)) << 16
              | int(self.rng.integers(0, 256)) << 8
              | int(self.rng.integers(0, 256)))
-        self.aux.write_bits(v, 32)
+        self.sw.aux.write_bits(v, 32)
 
     def _intra_block(self) -> None:
         mode = int(self.rng.choice([0, 0, 0, 1, 2, 3, 4, 6],
                                    p=[.3, .2, .1, .1, .1, .08, .07, .05]))
-        self.bn_syms.append(mode)
+        self.sw.bn_syms.append(mode)
         if mode == 6:
             for _ in range(16):
-                self.aux.write_bits(int(self.rng.integers(0, 256)), 8)
+                self.sw.aux.write_bits(int(self.rng.integers(0, 256)), 8)
             return
         v = int(self.rng.integers(-140, 141))  # occasionally escapes
-        self._put_delta(self.dc, v)
+        self._put_delta(self.sw.dc, v)
         for _ in range(mode):
             self._put_basis()
 
@@ -82,82 +100,94 @@ class FrameEncoder:
 
     def encode(self, ftype: str, display_id: int) -> bytes:
         cfg = self.cfg
+        S = self.slices
+        mh, _mw = cfg.mb_grid
         nest_x = nest_y = 0
         if ftype == "I":
             bh, bw = cfg.block_grids[0]
             nest_x = int(self.rng.integers(0, 2 * bw))   # tests modular wrap
             nest_y = int(self.rng.integers(0, 2 * bh))
 
-        mb_map = None
-        if ftype in ("P", "B"):
-            mb_map = self._mb_layer(ftype)
+        mb_map = (np.zeros(cfg.mb_grid, np.uint8)
+                  if ftype in ("P", "B") else None)
+        slice_writers = []
+        for s in range(S):
+            self.sw = sw = _SliceWriters()
+            ms0, ms1 = s * mh // S, (s + 1) * mh // S  # [ms0, ms1)
+            if mb_map is not None:
+                self._mb_rows(ftype, mb_map, ms0, ms1)
+            for pi, (bh, bw) in enumerate(cfg.block_grids):
+                chroma = pi > 0
+                shift = 0 if (chroma and cfg.h_samp == 2) else 1
+                rows_per_mb = 1 if (chroma and cfg.h_samp == 2) else 2
+                for by in range(ms0 * rows_per_mb, ms1 * rows_per_mb):
+                    for bx in range(bw):
+                        if ftype == "I":
+                            self._intra_block()
+                            continue
+                        t = mb_map[by >> shift, bx >> shift]
+                        if t == MB_INTRA:
+                            self._intra_block()
+                        elif t == MB_INTER:
+                            k = int(self.rng.choice([0, 0, 0, 1, 2, 3, 4]))
+                            self.sw.bn_syms.append(k)
+                            for _ in range(k):
+                                self._put_basis()
+                        # copy: nothing
+            slice_writers.append(sw)
 
-        for pi, (bh, bw) in enumerate(cfg.block_grids):
-            chroma = pi > 0
-            shift = 0 if (chroma and cfg.h_samp == 2) else 1
-            for by in range(bh):
-                for bx in range(bw):
-                    if ftype == "I":
-                        self._intra_block()
-                        continue
-                    t = mb_map[by >> shift, bx >> shift]
-                    if t == MB_INTRA:
-                        self._intra_block()
-                    elif t == MB_INTER:
-                        k = int(self.rng.choice([0, 0, 0, 1, 2, 3, 4]))
-                        self.bn_syms.append(k)
-                        for _ in range(k):
-                            self._put_basis()
-                    # copy: nothing
+        segs = []  # segs[stream][slice] bytes
+        for sw in slice_writers:
+            sw_streams = [self._encode_basisnum(sw.bn_syms), sw.dc.encode(),
+                          sw.aux.getvalue(), sw.mbt.getvalue(),
+                          sw.mv.encode(), b""]
+            segs.append(sw_streams)
+        streams = [b"".join(segs[s][k] for s in range(S))
+                   for k in range(N_STREAMS)]
 
-        streams = [
-            self._encode_basisnum(),
-            self.dc.encode(),
-            self.aux.getvalue(),
-            self.mbt.getvalue(),
-            self.mv.encode(),
-            b"",
-        ]
         head = struct.pack(">IHHBBH", display_id, nest_x, nest_y,
-                           self.dc_shift, 0, 0)
-        head += struct.pack(f">{N_STREAMS}I", *[len(s) for s in streams])
+                           self.dc_shift, S if S >= 2 else 0, 0)
+        head += struct.pack(f">{N_STREAMS}I", *[len(st) for st in streams])
+        if S >= 2:
+            sub = b"".join(
+                struct.pack(f">{S}I", *[len(segs[s][k]) for s in range(S)])
+                for k in range(N_STREAMS))
+            return head + sub + b"".join(streams)
         return head + b"".join(streams)
 
-    def _mb_layer(self, ftype: str) -> np.ndarray:
-        mh, mw = self.cfg.mb_grid
-        mb_map = np.zeros((mh, mw), np.uint8)
-        pred = [0, 0]
+    def _mb_rows(self, ftype: str, mb_map: np.ndarray,
+                 ms0: int, ms1: int) -> None:
+        _mh, mw = self.cfg.mb_grid
+        pred = [0, 0]  # MV chain resets at slice start (FORMAT.md §9)
 
         def put_mv() -> None:
             # bounded targets so cumulative deltas stay small; decoder clamps
             # out-of-bounds reads anyway (FORMAT.md §7.4)
             tx = int(self.rng.integers(-24, 25))
             ty = int(self.rng.integers(-24, 25))
-            self._put_delta(self.mv, tx - pred[0])
-            self._put_delta(self.mv, ty - pred[1])
+            self._put_delta(self.sw.mv, tx - pred[0])
+            self._put_delta(self.sw.mv, ty - pred[1])
             pred[0], pred[1] = tx, ty
 
-        for my in range(mh):
+        for my in range(ms0, ms1):
             for mx in range(mw):
                 t = int(self.rng.choice([MB_COPY, MB_INTRA, MB_INTER],
                                         p=[.25, .25, .5]))
                 mb_map[my, mx] = t
-                self.mbt.write_bits(t, 2)
+                self.sw.mbt.write_bits(t, 2)
                 if t == MB_INTER:
                     if ftype == "B":
                         rs = int(self.rng.choice([0, 1, 2]))
-                        self.mbt.write_bits(rs, 2)
+                        self.sw.mbt.write_bits(rs, 2)
                     else:
                         rs = 1
                     put_mv()
                     if ftype == "B" and rs == 2:
                         put_mv()
-        return mb_map
 
-    def _encode_basisnum(self) -> bytes:
+    def _encode_basisnum(self, syms: list[int]) -> bytes:
         """Run-code zero runs (symbol 7 + 8-bit n ⇒ n+1 zeros), then Huffman."""
         hw = HuffWriter()
-        syms = self.bn_syms
         i = 0
         while i < len(syms):
             if syms[i] == 0:
@@ -206,7 +236,7 @@ def reorder_display_to_decode(pattern: str) -> list[tuple[str, int]]:
 def make_clip(cfg: SeqConfig, gops: list[str], seed: int = 0,
               dc_shift: int | None = None, audio_channels: int = 0,
               audio_rate: int = 32000, audio_samples_per_record: int = 1024,
-              usec_per_frame: int = 33366) -> bytes:
+              usec_per_frame: int = 33366, slices: int = 1) -> bytes:
     """Build a complete `.h4m` file; `gops` are display-order patterns, each
     starting with 'I' (one GOP block per pattern)."""
     rng = np.random.default_rng(seed)
@@ -232,7 +262,7 @@ def make_clip(cfg: SeqConfig, gops: list[str], seed: int = 0,
             n_audio += 1
         for ftype, disp in reorder_display_to_decode(gop):
             shift = dc_shift if dc_shift is not None else int(rng.integers(0, 3))
-            fe = FrameEncoder(cfg, rng, shift)
+            fe = FrameEncoder(cfg, rng, shift, slices=slices)
             payload = fe.encode(ftype, display_base + disp)
             subtype = {"I": FRAME_I, "P": FRAME_P, "B": FRAME_B}[ftype]
             recs.append((MEDIA_VIDEO, subtype, payload))
@@ -266,13 +296,16 @@ def main() -> None:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--dc-shift", type=int, default=None)
     ap.add_argument("--audio-channels", type=int, default=0)
+    ap.add_argument("--slices", type=int, default=1,
+                    help="entropy slices per frame (FORMAT.md §9)")
     ap.add_argument("--version", choices=["1.3", "1.5"], default="1.3")
     args = ap.parse_args()
     samp = 2 if args.sampling == "420" else 1
     cfg = SeqConfig(width=args.width, height=args.height, h_samp=samp,
                     v_samp=samp, version=args.version)
     data = make_clip(cfg, args.gops.split(","), seed=args.seed,
-                     dc_shift=args.dc_shift, audio_channels=args.audio_channels)
+                     dc_shift=args.dc_shift, audio_channels=args.audio_channels,
+                     slices=args.slices)
     Path(args.output).write_bytes(data)
     print(f"wrote {args.output}: {len(data)} bytes")
 
