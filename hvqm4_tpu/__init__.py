@@ -22,3 +22,30 @@ was empty — SURVEY.md §0); `refdec` is the readable NumPy golden model.
 __version__ = "0.1.0"
 
 from .config import SeqConfig  # noqa: F401
+from .container import ContainerError, Demuxer  # noqa: F401
+from .planner import Planner, PlannerError  # noqa: F401
+from .plans import FramePlan, PlanePlan  # noqa: F401
+
+
+def __getattr__(name):  # lazy: keep `import hvqm4_tpu` free of jax
+    if name in ("DecoderSession", "DecodedFrame"):
+        from . import session
+
+        return getattr(session, name)
+    if name == "MultiStreamDecoder":
+        from .parallel.multistream import MultiStreamDecoder
+
+        return MultiStreamDecoder
+    if name == "VideoEmbedPipeline":
+        from .pipeline import VideoEmbedPipeline
+
+        return VideoEmbedPipeline
+    if name == "FrameBatchLoader":
+        from .data import FrameBatchLoader
+
+        return FrameBatchLoader
+    if name == "NativePlanner":
+        from .native import NativePlanner
+
+        return NativePlanner
+    raise AttributeError(name)

@@ -19,6 +19,7 @@ import numpy as np
 from .audio import decode_record, records_to_wav
 from .container import ContainerError, Demuxer
 from .planner import Planner, PlannerError
+from .config import SeqConfig
 from .session import DecoderSession
 from .utils.stats import clip_stats
 
@@ -102,6 +103,44 @@ def cmd_audio(args) -> int:
     return 0
 
 
+def cmd_encode(args) -> int:
+    from .encode import VideoEncoder
+
+    samp = 2 if args.sampling == "420" else 1
+    cfg = SeqConfig(args.width, args.height, samp, samp)
+    raw = Path(args.input).read_bytes()
+    fb = cfg.frame_bytes
+    if len(raw) % fb:
+        print(f"hvqm4_tpu: error: input not a multiple of {fb} bytes",
+              file=sys.stderr)
+        return 1
+    n = len(raw) // fb
+    shapes = cfg.plane_shapes
+    frames = []
+    for i in range(n):
+        off = i * fb
+        planes = []
+        for h, w in shapes:
+            planes.append(np.frombuffer(raw, np.uint8, h * w, off).reshape(h, w))
+            off += h * w
+        frames.append(planes)
+    gops = args.gops.split(",") if args.gops else None
+    if gops is None:
+        per = 12
+        gops = []
+        left = n
+        while left > 0:
+            g = min(per, left)
+            gops.append("I" + "P" * (g - 1))
+            left -= g
+    enc = VideoEncoder(cfg, lambda_bits=args.quality)
+    data = enc.encode(frames, gops)
+    Path(args.output).write_bytes(data)
+    print(f"encoded {n} frames -> {args.output} ({len(data)} bytes)",
+          file=sys.stderr)
+    return 0
+
+
 def cmd_stats(args) -> int:
     data = Path(args.clip).read_bytes()
     print(clip_stats(data))
@@ -147,6 +186,17 @@ def main(argv=None) -> int:
     p.add_argument("clip")
     p.add_argument("output")
     p.set_defaults(fn=cmd_audio)
+
+    p = sub.add_parser("encode")
+    p.add_argument("input", help="raw planar YUV file (frames back-to-back)")
+    p.add_argument("output")
+    p.add_argument("--width", type=int, required=True)
+    p.add_argument("--height", type=int, required=True)
+    p.add_argument("--sampling", choices=["420", "444"], default="420")
+    p.add_argument("--gops", help="display-order patterns, e.g. IPPP,IBPBP")
+    p.add_argument("--quality", type=float, default=4.0,
+                   help="lambda (bits weight); lower = higher quality")
+    p.set_defaults(fn=cmd_encode)
 
     p = sub.add_parser("stats")
     p.add_argument("clip")

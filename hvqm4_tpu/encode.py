@@ -1,0 +1,394 @@
+"""Content-aware HVQM4 encoder: YUV frames → `.h4m` (beyond-parity component).
+
+The reference is decode-only; this encoder completes the toolkit so real
+content can round-trip through the TPU pipeline. It is a *host-side* tool
+(numpy) with classic mode decision:
+
+- per 4×4 block: weighted-DC vs greedy nest-basis AOT (matching pursuit over
+  a sampled candidate set) vs raw escape, chosen by SSE + λ·bits;
+- per 8×8 MB (P/B): copy vs full-pel motion search (±range, SAD) with
+  half-pel refinement vs intra, with forward/backward/bidirectional
+  selection for B frames;
+- closed loop: after serializing each frame the encoder *decodes it with the
+  framework's own planner + golden decoder*, so its reference frames are
+  exactly the decoder's — no drift, by construction.
+
+Quality knobs are deliberately simple (this is a corpus/round-trip tool, not
+a rate-distortion contest); `lambda_bits` trades size vs PSNR.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import struct
+
+import numpy as np
+
+from .bitio import BitWriter, HuffWriter
+from .config import (FRAME_B, FRAME_I, FRAME_P, HEADER_SIZE, MEDIA_VIDEO,
+                     N_STREAMS, SeqConfig)
+from .planner import Planner
+from .plans import build_nest
+from .refdec import GoldenDecoder
+
+
+@dataclasses.dataclass
+class _BlockDecision:
+    mode: int                 # 0 weight | 1..4 aot | 6 raw
+    dc_target: int = 128      # effective DC (modes 0..4)
+    bases: list = dataclasses.field(default_factory=list)  # (nx,ny,sxb,syb,off,scale)
+    raw: np.ndarray | None = None
+
+
+def _blockify(plane: np.ndarray) -> np.ndarray:
+    h, w = plane.shape
+    return plane.reshape(h // 4, 4, w // 4, 4).transpose(0, 2, 1, 3)
+
+
+class _CandidateSet:
+    """Sampled nest basis candidates for greedy matching pursuit."""
+
+    def __init__(self, nest: np.ndarray, rng, k: int = 384):
+        nh, nw = nest.shape
+        self.desc = []
+        vecs = []
+        for _ in range(k):
+            nx = int(rng.integers(0, 128))
+            ny = int(rng.integers(0, 128))
+            sxb = int(rng.integers(0, 2))
+            syb = int(rng.integers(0, 2))
+            i = np.arange(4)
+            rows = (ny + i * (syb + 1)) % nh
+            cols = (nx + i * (sxb + 1)) % nw
+            v = nest[np.ix_(rows, cols)].astype(np.int32).reshape(16)
+            off = int(np.clip(round(v.mean()), 0, 255))
+            c = v - off
+            if not c.any():
+                continue
+            self.desc.append((nx, ny, sxb, syb, off))
+            vecs.append(c)
+        self.C = np.array(vecs, np.float32)              # (K, 16)
+        self.cc = (self.C * self.C).sum(1) + 1e-9        # (K,)
+
+    def best(self, residual: np.ndarray):
+        """Greedy step: best candidate + integer scale for one residual."""
+        r = residual.astype(np.float32)
+        dots = self.C @ r                                # (K,)
+        gains = dots * dots / self.cc
+        k = int(np.argmax(gains))
+        scale = int(np.clip(round(16.0 * dots[k] / self.cc[k]), -128, 127))
+        nx, ny, sxb, syb, off = self.desc[k]
+        term = ((self.C[k].astype(np.int32) * scale) >> 4)
+        return (nx, ny, sxb, syb, off, scale), term
+
+
+class VideoEncoder:
+    def __init__(self, cfg: SeqConfig, lambda_bits: float = 4.0,
+                 mv_range: int = 7, aot_bases: int = 2, seed: int = 0):
+        self.cfg = cfg
+        self.lam = lambda_bits
+        self.mv_range = mv_range
+        self.aot_bases = aot_bases
+        self.rng = np.random.default_rng(seed)
+        self.planner = Planner(cfg)
+        self.dec = GoldenDecoder(cfg)
+
+    # -- per-plane intra decision ---------------------------------------------
+
+    def _intra_plane(self, plane: np.ndarray, cand: _CandidateSet):
+        bh, bw = plane.shape[0] // 4, plane.shape[1] // 4
+        blocks = _blockify(plane).astype(np.int32)       # (bh,bw,4,4)
+        dcg = np.clip(np.round(blocks.reshape(bh, bw, 16).mean(2)),
+                      0, 255).astype(np.uint8)
+        # vectorized weight-mode reconstruction for every block
+        from .refdec import weight_blocks
+
+        wrec = np.clip(weight_blocks(dcg), 0, 255)
+        wsse = ((wrec - blocks) ** 2).reshape(bh, bw, 16).sum(2)
+
+        out = [[None] * bw for _ in range(bh)]
+        lam = self.lam
+        for by in range(bh):
+            for bx in range(bw):
+                target = blocks[by, bx].reshape(16)
+                dc = int(dcg[by, bx])
+                best_cost = wsse[by, bx] + lam * 10
+                best = _BlockDecision(mode=0, dc_target=dc)
+                # greedy AOT
+                resid = target - dc
+                bases, acc = [], np.zeros(16, np.int32)
+                for _k in range(self.aot_bases):
+                    b, term = cand.best(resid - acc)
+                    if b[5] == 0:
+                        break
+                    bases.append(b)
+                    acc = acc + term
+                    rec = np.clip(dc + acc, 0, 255)
+                    sse = int(((rec - target) ** 2).sum())
+                    cost = sse + lam * (10 + 34 * len(bases))
+                    if cost < best_cost:
+                        best_cost = cost
+                        best = _BlockDecision(mode=len(bases), dc_target=dc,
+                                              bases=list(bases))
+                raw_cost = lam * 132
+                if raw_cost < best_cost:
+                    best = _BlockDecision(
+                        mode=6, raw=target.astype(np.uint8).copy())
+                out[by][bx] = best
+        return out, dcg
+
+    # -- motion search --------------------------------------------------------
+
+    def _mb_search(self, cur: np.ndarray, ref: np.ndarray, my: int, mx: int):
+        """Full-pel SAD search ±range + half-pel refine; returns (mv, sse)."""
+        h, w = ref.shape
+        y0, x0 = my * 8, mx * 8
+        tgt = cur[y0:y0 + 8, x0:x0 + 8].astype(np.int32)
+        best = (0, 0, 1 << 30)
+        R = self.mv_range
+        refi = ref.astype(np.int32)
+        for dy in range(-R, R + 1):
+            sy = y0 + dy
+            if sy < 0 or sy + 8 > h:
+                continue
+            for dx in range(-R, R + 1):
+                sx = x0 + dx
+                if sx < 0 or sx + 8 > w:
+                    continue
+                sse = int(((refi[sy:sy + 8, sx:sx + 8] - tgt) ** 2).sum())
+                if sse < best[2]:
+                    best = (dx, dy, sse)
+        # half-pel refine around the best full-pel vector
+        bx2, by2, bsse = 2 * best[0], 2 * best[1], best[2]
+        for hy in (-1, 0, 1):
+            for hx in (-1, 0, 1):
+                mv = (2 * best[0] + hx, 2 * best[1] + hy)
+                rec = self._mc_block(ref, y0, x0, mv)
+                sse = int(((rec - tgt) ** 2).sum())
+                if sse < bsse:
+                    bx2, by2, bsse = mv[0], mv[1], sse
+        return (bx2, by2), bsse
+
+    @staticmethod
+    def _mc_block(ref: np.ndarray, y0: int, x0: int, mv):
+        """8x8 half-pel MC identical to FORMAT.md §7.4 (clamped)."""
+        h, w = ref.shape
+        r = ref.astype(np.int32)
+        ys = 2 * (y0 + np.arange(8))[:, None] + mv[1]
+        xs = 2 * (x0 + np.arange(8))[None, :] + mv[0]
+        iy, hy = ys >> 1, ys & 1
+        ix, hx = xs >> 1, xs & 1
+
+        def at(y, x):
+            return r[np.clip(y, 0, h - 1), np.clip(x, 0, w - 1)]
+
+        a = at(iy, ix)
+        b = at(iy, ix + 1)
+        c = at(iy + 1, ix)
+        d = at(iy + 1, ix + 1)
+        return np.select(
+            [(hx == 0) & (hy == 0), (hx == 1) & (hy == 0), (hx == 0) & (hy == 1)],
+            [a, (a + b + 1) >> 1, (a + c + 1) >> 1],
+            default=(a + b + c + d + 2) >> 2)
+
+    # -- frame encoders -------------------------------------------------------
+
+    def _encode_frame(self, ftype: str, display_id: int, frame, refs):
+        """Decide + serialize one frame; returns payload bytes."""
+        cfg = self.cfg
+        y = frame[0]
+        mb_map = None
+        mv_map = {}
+        ref_map = {}
+        intra_mbs = set()
+        if ftype in ("P", "B"):
+            mh, mw = cfg.mb_grid
+            mb_map = np.zeros((mh, mw), np.uint8)
+            past = refs[0][0] if ftype == "B" else refs[1][0]
+            futu = refs[1][0]
+            lam = self.lam
+            for my in range(mh):
+                for mx in range(mw):
+                    y0, x0 = my * 8, mx * 8
+                    tgt = y[y0:y0 + 8, x0:x0 + 8].astype(np.int32)
+                    sse_copy = int(((past[y0:y0 + 8, x0:x0 + 8].astype(np.int32)
+                                     - tgt) ** 2).sum())
+                    mv_f, sse_f = self._mb_search(y, past, my, mx)
+                    cands = [("copy", sse_copy + lam * 2, None, 0),
+                             ("fwd", sse_f + lam * 30, mv_f, 0)]
+                    if ftype == "B":
+                        mv_b, sse_b = self._mb_search(y, futu, my, mx)
+                        recf = self._mc_block(past, y0, x0, mv_f)
+                        recb = self._mc_block(futu, y0, x0, mv_b)
+                        sse_bi = int(((((recf + recb + 1) >> 1) - tgt) ** 2).sum())
+                        cands += [("bwd", sse_b + lam * 30, mv_b, 1),
+                                  ("bi", sse_bi + lam * 58, (mv_f, mv_b), 2)]
+                    kind, cost, mv, rs = min(cands, key=lambda c: c[1])
+                    # crude intra estimate: block variance
+                    intra_est = int(((tgt - tgt.mean()) ** 2).sum()) + lam * 60
+                    if intra_est < cost:
+                        mb_map[my, mx] = 1
+                        intra_mbs.add((my, mx))
+                    elif kind == "copy":
+                        mb_map[my, mx] = 0
+                    else:
+                        mb_map[my, mx] = 2
+                        mv_map[(my, mx)] = mv
+                        ref_map[(my, mx)] = rs
+
+        # intra decisions per plane (full grids; non-intra entries unused)
+        dcg_y_targets = None
+        plane_decisions = []
+        nest = self.dec.nest if ftype != "I" else None
+        if ftype == "I":
+            # the nest depends on the decoded DC grid, which (at shift 0)
+            # equals the target DC grid; build it first
+            blocks = _blockify(y).astype(np.int32)
+            bh, bw = blocks.shape[:2]
+            dcg_y_targets = np.clip(
+                np.round(blocks.reshape(bh, bw, 16).mean(2)), 0, 255
+            ).astype(np.uint8)
+            nest = build_nest(cfg, dcg_y_targets, 0, 0)
+        cand = _CandidateSet(nest, self.rng)
+        for pi, plane in enumerate(frame):
+            decisions, _dcg = self._intra_plane(plane, cand)
+            plane_decisions.append(decisions)
+
+        return self._serialize(ftype, display_id, mb_map, mv_map, ref_map,
+                               plane_decisions)
+
+    # -- serialization (FORMAT.md §3-§7, single slice) ------------------------
+
+    def _serialize(self, ftype, display_id, mb_map, mv_map, ref_map,
+                   plane_decisions) -> bytes:
+        cfg = self.cfg
+        bn_syms: list[int] = []
+        dch = HuffWriter()
+        aux = BitWriter()
+        mbt = BitWriter()
+        mvh = HuffWriter()
+
+        def put_delta(hw, v):
+            if -127 <= v <= 127:
+                hw.put_symbol(v + 127)
+            else:
+                hw.put_symbol(255)
+                hw.put_raw(v & 0xFFFF, 16)
+
+        if mb_map is not None:
+            pred = [0, 0]
+            mh, mw = cfg.mb_grid
+            for my in range(mh):
+                for mx in range(mw):
+                    t = int(mb_map[my, mx])
+                    mbt.write_bits(t, 2)
+                    if t == 2:
+                        rs = ref_map[(my, mx)]
+                        if ftype == "B":
+                            mbt.write_bits(rs, 2)
+                        mv = mv_map[(my, mx)]
+                        vecs = [mv] if rs != 2 else [mv[0], mv[1]]
+                        for v in vecs:
+                            put_delta(mvh, v[0] - pred[0])
+                            put_delta(mvh, v[1] - pred[1])
+                            pred = [v[0], v[1]]
+
+        for pi, (bh, bw) in enumerate(cfg.block_grids):
+            chroma = pi > 0
+            shift = 0 if (chroma and cfg.h_samp == 2) else 1
+            decisions = plane_decisions[pi]
+            eff_dc = np.full((bh, bw), 128, np.int32)
+            for by in range(bh):
+                for bx in range(bw):
+                    if mb_map is not None:
+                        t = mb_map[by >> shift, bx >> shift]
+                        if t == 0:
+                            continue
+                        if t == 2:
+                            bn_syms.append(0)  # MC without residual
+                            continue
+                    d = decisions[by][bx]
+                    bn_syms.append(d.mode)
+                    if d.mode == 6:
+                        for v in d.raw:
+                            aux.write_bits(int(v), 8)
+                        continue
+                    pred = (int(eff_dc[by, bx - 1]) if bx > 0
+                            else int(eff_dc[by - 1, bx]) if by > 0 else 128)
+                    delta = (d.dc_target - pred) % 256
+                    if delta > 127:
+                        delta -= 256  # shortest signed representative
+                    put_delta(dch, delta)
+                    eff_dc[by, bx] = d.dc_target
+                    for (nx, ny, sxb, syb, off, scale) in d.bases:
+                        v = (nx << 25) | (ny << 18) | (sxb << 17) | (syb << 16) \
+                            | (off << 8) | (scale & 0xFF)
+                        aux.write_bits(v, 32)
+
+        # run-length code the basisnum zero runs
+        hw = HuffWriter()
+        i = 0
+        while i < len(bn_syms):
+            if bn_syms[i] == 0:
+                j = i
+                while j < len(bn_syms) and bn_syms[j] == 0 and j - i < 256:
+                    j += 1
+                if j - i >= 3:
+                    hw.put_symbol(7)
+                    hw.put_raw(j - i - 1, 8)
+                else:
+                    for _ in range(j - i):
+                        hw.put_symbol(0)
+                i = j
+            else:
+                hw.put_symbol(bn_syms[i])
+                i += 1
+
+        streams = [hw.encode(), dch.encode(), aux.getvalue(),
+                   mbt.getvalue(), mvh.encode(), b""]
+        head = struct.pack(">IHHBBH", display_id, 0, 0, 0, 0, 0)
+        head += struct.pack(f">{N_STREAMS}I", *[len(s) for s in streams])
+        return head + b"".join(streams)
+
+    # -- top level ------------------------------------------------------------
+
+    def encode(self, frames: list, gops: list[str],
+               usec_per_frame: int = 33366) -> bytes:
+        """frames: display-ordered [ [Y,U,V] u8 planes ]; gops: display-order
+        patterns whose lengths sum to len(frames). Returns a `.h4m` file."""
+        from .gop import reorder_display_to_decode
+
+        cfg = self.cfg
+        if sum(len(g) for g in gops) != len(frames):
+            raise ValueError("gop pattern length != frame count")
+        blocks = []
+        disp_base = 0
+        n_video = 0
+        max_frame = 0
+        for gop in gops:
+            self.dec.reset()
+            recs = []
+            for ftype, disp in reorder_display_to_decode(gop):
+                frame = frames[disp_base + disp]
+                refs = (self.dec.ref_prev, self.dec.ref_last)
+                payload = self._encode_frame(ftype, disp_base + disp,
+                                             frame, refs)
+                # closed loop: adopt the decoder's own reconstruction
+                plan = self.planner.plan_frame(ftype, payload)
+                self.dec.decode(plan)
+                subtype = {"I": FRAME_I, "P": FRAME_P, "B": FRAME_B}[ftype]
+                recs.append((MEDIA_VIDEO, subtype, payload))
+                max_frame = max(max_frame, len(payload))
+                n_video += 1
+            disp_base += len(gop)
+            body = b"".join(struct.pack(">HHI", m, s, len(p)) + p
+                            for m, s, p in recs)
+            blocks.append(struct.pack(">IHH", len(body), 0, len(recs)) + body)
+
+        body = b"".join(blocks)
+        header = struct.pack(
+            ">16sIIIIIIIIIHHBBBBBBHI",
+            cfg.magic, HEADER_SIZE, len(body), len(blocks), n_video, 0,
+            usec_per_frame, max_frame, 0, 0,
+            cfg.width, cfg.height, cfg.h_samp, cfg.v_samp, 0, 0, 0, 0, 0, 0)
+        return header + body

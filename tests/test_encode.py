@@ -1,0 +1,74 @@
+"""Content-aware encoder round-trip (encode → decode → quality)."""
+
+import numpy as np
+import pytest
+
+from hvqm4_tpu.config import SeqConfig
+from hvqm4_tpu.encode import VideoEncoder
+
+from .conftest import golden_decode, run_oracle
+
+
+def _synthetic_video(cfg: SeqConfig, n: int, seed: int = 0):
+    """Moving-gradient frames: smooth areas + a moving bright square."""
+    rng = np.random.default_rng(seed)
+    h, w = cfg.plane_shapes[0]
+    ch, cw = cfg.plane_shapes[1]
+    frames = []
+    gx = np.linspace(40, 200, w)[None, :]
+    gy = np.linspace(0, 55, h)[:, None]
+    for t in range(n):
+        y = (gx + gy).astype(np.float64)
+        x0 = (5 + 3 * t) % (w - 16)
+        y0 = (3 + 2 * t) % (h - 16)
+        y[y0:y0 + 16, x0:x0 + 16] = 230
+        y = np.clip(y + rng.normal(0, 1.5, (h, w)), 0, 255).astype(np.uint8)
+        u = np.full((ch, cw), 110, np.uint8)
+        v = np.full((ch, cw), 140, np.uint8)
+        frames.append([y, u, v])
+    return frames
+
+
+def _psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return 99.0 if mse == 0 else 10 * np.log10(255.0 ** 2 / mse)
+
+
+@pytest.mark.parametrize("gops", [["IPPP"], ["IBPBP"]])
+def test_encode_roundtrip_quality(oracle_bin, tmp_path, gops):
+    cfg = SeqConfig(64, 48)
+    frames = _synthetic_video(cfg, sum(len(g) for g in gops))
+    enc = VideoEncoder(cfg, lambda_bits=2.0)
+    clip = enc.encode(frames, gops)
+
+    # the stream must be decodable by BOTH independent decoders, identically
+    oracle_yuv = run_oracle(oracle_bin, clip, tmp_path)
+    decoded = golden_decode(cfg, clip)
+    assert b"".join(f.tobytes() for f in decoded) == oracle_yuv
+
+    # quality: decoded luma should resemble the source (decode order vs
+    # display order handled via display ids)
+    from hvqm4_tpu.container import Demuxer
+    from hvqm4_tpu.planner import Planner
+
+    order = [Planner(cfg).plan_frame(r.frame_char, r.payload).display_id
+             for r in Demuxer(clip).video_records()]
+    ylen = cfg.plane_shapes[0][0] * cfg.plane_shapes[0][1]
+    psnrs = []
+    for rec_idx, disp in enumerate(order):
+        got_y = decoded[rec_idx][:ylen].reshape(cfg.plane_shapes[0])
+        psnrs.append(_psnr(got_y, frames[disp][0]))
+    assert min(psnrs) > 26.0, psnrs
+
+
+def test_encoder_closed_loop_matches_decoder():
+    """The encoder's internal reconstruction IS the decoder output (no drift)."""
+    cfg = SeqConfig(64, 48)
+    frames = _synthetic_video(cfg, 4, seed=3)
+    enc = VideoEncoder(cfg)
+    clip = enc.encode(frames, ["IPPP"])
+    decoded = golden_decode(cfg, clip)
+    # encoder's final ref_last should equal the last decoded I/P frame
+    last = decoded[-1]
+    enc_last = np.concatenate([p.reshape(-1) for p in enc.dec.ref_last])
+    assert np.array_equal(enc_last, last)
