@@ -98,3 +98,19 @@ def test_oracle_sanitizer_clean_on_fuzz(asan_oracle, tmp_path):
                              capture_output=True)
         assert res.returncode in (0, 1), (
             f"iter {i}: rc={res.returncode}\n{res.stderr.decode()[:2000]}")
+
+
+def test_oracle_sanitizer_clean_on_sliced_fuzz(asan_oracle, tmp_path):
+    """Same contract for the sliced layout (FORMAT.md §9), whose sub-table
+    adds structural surface."""
+    cfg = SeqConfig(64, 48)
+    clip = make_clip(cfg, ["IPB"], seed=6, slices=3)
+    rng = np.random.default_rng(4)
+    for i in range(60):
+        mutated = _mutate(clip, rng, int(rng.integers(1, 10)))
+        p = tmp_path / "fuzz_sliced.h4m"
+        p.write_bytes(mutated)
+        res = subprocess.run([str(asan_oracle), str(p), "/dev/null"],
+                             capture_output=True)
+        assert res.returncode in (0, 1), (
+            f"iter {i}: rc={res.returncode}\n{res.stderr.decode()[:2000]}")
