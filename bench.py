@@ -121,8 +121,10 @@ def phase_device(n_streams: int) -> dict:
     while any(ms.active):
         buf, _metas, _valid = ms.plan_step()
         # snapshot only the upload payload (prepared ctypes blocks are not
-        # copyable and device_step needs just the arenas)
-        all_bufs.append({"arenas": copy.deepcopy(buf["arenas"])})
+        # copyable; device_step needs the arenas + pool-usage tiers)
+        all_bufs.append({"arenas": copy.deepcopy(buf["arenas"]),
+                         "raw_used": buf["raw_used"],
+                         "desc_used": buf["desc_used"]})
         ms._cur ^= 1
     ms2 = make_ms()
     jax.block_until_ready(ms2.device_step(all_bufs[0]))  # warm

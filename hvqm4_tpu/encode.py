@@ -67,11 +67,17 @@ class _CandidateSet:
                 continue
             self.desc.append((nx, ny, sxb, syb, off))
             vecs.append(c)
-        self.C = np.array(vecs, np.float32)              # (K, 16)
+        # a constant nest (e.g. after an all-raw I frame) yields no usable
+        # candidates; callers receive None from best() and skip AOT
+        self.C = (np.array(vecs, np.float32) if vecs
+                  else np.zeros((0, 16), np.float32))
         self.cc = (self.C * self.C).sum(1) + 1e-9        # (K,)
 
     def best(self, residual: np.ndarray):
-        """Greedy step: best candidate + integer scale for one residual."""
+        """Greedy step: best candidate + integer scale for one residual,
+        or None when the candidate set is empty."""
+        if not len(self.C):
+            return None
         r = residual.astype(np.float32)
         dots = self.C @ r                                # (K,)
         gains = dots * dots / self.cc
@@ -118,7 +124,10 @@ class VideoEncoder:
                 resid = target - dc
                 bases, acc = [], np.zeros(16, np.int32)
                 for _k in range(self.aot_bases):
-                    b, term = cand.best(resid - acc)
+                    hit = cand.best(resid - acc)
+                    if hit is None:
+                        break
+                    b, term = hit
                     if b[5] == 0:
                         break
                     bases.append(b)

@@ -39,11 +39,20 @@ _LIB = _DIR / "_entropy.so"
 _FTYPE_CODE = {"I": 0, "P": 1, "B": 2}
 
 # order must match the C PlaneOut struct / packed plan keys
-PLANE_KEYS = ("meta", "dc", "raw", "desc", "mv", "mv2")
+PLANE_KEYS = ("meta", "dc", "raw_idx", "desc_start", "mv", "mv2")
 
 
 class _PlaneOut(ctypes.Structure):
     _fields_ = [(n, ctypes.c_void_p) for n in PLANE_KEYS]
+
+
+class _PoolOut(ctypes.Structure):
+    _fields_ = [("raw_pool", ctypes.c_void_p),
+                ("raw_stride", ctypes.c_size_t),
+                ("raw_cap", ctypes.c_size_t),
+                ("desc_pool", ctypes.c_void_p),
+                ("desc_stride", ctypes.c_size_t),
+                ("desc_cap", ctypes.c_size_t)]
 
 
 class _FrameOut(ctypes.Structure):
@@ -51,6 +60,8 @@ class _FrameOut(ctypes.Structure):
                 ("dc_shift", ctypes.c_uint32),
                 ("nest_x", ctypes.c_uint32),
                 ("nest_y", ctypes.c_uint32),
+                ("raw_used", ctypes.c_uint32),
+                ("desc_used", ctypes.c_uint32),
                 ("nest", ctypes.c_void_p)]
 
 
@@ -76,7 +87,8 @@ def _load():
         lib.hvqm4_plan_frame.argtypes = [
             ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-            ctypes.POINTER(_PlaneOut), ctypes.POINTER(_FrameOut),
+            ctypes.POINTER(_PlaneOut), ctypes.POINTER(_PoolOut),
+            ctypes.POINTER(_FrameOut),
             ctypes.c_char_p, ctypes.c_size_t,
         ]
         _lib = lib
@@ -88,33 +100,61 @@ def _ptr(a: np.ndarray) -> ctypes.c_void_p:
 
 
 def alloc_packed_plane(bh: int, bw: int) -> dict[str, np.ndarray]:
-    """Allocate one plane's packed plan arrays."""
+    """Allocate one plane's packed (sparse) plan arrays."""
     return {
         "meta": np.zeros((bh, bw), np.uint8),
         "dc": np.full((bh, bw), 128, np.uint8),
-        "raw": np.zeros((bh, bw, 16), np.uint8),
-        "desc": np.zeros((bh, bw, MAX_BASES), np.uint32),
+        "raw_idx": np.zeros((bh, bw), np.int16),
+        "desc_start": np.zeros((bh, bw), np.uint32),
         "mv": np.zeros((bh, bw, 2), np.int16),
         "mv2": np.zeros((bh, bw, 2), np.int16),
     }
 
 
-def unpack_plane(d: dict[str, np.ndarray]) -> PlanePlan:
-    """Packed plan dict → readable PlanePlan (vectorized)."""
+def alloc_pools(total_blocks: int):
+    """Full-capacity single-stream pools (contiguous layout)."""
+    return (np.zeros((total_blocks, 16), np.uint8),
+            np.zeros(MAX_BASES * total_blocks, np.uint32))
+
+
+def make_pool_struct(raw_pool: np.ndarray, desc_pool: np.ndarray,
+                     raw_stride: int | None = None,
+                     desc_stride: int | None = None,
+                     raw_cap: int | None = None,
+                     desc_cap: int | None = None) -> "_PoolOut":
+    return _PoolOut(
+        raw_pool=_ptr(raw_pool),
+        raw_stride=raw_stride if raw_stride is not None else 16,
+        raw_cap=raw_cap if raw_cap is not None else raw_pool.shape[0],
+        desc_pool=_ptr(desc_pool),
+        desc_stride=desc_stride if desc_stride is not None else 1,
+        desc_cap=desc_cap if desc_cap is not None else desc_pool.shape[0])
+
+
+def unpack_plane(d: dict[str, np.ndarray], raw_pool: np.ndarray,
+                 desc_pool: np.ndarray) -> PlanePlan:
+    """Packed sparse plan dict (+ pools) → readable PlanePlan (vectorized)."""
     meta = d["meta"]
     cls_ = (meta >> 5) & 1
     refsel = (meta >> 3) & 3
     mode = meta & 7
-    desc = d["desc"]
     nbases = np.where(
         ((cls_ == 0) & (mode >= 1) & (mode <= 4)) | (cls_ == 1), mode, 0)
     live = (np.arange(MAX_BASES)[None, None, :] < nbases[:, :, None])
+    # materialize dense raw/desc from the pools
+    is_raw = (cls_ == 0) & (mode == 6)
+    raw_dense = raw_pool[np.clip(d["raw_idx"].astype(np.int64), 0,
+                                 len(raw_pool) - 1)]
+    raw_dense = raw_dense * is_raw[:, :, None].astype(np.uint8)
+    didx = (d["desc_start"].astype(np.int64)[:, :, None]
+            + np.arange(MAX_BASES)[None, None, :])
+    desc = desc_pool[np.clip(didx, 0, len(desc_pool) - 1)] * live
     scale8 = (desc & 0xFF).astype(np.int16)
     return PlanePlan(
         cls=cls_.astype(np.uint8),
         mode=mode.astype(np.uint8),
         dc=d["dc"].copy(),
-        raw=d["raw"].copy(),
+        raw=raw_dense,
         basis_nx=np.where(live, (desc >> 25) & 0x7F, 0).astype(np.uint8),
         basis_ny=np.where(live, (desc >> 18) & 0x7F, 0).astype(np.uint8),
         basis_sx=np.where(live, ((desc >> 17) & 1) + 1, 0).astype(np.uint8),
@@ -134,7 +174,8 @@ class NativePlanner:
         self.cfg = cfg
         self._lib = _load()
 
-    def _call(self, ftype: str, payload: bytes, plane_dicts, nest: np.ndarray):
+    def _call(self, ftype: str, payload: bytes, plane_dicts, pool: "_PoolOut",
+              nest: np.ndarray):
         cfg = self.cfg
         if ftype not in _FTYPE_CODE:
             raise PlannerError(f"bad frame type {ftype!r}")
@@ -146,7 +187,7 @@ class NativePlanner:
         rc = self._lib.hvqm4_plan_frame(
             payload, len(payload), _FTYPE_CODE[ftype],
             cfg.width, cfg.height, cfg.h_samp, cfg.v_samp,
-            pouts, ctypes.byref(fout), err, len(err))
+            pouts, ctypes.byref(pool), ctypes.byref(fout), err, len(err))
         if rc != 0:
             raise PlannerError(err.value.decode(errors="replace"))
         return fout
@@ -156,41 +197,41 @@ class NativePlanner:
         dicts = [alloc_packed_plane(bh, bw) for bh, bw in cfg.block_grids]
         nh, nw = cfg.nest_shape
         nest = np.zeros((nh, nw), np.uint8)
-        fout = self._call(ftype, payload, dicts, nest)
+        total = sum(bh * bw for bh, bw in cfg.block_grids)
+        raw_pool, desc_pool = alloc_pools(total)
+        pool = make_pool_struct(raw_pool, desc_pool)
+        fout = self._call(ftype, payload, dicts, pool, nest)
         # buffers are fresh here, so masked fields are already zero and the
         # unpacked FramePlan is canonical
-        planes = [unpack_plane(d) for d in dicts]
+        planes = [unpack_plane(d, raw_pool, desc_pool) for d in dicts]
         return FramePlan(
             ftype=ftype, display_id=int(fout.display_id),
             dc_shift=int(fout.dc_shift), nest_x=int(fout.nest_x),
             nest_y=int(fout.nest_y), planes=planes,
             nest=nest if ftype == "I" else None)
 
-    def plan_frame_into(self, ftype: str, payload: bytes,
-                        plane_views: list[dict], nest_view: np.ndarray) -> dict:
-        fout = self._call(ftype, payload, plane_views, nest_view)
-        return {"display_id": int(fout.display_id),
-                "dc_shift": int(fout.dc_shift)}
-
     # -- prepared-call fast path (hot loop: one ctypes call, zero setup) ------
 
-    def prepare(self, plane_views: list[dict], nest_view: np.ndarray):
+    def prepare(self, plane_views: list[dict], pool: "_PoolOut",
+                nest_view: np.ndarray):
         """Pre-build the ctypes argument block for a stable set of output
-        views (e.g. one stream's slice of the multi-stream arenas)."""
+        views (one stream's slice of the multi-stream arenas + pool columns)."""
         pouts = (_PlaneOut * 3)()
         for i, d in enumerate(plane_views):
             pouts[i] = _PlaneOut(**{k: _ptr(d[k]) for k in PLANE_KEYS})
         fout = _FrameOut(nest=_ptr(nest_view))
         err = ctypes.create_string_buffer(256)
-        return (pouts, fout, err)
+        return (pouts, pool, fout, err)
 
-    def plan_frame_prepared(self, ftype: str, payload: bytes, prep) -> int:
-        """Plan into a prepared argument block; returns display_id."""
-        pouts, fout, err = prep
+    def plan_frame_prepared(self, ftype: str, payload: bytes, prep):
+        """Plan into a prepared argument block.
+
+        Returns (display_id, raw_used, desc_used)."""
+        pouts, pool, fout, err = prep
         rc = self._lib.hvqm4_plan_frame(
             payload, len(payload), _FTYPE_CODE[ftype],
             self.cfg.width, self.cfg.height, self.cfg.h_samp, self.cfg.v_samp,
-            pouts, ctypes.byref(fout), err, len(err))
+            pouts, ctypes.byref(pool), ctypes.byref(fout), err, len(err))
         if rc != 0:
             raise PlannerError(err.value.decode(errors="replace"))
-        return int(fout.display_id)
+        return (int(fout.display_id), int(fout.raw_used), int(fout.desc_used))

@@ -174,18 +174,31 @@ struct Huff {
 // meta byte: mode(0..6) in bits 0-2, refsel in bits 3-4, cls in bit 5.
 
 struct PlaneOut {
-    uint8_t* meta;   // bh*bw
-    uint8_t* dc;     // bh*bw
-    uint8_t* raw;    // bh*bw*16
-    uint32_t* desc;  // bh*bw*4 (wire-format 32-bit basis descriptors)
-    int16_t* mv;     // bh*bw*2
-    int16_t* mv2;    // bh*bw*2
+    uint8_t* meta;        // bh*bw
+    uint8_t* dc;          // bh*bw
+    int16_t* raw_idx;     // bh*bw      slot into the shared raw pool
+    uint32_t* desc_start; // bh*bw      first slot into the shared desc pool
+    int16_t* mv;          // bh*bw*2
+    int16_t* mv2;         // bh*bw*2
+};
+
+// Shared per-stream pools (sparse payloads). Strided so the multi-stream
+// batch can lay pools out stream-minor ((slot, stream, ...)) and upload only
+// the used prefix. Strides are in ELEMENTS of the pool's dtype.
+struct PoolOut {
+    uint8_t* raw_pool;     // slot i, byte j at raw_pool[i*raw_stride + j]
+    size_t raw_stride;     // >= 16
+    size_t raw_cap;        // slots available
+    uint32_t* desc_pool;   // slot i at desc_pool[i*desc_stride]
+    size_t desc_stride;    // >= 1
+    size_t desc_cap;
 };
 
 struct FrameOut {
     uint32_t display_id;
     uint32_t dc_shift;
     uint32_t nest_x, nest_y;
+    uint32_t raw_used, desc_used;  // pool slots consumed by this frame
     uint8_t* nest;  // nest_h*nest_w (filled for I frames)
 };
 
@@ -206,12 +219,33 @@ struct Geometry {
 // separate threads (FORMAT.md Â§9).
 struct SliceDec {
     const Geometry* g;
+    const PoolOut* pools;
+    std::atomic<uint32_t>* raw_ctr;   // shared across slices of the frame
+    std::atomic<uint32_t>* desc_ctr;
     int ftype;  // 0=I 1=P 2=B
     int ms0, ms1;  // MB-row range [ms0, ms1)
     Huff bn, dch, mvh;
     BitReader aux, mbt;
     int bn_zero_run = 0;
     MBInfo* mbs;  // shared, row-disjoint
+
+    inline void write_raw(PlaneOut& p, size_t bi) {
+        uint32_t slot = raw_ctr->fetch_add(1, std::memory_order_relaxed);
+        if (slot >= pools->raw_cap) throw Error("raw pool overflow");
+        p.raw_idx[bi] = (int16_t)slot;
+        uint8_t* dst = pools->raw_pool + (size_t)slot * pools->raw_stride;
+        for (int i = 0; i < 16; i++) dst[i] = (uint8_t)aux.bits(8);
+    }
+
+    inline void write_descs(PlaneOut& p, size_t bi, int k) {
+        uint32_t slot = desc_ctr->fetch_add((uint32_t)k,
+                                            std::memory_order_relaxed);
+        if (slot + k > pools->desc_cap) throw Error("desc pool overflow");
+        p.desc_start[bi] = slot;
+        for (int i = 0; i < k; i++)
+            pools->desc_pool[(size_t)(slot + i) * pools->desc_stride] =
+                aux.bits(32);
+    }
 
     inline int basisnum() {
         if (bn_zero_run) {
@@ -281,8 +315,7 @@ struct SliceDec {
                     if (mode == 5) throw Error("intra basisnum 5 invalid");
                     p.meta[bi] = (uint8_t)mode;  // cls=0 refsel=0
                     if (mode == 6) {
-                        for (int i = 0; i < 16; i++)
-                            p.raw[bi * 16 + i] = (uint8_t)aux.bits(8);
+                        write_raw(p, bi);
                         p.dc[bi] = dcg[bi] = 128;
                     } else {
                         int pred = bx > 0        ? dcg[bi - 1]
@@ -291,8 +324,7 @@ struct SliceDec {
                         int32_t v = dch.delta();
                         p.dc[bi] = dcg[bi] = (uint8_t)(
                             (uint32_t)(pred + v * (1 << dc_shift)) & 0xFF);
-                        for (int k = 0; k < mode; k++)
-                            p.desc[bi * 4 + k] = aux.bits(32);
+                        if (mode) write_descs(p, bi, mode);
                     }
                 } else {
                     p.dc[bi] = dcg[bi] = 128;
@@ -304,8 +336,7 @@ struct SliceDec {
                         int k = basisnum();
                         if (k > 4) throw Error("inter residual count invalid");
                         p.meta[bi] = (uint8_t)(0x20 | (mb->refsel << 3) | k);
-                        for (int i = 0; i < k; i++)
-                            p.desc[bi * 4 + i] = aux.bits(32);
+                        if (k) write_descs(p, bi, k);
                     } else {  // lowered copy: inter, mv 0, no residual
                         p.meta[bi] = (uint8_t)(0x20 | (mb->refsel << 3));
                         p.mv[bi * 2 + 0] = p.mv[bi * 2 + 1] = 0;
@@ -327,9 +358,11 @@ uint16_t rd16(const uint8_t* p) { return (uint16_t)((p[0] << 8) | p[1]); }
 
 extern "C" int hvqm4_plan_frame(const uint8_t* payload, size_t n, int ftype,
                                 int width, int height, int h_samp, int v_samp,
-                                PlaneOut* planes /* [3] */, FrameOut* fout,
+                                PlaneOut* planes /* [3] */, PoolOut* pools,
+                                FrameOut* fout,
                                 char* err_buf, size_t err_len) {
     try {
+        std::atomic<uint32_t> raw_ctr{0}, desc_ctr{0};
         Geometry g;
         g.width = width;
         g.height = height;
@@ -388,6 +421,9 @@ extern "C" int hvqm4_plan_frame(const uint8_t* payload, size_t n, int ftype,
         for (int sl = 0; sl < S; sl++) {
             SliceDec& d = slices[sl];
             d.g = &g;
+            d.pools = pools;
+            d.raw_ctr = &raw_ctr;
+            d.desc_ctr = &desc_ctr;
             d.ftype = ftype;
             d.ms0 = sl * g.mh / S;
             d.ms1 = (sl + 1) * g.mh / S;
@@ -446,6 +482,8 @@ extern "C" int hvqm4_plan_frame(const uint8_t* payload, size_t n, int ftype,
             for (auto& d : slices) run_slice(d);
         }
 
+        fout->raw_used = raw_ctr.load();
+        fout->desc_used = desc_ctr.load();
         if (ftype == 0) {  // nest from luma DC grid (FORMAT.md §6.1)
             const int BW = g.bw[0], BH = g.bh[0];
             for (int y = 0; y < g.nest_h; y++) {

@@ -46,13 +46,13 @@ from ..ops import device_core
 from ..planner import Planner, PlannerError
 from ..plans import FramePlan, PlanePlan
 
-_PLANE_KEYS = ("meta", "dc", "raw", "desc", "mv", "mv2")
+_PLANE_KEYS = ("meta", "dc", "raw_idx", "desc_start", "mv", "mv2")
 
 _FIELD_SPECS = (
     ("meta", np.uint8, ()),
     ("dc", np.uint8, ()),
-    ("raw", np.uint8, (16,)),
-    ("desc", np.uint32, (MAX_BASES,)),
+    ("raw_idx", np.int16, ()),
+    ("desc_start", np.uint32, ()),
     ("mv", np.int16, (2,)),
     ("mv2", np.int16, (2,)),
 )
@@ -78,8 +78,15 @@ def _arena_entries(cfg: SeqConfig, n: int):
     fields are grouped by dtype instead: plain slices, no reinterpretation,
     still only 3 h2d round-trips per step.
 
+    Sparse payload pools (raw bytes, basis descriptors) sit at the *end* of
+    their arenas in stream-minor layout (slot, stream, ...), so a step can
+    upload just the used prefix: the host tracks per-step pool usage and
+    picks a capacity tier (see `_POOL_TIERS`), shrinking transfers ~2x on
+    typical content while any spec-valid all-raw frame still fits the full
+    tier.
+
     Returns ({dtype_name: [(field_name, plane|-1, shape, elem_off, elems)]},
-             {dtype_name: total_elems}).
+             {dtype_name: total_fixed_elems}, pool_info).
     """
     groups: dict[str, list] = {"u8": [], "i16": [], "u32": []}
     totals = {"u8": 0, "i16": 0, "u32": 0}
@@ -99,15 +106,36 @@ def _arena_entries(cfg: SeqConfig, n: int):
     add("new_nest", -1, np.uint8, (n, nh, nw))
     add("is_i", -1, np.uint8, (n,))
     add("is_ref", -1, np.uint8, (n,))
-    return ({k: tuple(v) for k, v in groups.items()}, totals)
+    total_blocks = sum(bh * bw for bh, bw in cfg.block_grids)
+    pool_info = {
+        "raw_off": totals["u8"],          # u8 elems; pool (cap, n, 16)
+        "raw_cap": total_blocks,
+        "desc_off": totals["u32"],        # u32 elems; pool (cap, n)
+        "desc_cap": MAX_BASES * total_blocks,
+    }
+    return ({k: tuple(v) for k, v in groups.items()}, totals, pool_info)
+
+
+def _pool_tiers(cap: int):
+    """Capacity ladder: compact tiers for typical content, full for the
+    worst case. Each tier used by a run costs one (persistently cached)
+    compilation of the step."""
+    return (max(cap // 8, 64), max(cap // 4, 64), max(cap // 2, 64), cap)
+
+
+def _pick_tier(used: int, cap: int) -> int:
+    for t in _pool_tiers(cap):
+        if used <= t:
+            return t
+    return cap
 
 
 _ARENA_DTYPES = {"u8": np.uint8, "i16": np.int16, "u32": np.uint32}
 
 
 def _arena_views(cfg: SeqConfig, n: int, arenas: dict):
-    """Writable numpy views into the arenas: (plane dicts, extras dict)."""
-    groups, _totals = _arena_entries(cfg, n)
+    """Writable numpy views into the arenas: (planes, extras, pools)."""
+    groups, _totals, pinfo = _arena_entries(cfg, n)
     planes = [dict() for _ in cfg.block_grids]
     extras = {}
     for g, entries in groups.items():
@@ -117,12 +145,25 @@ def _arena_views(cfg: SeqConfig, n: int, arenas: dict):
                 planes[pi][name] = view
             else:
                 extras[name] = view
-    return planes, extras
+    rc, dcp = pinfo["raw_cap"], pinfo["desc_cap"]
+    pools = {
+        "raw": arenas["u8"][pinfo["raw_off"]:
+                            pinfo["raw_off"] + rc * n * 16
+                            ].reshape(rc, n, 16),
+        "desc": arenas["u32"][pinfo["desc_off"]:
+                              pinfo["desc_off"] + dcp * n].reshape(dcp, n),
+    }
+    return planes, extras, pools
 
 
-def _unpack_arena(cfg: SeqConfig, n: int, arenas: dict):
-    """In-jit: typed arenas → (plane plan dicts, new_nest, is_i, is_ref)."""
-    groups, _totals = _arena_entries(cfg, n)
+def _unpack_arena(cfg: SeqConfig, n: int, arenas: dict,
+                  raw_cap: int, desc_cap: int):
+    """In-jit: typed arenas → (plane plan dicts, new_nest, is_i, is_ref).
+
+    `raw_cap`/`desc_cap` are the upload tier's pool capacities (static).
+    Dense per-block `raw` (…,16) and `desc` (…,4) are materialized here by
+    pool gathers, so the device core below is layout-agnostic."""
+    groups, _totals, pinfo = _arena_entries(cfg, n)
     planes = [dict() for _ in cfg.block_grids]
     extras = {}
     for g, entries in groups.items():
@@ -132,6 +173,26 @@ def _unpack_arena(cfg: SeqConfig, n: int, arenas: dict):
                 planes[pi][name] = arr
             else:
                 extras[name] = arr
+    ro, do = pinfo["raw_off"], pinfo["desc_off"]
+    raw_pool = jax.lax.slice(arenas["u8"], (ro,), (ro + raw_cap * n * 16,)
+                             ).reshape(raw_cap, n, 16).transpose(1, 0, 2)
+    desc_pool = jax.lax.slice(arenas["u32"], (do,), (do + desc_cap * n,)
+                              ).reshape(desc_cap, n).transpose(1, 0)
+
+    def gather_raw(pool_s, idx_s):  # (cap,16), (bh,bw) -> (bh,bw,16)
+        flat = jnp.take(pool_s, jnp.clip(idx_s.astype(jnp.int32), 0,
+                                         raw_cap - 1).reshape(-1), axis=0)
+        return flat.reshape(idx_s.shape + (16,))
+
+    def gather_desc(pool_s, start_s):  # (capd,), (bh,bw) -> (bh,bw,4)
+        idx = (start_s.astype(jnp.int32)[:, :, None]
+               + jnp.arange(4, dtype=jnp.int32)[None, None, :])
+        idx = jnp.clip(idx, 0, desc_cap - 1)
+        return jnp.take(pool_s, idx.reshape(-1), axis=0).reshape(idx.shape)
+
+    for pp in planes:
+        pp["raw"] = jax.vmap(gather_raw)(raw_pool, pp.pop("raw_idx"))
+        pp["desc"] = jax.vmap(gather_desc)(desc_pool, pp.pop("desc_start"))
     return planes, extras["new_nest"], extras["is_i"] != 0, extras["is_ref"] != 0
 
 
@@ -168,12 +229,13 @@ def multi_frame_step(plane_plans: list, nest, new_nest, is_i, is_ref,
 
 
 @functools.lru_cache(maxsize=None)
-def _arena_step(cfg: SeqConfig, n: int):
-    """Jitted production step: (arena u8, nest, ref_prev, ref_last) → ..."""
+def _arena_step(cfg: SeqConfig, n: int, raw_cap: int, desc_cap: int):
+    """Jitted production step for one pool tier: (arenas, nest, refs) → ..."""
 
     @functools.partial(jax.jit, donate_argnums=(1, 2, 3))
     def step(arenas, nest, ref_prev, ref_last):
-        plane_plans, new_nest, is_i, is_ref = _unpack_arena(cfg, n, arenas)
+        plane_plans, new_nest, is_i, is_ref = _unpack_arena(
+            cfg, n, arenas, raw_cap, desc_cap)
         return _step_body(plane_plans, nest, new_nest, is_i, is_ref,
                           ref_prev, ref_last)
 
@@ -219,26 +281,43 @@ class MultiStreamDecoder:
         self.ref_last = [dev(np.zeros((self.n, h, w), np.uint8))
                          for h, w in cfg.plane_shapes]
         # ping-pong host arenas (avoid racing an in-flight transfer)
-        _groups, totals = _arena_entries(cfg, self.n)
+        _groups, totals, pinfo = _arena_entries(cfg, self.n)
+        self._pinfo = pinfo
+        arena_totals = {
+            "u8": totals["u8"] + pinfo["raw_cap"] * self.n * 16,
+            "i16": totals["i16"],
+            "u32": totals["u32"] + pinfo["desc_cap"] * self.n,
+        }
+        self._fixed = totals
         self._bufs = []
         for _ in range(2):
             arenas = {g: np.zeros(t, _ARENA_DTYPES[g])
-                      for g, t in totals.items()}
-            planes, extras = _arena_views(cfg, self.n, arenas)
-            buf = {"arenas": arenas, "planes": planes, **extras}
+                      for g, t in arena_totals.items()}
+            planes, extras, pools = _arena_views(cfg, self.n, arenas)
+            buf = {"arenas": arenas, "planes": planes, "pools": pools,
+                   **extras}
             # per-stream view dicts are stable: precompute once so the
             # planning hot loop is a bare ctypes call (GIL-released C++)
             buf["stream_views"] = [
                 ([{k: pp[k][si] for k in _PLANE_KEYS} for pp in planes],
                  extras["new_nest"][si])
                 for si in range(self.n)]
+            buf["raw_used"] = 0
+            buf["desc_used"] = 0
             if hasattr(self.planner, "prepare"):
-                buf["prepared"] = [
-                    self.planner.prepare(v, nv)
-                    for v, nv in buf["stream_views"]]
+                from ..native import make_pool_struct
+
+                buf["prepared"] = []
+                for si in range(self.n):
+                    views, nv = buf["stream_views"][si]
+                    pool = make_pool_struct(
+                        pools["raw"][:, si, :], pools["desc"][:, si],
+                        raw_stride=self.n * 16, desc_stride=self.n,
+                        raw_cap=pinfo["raw_cap"], desc_cap=pinfo["desc_cap"])
+                    buf["prepared"].append(
+                        self.planner.prepare(views, pool, nv))
             self._bufs.append(buf)
         self._cur = 0
-        self._step_fn = _arena_step(cfg, self.n)
 
     def _put(self, x):
         return (jax.device_put(x, self.sharding)
@@ -259,11 +338,42 @@ class MultiStreamDecoder:
         buf["is_i"][si] = 0
         buf["is_ref"][si] = 0
 
+    @staticmethod
+    def _pack_sparse(buf, si: int, plan: FramePlan) -> tuple[int, int]:
+        """Dense FramePlan → sparse batch views (python-planner fallback)."""
+        raw_slot = desc_slot = 0
+        for pp, p in zip(buf["planes"], plan.planes):
+            src = device_core.plane_plan_arrays(p)
+            pp["meta"][si] = src["meta"]
+            pp["dc"][si] = src["dc"]
+            pp["mv"][si] = src["mv"]
+            pp["mv2"][si] = src["mv2"]
+            is_raw = (p.cls == 0) & (p.mode == 6)
+            idx = np.zeros(p.mode.shape, np.int16)
+            for (by, bx) in zip(*np.nonzero(is_raw)):
+                buf["pools"]["raw"][raw_slot, si] = src["raw"][by, bx]
+                idx[by, bx] = raw_slot
+                raw_slot += 1
+            pp["raw_idx"][si] = idx
+            counts = np.where(((p.cls == 0) & (p.mode >= 1) & (p.mode <= 4))
+                              | (p.cls == 1), p.mode, 0)
+            start = np.zeros(p.mode.shape, np.uint32)
+            for (by, bx) in zip(*np.nonzero(counts)):
+                k = int(counts[by, bx])
+                start[by, bx] = desc_slot
+                buf["pools"]["desc"][desc_slot:desc_slot + k, si] = \
+                    src["desc"][by, bx, :k]
+                desc_slot += k
+            pp["desc_start"][si] = start
+        return raw_slot, desc_slot
+
     def plan_step(self):
         """Plan the next frame of every stream into the current batch buffers.
 
         Returns (buf, metas, valid)."""
         buf = self._bufs[self._cur]
+        buf["raw_used"] = 0
+        buf["desc_used"] = 0
         metas: list[FrameMeta | None] = []
         valid: list[bool] = []
         for si, s in enumerate(self.streams):
@@ -290,19 +400,15 @@ class MultiStreamDecoder:
 
     def _plan_into(self, buf, si: int, fchar: str, payload: bytes) -> FrameMeta:
         if "prepared" in buf:
-            disp = self.planner.plan_frame_prepared(fchar, payload,
-                                                    buf["prepared"][si])
+            disp, raw_used, desc_used = self.planner.plan_frame_prepared(
+                fchar, payload, buf["prepared"][si])
+            buf["raw_used"] = max(buf["raw_used"], raw_used)
+            buf["desc_used"] = max(buf["desc_used"], desc_used)
             return FrameMeta(fchar, disp)
-        if self._use_into:
-            views, nest_view = buf["stream_views"][si]
-            meta = self.planner.plan_frame_into(fchar, payload, views,
-                                                nest_view)
-            return FrameMeta(fchar, meta["display_id"])
         plan: FramePlan = self.planner.plan_frame(fchar, payload)
-        for pp, p in zip(buf["planes"], plan.planes):
-            src = device_core.plane_plan_arrays(p)
-            for k in _PLANE_KEYS:
-                pp[k][si] = src[k]
+        raw_used, desc_used = self._pack_sparse(buf, si, plan)
+        buf["raw_used"] = max(buf["raw_used"], raw_used)
+        buf["desc_used"] = max(buf["desc_used"], desc_used)
         if plan.nest is not None:
             buf["new_nest"][si] = plan.nest
         return FrameMeta(fchar, plan.display_id)
@@ -312,15 +418,40 @@ class MultiStreamDecoder:
     def device_step(self, buf):
         """Batched decode of one planned step + state rotation."""
         if self.sharding is None:
-            # production path: 3 typed-arena uploads (vs ~20 per-field ones)
-            arenas = {g: jnp.asarray(a) for g, a in buf["arenas"].items()}
-            frames, self.nest, self.ref_prev, self.ref_last = self._step_fn(
+            # production path: 3 typed-arena uploads (vs ~20 per-field ones),
+            # with the sparse pool regions truncated to the used tier
+            raw_cap = _pick_tier(buf["raw_used"], self._pinfo["raw_cap"])
+            desc_cap = _pick_tier(buf["desc_used"], self._pinfo["desc_cap"])
+            cut8 = self._fixed["u8"] + raw_cap * self.n * 16
+            cut32 = self._fixed["u32"] + desc_cap * self.n
+            arenas = {
+                "u8": jnp.asarray(buf["arenas"]["u8"][:cut8]),
+                "i16": jnp.asarray(buf["arenas"]["i16"]),
+                "u32": jnp.asarray(buf["arenas"]["u32"][:cut32]),
+            }
+            step_fn = _arena_step(self.cfg, self.n, raw_cap, desc_cap)
+            frames, self.nest, self.ref_prev, self.ref_last = step_fn(
                 arenas, self.nest, self.ref_prev, self.ref_last)
             return frames
-        # mesh path: per-field uploads (each field is N-major and shardable)
+        # mesh path: per-field uploads (each field is N-major and shardable);
+        # dense raw/desc are materialized on host from the pools
         put = self._put
-        plane_plans = [{k: put(np.ascontiguousarray(v)) for k, v in pp.items()}
-                       for pp in buf["planes"]]
+        plane_plans = []
+        pools = buf["pools"]
+        rc, dcp = self._pinfo["raw_cap"], self._pinfo["desc_cap"]
+        for pp in buf["planes"]:
+            d = {k: put(np.ascontiguousarray(pp[k]))
+                 for k in ("meta", "dc", "mv", "mv2")}
+            idx = np.clip(pp["raw_idx"].astype(np.int64), 0, rc - 1)
+            raw_dense = np.stack([pools["raw"][idx[si], si]
+                                  for si in range(self.n)])
+            didx = np.clip(pp["desc_start"].astype(np.int64)[..., None]
+                           + np.arange(4), 0, dcp - 1)
+            desc_dense = np.stack([pools["desc"][didx[si], si]
+                                   for si in range(self.n)])
+            d["raw"] = put(np.ascontiguousarray(raw_dense))
+            d["desc"] = put(np.ascontiguousarray(desc_dense))
+            plane_plans.append(d)
         frames, self.nest, self.ref_prev, self.ref_last = multi_frame_step(
             plane_plans, self.nest, put(np.ascontiguousarray(buf["new_nest"])),
             put(buf["is_i"] != 0), put(buf["is_ref"] != 0),
