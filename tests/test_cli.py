@@ -1,0 +1,84 @@
+"""CLI surface tests (in-process, numpy backend to avoid device compiles)."""
+
+import numpy as np
+import pytest
+
+from hvqm4_tpu import cli
+from hvqm4_tpu.config import SeqConfig
+from tools.encoder import make_clip
+
+
+@pytest.fixture()
+def clip_path(tmp_path):
+    cfg = SeqConfig(64, 48)
+    p = tmp_path / "c.h4m"
+    p.write_bytes(make_clip(cfg, ["IPB"], seed=55, audio_channels=2))
+    return p
+
+
+def test_cli_info(capsys, clip_path):
+    assert cli.main(["info", str(clip_path)]) == 0
+    out = capsys.readouterr().out
+    assert "64x48" in out and "video_frames=3" in out and "IMA-ADPCM" in out
+
+
+def test_cli_decode_numpy_and_ppm(tmp_path, clip_path, oracle_bin):
+    out = tmp_path / "o.yuv"
+    ppm = tmp_path / "frames"
+    rc = cli.main(["decode", str(clip_path), str(out), "--backend", "numpy",
+                   "--ppm", str(ppm)])
+    assert rc == 0
+    from .conftest import run_oracle
+
+    assert out.read_bytes() == run_oracle(oracle_bin, clip_path.read_bytes(),
+                                          tmp_path)
+    ppms = sorted(ppm.glob("*.ppm"))
+    assert len(ppms) == 3
+    assert ppms[0].read_bytes().startswith(b"P6\n64 48\n255\n")
+
+
+def test_cli_hash_matches_oracle_format(capsys, clip_path, oracle_bin):
+    import subprocess
+
+    assert cli.main(["hash", str(clip_path), "--backend", "numpy"]) == 0
+    got = capsys.readouterr().out.strip().splitlines()
+    want = subprocess.run([str(oracle_bin), "--hash", str(clip_path),
+                           "/dev/null"], capture_output=True, text=True,
+                          check=True).stdout.strip().splitlines()
+    assert got == want
+
+
+def test_cli_audio_and_stats(tmp_path, capsys, clip_path):
+    wav = tmp_path / "a.wav"
+    assert cli.main(["audio", str(clip_path), str(wav)]) == 0
+    assert wav.read_bytes()[:4] == b"RIFF"
+    assert cli.main(["stats", str(clip_path)]) == 0
+    assert '"frames"' in capsys.readouterr().out
+
+
+def test_cli_encode_roundtrip(tmp_path, capsys):
+    cfg = SeqConfig(32, 16)
+    rng = np.random.default_rng(0)
+    raw = b""
+    for _ in range(3):
+        y = np.clip(np.linspace(30, 220, 16 * 32).reshape(16, 32)
+                    + rng.normal(0, 2, (16, 32)), 0, 255).astype(np.uint8)
+        u = np.full((8, 16), 120, np.uint8)
+        v = np.full((8, 16), 130, np.uint8)
+        raw += y.tobytes() + u.tobytes() + v.tobytes()
+    src = tmp_path / "in.yuv"
+    src.write_bytes(raw)
+    out = tmp_path / "enc.h4m"
+    rc = cli.main(["encode", str(src), str(out), "--width", "32",
+                   "--height", "16", "--gops", "IPP"])
+    assert rc == 0
+    assert cli.main(["info", str(out)]) == 0
+    assert "32x16" in capsys.readouterr().out
+
+
+def test_cli_rejects_bad_file(tmp_path, capsys):
+    bad = tmp_path / "bad.h4m"
+    bad.write_bytes(b"not a clip at all" * 10)
+    rc = cli.main(["decode", str(bad), "/dev/null", "--backend", "numpy"])
+    assert rc == 1
+    assert "error" in capsys.readouterr().err
