@@ -58,6 +58,21 @@ struct BitReader {
     }
 
     inline void refill() {
+        if (have > 56) return;
+        if (byte_pos + 8 <= nbytes) {
+            // bulk path: one unaligned 64-bit load, big-endian normalized;
+            // keep only the whole bytes that fit, or later refills would OR
+            // fresh bits over stale tail garbage
+            uint64_t chunk;
+            std::memcpy(&chunk, d + byte_pos, 8);
+            chunk = __builtin_bswap64(chunk);
+            int nbits_take = (64 - have) & ~7;
+            chunk &= ~0ULL << (64 - nbits_take);
+            window |= chunk >> have;
+            byte_pos += (size_t)(nbits_take >> 3);
+            have += nbits_take;
+            return;
+        }
         while (have <= 56 && byte_pos < nbytes) {
             window |= (uint64_t)d[byte_pos++] << (56 - have);
             have += 8;
