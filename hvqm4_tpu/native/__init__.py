@@ -91,6 +91,15 @@ def _load():
             ctypes.POINTER(_FrameOut),
             ctypes.c_char_p, ctypes.c_size_t,
         ]
+        lib.hvqm4_plan_step.restype = ctypes.c_int
+        lib.hvqm4_plan_step.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_size_t),
+            ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(_PlaneOut), ctypes.POINTER(_PoolOut),
+            ctypes.POINTER(_FrameOut),
+            ctypes.c_char_p, ctypes.c_size_t,
+        ]
         _lib = lib
     return _lib
 
@@ -235,3 +244,53 @@ class NativePlanner:
         if rc != 0:
             raise PlannerError(err.value.decode(errors="replace"))
         return (int(fout.display_id), int(fout.raw_used), int(fout.desc_used))
+
+
+class StepPlanner:
+    """Whole-step batch planner: one GIL-released C call plans every active
+    stream of a multi-stream step (and fans streams over threads when
+    HVQM4_PLANNER_THREADS > 1). Argument blocks are prebuilt once per
+    ping-pong buffer."""
+
+    def __init__(self, planner: NativePlanner, n: int,
+                 stream_views: list, pools: list):
+        self.planner = planner
+        self.n = n
+        self.pouts = (_PlaneOut * (3 * n))()
+        self.pools = (_PoolOut * n)()
+        self.fouts = (_FrameOut * n)()
+        self.nests = []
+        for si, (views, nest_view) in enumerate(stream_views):
+            for pi, d in enumerate(views):
+                self.pouts[3 * si + pi] = _PlaneOut(
+                    **{k: _ptr(d[k]) for k in PLANE_KEYS})
+            self.pools[si] = pools[si]
+            self.fouts[si] = _FrameOut(nest=_ptr(nest_view))
+        self.payloads = (ctypes.c_char_p * n)()
+        self.sizes = (ctypes.c_size_t * n)()
+        self.ftypes = (ctypes.c_int * n)()
+        self.err = ctypes.create_string_buffer(256)
+
+    def plan(self, jobs: list) -> int:
+        """jobs: per stream, (ftype, payload bytes) or None.
+
+        Returns 0 on success or 1-based index of the first failed stream
+        (poison it and retry). Results are in self.fouts."""
+        cfg = self.planner.cfg
+        for si, job in enumerate(jobs):
+            if job is None:
+                self.payloads[si] = None
+                self.sizes[si] = 0
+                self.ftypes[si] = 0
+            else:
+                fchar, payload = job
+                self.payloads[si] = payload
+                self.sizes[si] = len(payload)
+                self.ftypes[si] = _FTYPE_CODE[fchar]
+        return self.planner._lib.hvqm4_plan_step(
+            self.payloads, self.sizes, self.ftypes, self.n,
+            cfg.width, cfg.height, cfg.h_samp, cfg.v_samp,
+            self.pouts, self.pools, self.fouts, self.err, len(self.err))
+
+    def error(self) -> str:
+        return self.err.value.decode(errors="replace")

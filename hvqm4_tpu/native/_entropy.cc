@@ -36,6 +36,10 @@
 
 namespace {
 
+// set inside hvqm4_plan_step worker threads so per-frame slice threading
+// doesn't nest (thread explosion) when the step itself is threaded
+thread_local bool g_in_step_worker = false;
+
 struct Error : std::runtime_error {
     using std::runtime_error::runtime_error;
 };
@@ -471,7 +475,7 @@ extern "C" int hvqm4_plan_frame(const uint8_t* payload, size_t n, int ftype,
         };
 
         const char* tenv = std::getenv("HVQM4_PLANNER_THREADS");
-        int want = tenv ? std::atoi(tenv) : 1;
+        int want = (tenv && !g_in_step_worker) ? std::atoi(tenv) : 1;
         int n_threads = std::min<int>(S, std::max(want, 1));
         if (n_threads > 1) {
             // slices write disjoint block rows; errors collected per thread
@@ -516,4 +520,62 @@ extern "C" int hvqm4_plan_frame(const uint8_t* payload, size_t n, int ftype,
         err_buf[err_len - 1] = 0;
         return 1;
     }
+}
+
+// ---------------------------------------------------------------------------
+// Step-level batch API: plan one frame for each of N streams in a single
+// call. Payload pointers may be null (inactive stream slots are skipped —
+// the caller fills trivial plans itself). Each stream has its own PlaneOut
+// triple, PoolOut and FrameOut. With HVQM4_PLANNER_THREADS > 1 the streams
+// are distributed over a thread pool (each stream's entropy is independent).
+// Returns 0 if every stream succeeded; otherwise the index+1 of the first
+// failed stream, with its message in err_buf (the caller poisons just that
+// stream and re-plans the step without it).
+// ---------------------------------------------------------------------------
+
+extern "C" int hvqm4_plan_step(const uint8_t* const* payloads,
+                               const size_t* sizes, const int* ftypes,
+                               int n_streams,
+                               int width, int height, int h_samp, int v_samp,
+                               PlaneOut* planes /* [n_streams*3] */,
+                               PoolOut* pools /* [n_streams] */,
+                               FrameOut* fouts /* [n_streams] */,
+                               char* err_buf, size_t err_len) {
+    std::vector<std::string> errs(n_streams);
+    const char* tenv = std::getenv("HVQM4_PLANNER_THREADS");
+    int want = tenv ? std::atoi(tenv) : 1;
+    int n_threads = std::min<int>(n_streams, std::max(want, 1));
+
+    auto run_one = [&](int si) {
+        if (!payloads[si]) return;
+        char ebuf[256];
+        int rc = hvqm4_plan_frame(payloads[si], sizes[si], ftypes[si],
+                                  width, height, h_samp, v_samp,
+                                  planes + 3 * si, pools + si, fouts + si,
+                                  ebuf, sizeof ebuf);
+        if (rc != 0) errs[si] = ebuf;
+    };
+
+    if (n_threads > 1) {
+        std::atomic<int> next{0};
+        std::vector<std::thread> pool_t;
+        for (int t = 0; t < n_threads; t++) {
+            pool_t.emplace_back([&]() {
+                g_in_step_worker = true;
+                int si;
+                while ((si = next.fetch_add(1)) < n_streams) run_one(si);
+            });
+        }
+        for (auto& th : pool_t) th.join();
+    } else {
+        for (int si = 0; si < n_streams; si++) run_one(si);
+    }
+    for (int si = 0; si < n_streams; si++) {
+        if (!errs[si].empty()) {
+            std::strncpy(err_buf, errs[si].c_str(), err_len - 1);
+            err_buf[err_len - 1] = 0;
+            return si + 1;
+        }
+    }
+    return 0;
 }

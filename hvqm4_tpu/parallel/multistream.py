@@ -305,17 +305,16 @@ class MultiStreamDecoder:
             buf["raw_used"] = 0
             buf["desc_used"] = 0
             if hasattr(self.planner, "prepare"):
-                from ..native import make_pool_struct
+                from ..native import StepPlanner, make_pool_struct
 
-                buf["prepared"] = []
-                for si in range(self.n):
-                    views, nv = buf["stream_views"][si]
-                    pool = make_pool_struct(
+                pool_structs = [
+                    make_pool_struct(
                         pools["raw"][:, si, :], pools["desc"][:, si],
                         raw_stride=self.n * 16, desc_stride=self.n,
                         raw_cap=pinfo["raw_cap"], desc_cap=pinfo["desc_cap"])
-                    buf["prepared"].append(
-                        self.planner.prepare(views, pool, nv))
+                    for si in range(self.n)]
+                buf["step_planner"] = StepPlanner(
+                    self.planner, self.n, buf["stream_views"], pool_structs)
             self._bufs.append(buf)
         self._cur = 0
 
@@ -374,6 +373,8 @@ class MultiStreamDecoder:
         buf = self._bufs[self._cur]
         buf["raw_used"] = 0
         buf["desc_used"] = 0
+        if "step_planner" in buf:
+            return self._plan_step_batch(buf)
         metas: list[FrameMeta | None] = []
         valid: list[bool] = []
         for si, s in enumerate(self.streams):
@@ -395,6 +396,44 @@ class MultiStreamDecoder:
             buf["is_i"][si] = 1 if fchar == "I" else 0
             buf["is_ref"][si] = 1 if fchar in ("I", "P") else 0
             metas.append(meta)
+            valid.append(True)
+        return buf, metas, valid
+
+    def _plan_step_batch(self, buf):
+        """One GIL-released C call plans the whole step (all active streams,
+        optionally threaded). A failing stream is poisoned and the step is
+        replanned without it (rare; replanning is deterministic)."""
+        sp = buf["step_planner"]
+        jobs: list = []
+        for s in self.streams:
+            if s.failed or s.pos >= len(s.records):
+                jobs.append(None)
+                continue
+            _block, fchar, payload = s.records[s.pos]
+            s.pos += 1
+            jobs.append((fchar, payload))
+        while True:
+            rc = sp.plan(jobs)
+            if rc == 0:
+                break
+            si = rc - 1  # poison the failed stream, keep the rest
+            self.streams[si].failed = True
+            jobs[si] = None
+        metas: list[FrameMeta | None] = []
+        valid: list[bool] = []
+        for si, job in enumerate(jobs):
+            if job is None:
+                self._fill_trivial(buf, si)
+                metas.append(None)
+                valid.append(False)
+                continue
+            fchar = job[0]
+            fout = sp.fouts[si]
+            buf["is_i"][si] = 1 if fchar == "I" else 0
+            buf["is_ref"][si] = 1 if fchar in ("I", "P") else 0
+            buf["raw_used"] = max(buf["raw_used"], int(fout.raw_used))
+            buf["desc_used"] = max(buf["desc_used"], int(fout.desc_used))
+            metas.append(FrameMeta(fchar, int(fout.display_id)))
             valid.append(True)
         return buf, metas, valid
 
