@@ -90,7 +90,8 @@ class _CandidateSet:
 
 class VideoEncoder:
     def __init__(self, cfg: SeqConfig, lambda_bits: float = 4.0,
-                 mv_range: int = 7, aot_bases: int = 2, seed: int = 0):
+                 mv_range: int = 7, aot_bases: int = 2, seed: int = 0,
+                 use_tpu_search: bool = False):
         self.cfg = cfg
         self.lam = lambda_bits
         self.mv_range = mv_range
@@ -98,6 +99,7 @@ class VideoEncoder:
         self.rng = np.random.default_rng(seed)
         self.planner = Planner(cfg)
         self.dec = GoldenDecoder(cfg)
+        self.use_tpu_search = use_tpu_search
 
     # -- per-plane intra decision ---------------------------------------------
 
@@ -144,6 +146,59 @@ class VideoEncoder:
                     best = _BlockDecision(
                         mode=6, raw=target.astype(np.uint8).copy())
                 out[by][bx] = best
+        return out, dcg
+
+    def _intra_plane_batched(self, plane: np.ndarray, search):
+        """Vectorized mode decision using the full-nest device search
+        (encode_tpu.NestSearch): one MXU-sized matmul per matching-pursuit
+        round instead of per-block scans."""
+        bh, bw = plane.shape[0] // 4, plane.shape[1] // 4
+        blocks = _blockify(plane).astype(np.int32).reshape(bh, bw, 16)
+        dcg = np.clip(np.round(blocks.mean(2)), 0, 255).astype(np.uint8)
+        from .refdec import weight_blocks
+
+        wrec = np.clip(weight_blocks(dcg), 0, 255).reshape(bh, bw, 16)
+        wsse = ((wrec - blocks) ** 2).sum(2)
+
+        flat = blocks.reshape(-1, 16)
+        dcs = dcg.reshape(-1).astype(np.int32)
+        resid0 = flat - dcs[:, None]
+        d1, t1, s1 = search.best(resid0)
+        rec1 = np.clip(dcs[:, None] + t1, 0, 255)
+        sse1 = ((rec1 - flat) ** 2).sum(1)
+        d2, t2, s2 = search.best(resid0 - t1)
+        rec2 = np.clip(dcs[:, None] + t1 + t2, 0, 255)
+        sse2 = ((rec2 - flat) ** 2).sum(1)
+
+        lam = self.lam
+        costs = np.stack([
+            wsse.reshape(-1) + lam * 10,                 # mode 0
+            sse1 + lam * 44,                             # aot-1
+            np.where(s2 != 0, sse2 + lam * 78, np.inf),  # aot-2
+            np.full(len(flat), lam * 132),               # raw
+        ])
+        costs[1] = np.where(s1 != 0, costs[1], np.inf)
+        choice = np.argmin(costs, axis=0)
+
+        out = [[None] * bw for _ in range(bh)]
+        for bi in range(len(flat)):
+            by, bx = divmod(bi, bw)
+            c = choice[bi]
+            if c == 0:
+                out[by][bx] = _BlockDecision(mode=0, dc_target=int(dcs[bi]))
+            elif c == 3:
+                out[by][bx] = _BlockDecision(
+                    mode=6, raw=flat[bi].astype(np.uint8))
+            else:
+                bases = [(int(d1[bi][0]), int(d1[bi][1]), int(d1[bi][2]),
+                          int(d1[bi][3]), int(d1[bi][4]), int(s1[bi]))]
+                if c == 2:
+                    bases.append((int(d2[bi][0]), int(d2[bi][1]),
+                                  int(d2[bi][2]), int(d2[bi][3]),
+                                  int(d2[bi][4]), int(s2[bi])))
+                out[by][bx] = _BlockDecision(mode=len(bases),
+                                             dc_target=int(dcs[bi]),
+                                             bases=bases)
         return out, dcg
 
     # -- motion search --------------------------------------------------------
@@ -258,10 +313,21 @@ class VideoEncoder:
                 np.round(blocks.reshape(bh, bw, 16).mean(2)), 0, 255
             ).astype(np.uint8)
             nest = build_nest(cfg, dcg_y_targets, 0, 0)
-        cand = _CandidateSet(nest, self.rng)
-        for pi, plane in enumerate(frame):
-            decisions, _dcg = self._intra_plane(plane, cand)
-            plane_decisions.append(decisions)
+        if self.use_tpu_search:
+            from .encode_tpu import NestSearch
+
+            search = NestSearch(nest)
+        else:
+            search = None
+        if search is not None and search.ok:
+            for plane in frame:
+                decisions, _dcg = self._intra_plane_batched(plane, search)
+                plane_decisions.append(decisions)
+        else:
+            cand = _CandidateSet(nest, self.rng)
+            for pi, plane in enumerate(frame):
+                decisions, _dcg = self._intra_plane(plane, cand)
+                plane_decisions.append(decisions)
 
         return self._serialize(ftype, display_id, mb_map, mv_map, ref_map,
                                plane_decisions)
