@@ -1,0 +1,65 @@
+"""Decode service tests (in-process server on an ephemeral port)."""
+
+import threading
+
+import numpy as np
+import pytest
+
+from hvqm4_tpu import serve
+from hvqm4_tpu.config import SeqConfig
+from tools.encoder import make_clip
+
+from .conftest import golden_decode
+
+
+@pytest.fixture(scope="module")
+def server():
+    srv = serve.DecodeServer(("127.0.0.1", 0), backend="numpy")
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv.server_address
+    srv.shutdown()
+
+
+def test_serve_yuv_bitexact(server):
+    cfg = SeqConfig(64, 48)
+    clip = make_clip(cfg, ["IPB"], seed=91)
+    host, port = server
+    chunks = serve.decode_remote(host, port, clip, mode=serve.MODE_YUV)
+    want = [f.tobytes() for f in golden_decode(cfg, clip)]
+    assert chunks == want
+
+
+def test_serve_rgb_shapes(server):
+    cfg = SeqConfig(64, 48)
+    clip = make_clip(cfg, ["I"], seed=92)
+    host, port = server
+    chunks = serve.decode_remote(host, port, clip, mode=serve.MODE_RGB)
+    assert len(chunks) == 1
+    rgb = np.frombuffer(chunks[0], np.uint8).reshape(48, 64, 3)
+    assert rgb.shape == (48, 64, 3)
+
+
+def test_serve_error_response(server):
+    host, port = server
+    with pytest.raises(RuntimeError, match="server error"):
+        serve.decode_remote(host, port, b"garbage garbage garbage")
+    # the server must keep serving after an error
+    cfg = SeqConfig(64, 48)
+    clip = make_clip(cfg, ["I"], seed=93)
+    assert serve.decode_remote(host, port, clip, mode=serve.MODE_YUV)
+
+
+def test_serve_rejects_oversized(server):
+    host, port = server
+    srv_max = 256 << 20
+    # craft a header that CLAIMS an oversized clip without sending it
+    import socket
+    import struct
+
+    with socket.create_connection((host, port), timeout=30) as s:
+        s.sendall(serve.MAGIC_Q + struct.pack("<II", 0, srv_max + 1))
+        head = s.recv(12)
+        assert head[:4] == serve.MAGIC_R
+        status, _n = struct.unpack("<II", head[4:])
+        assert status == 1
