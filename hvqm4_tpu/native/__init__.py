@@ -131,13 +131,15 @@ def make_pool_struct(raw_pool: np.ndarray, desc_pool: np.ndarray,
                      desc_stride: int | None = None,
                      raw_cap: int | None = None,
                      desc_cap: int | None = None) -> "_PoolOut":
-    return _PoolOut(
+    out = _PoolOut(
         raw_pool=_ptr(raw_pool),
         raw_stride=raw_stride if raw_stride is not None else 16,
         raw_cap=raw_cap if raw_cap is not None else raw_pool.shape[0],
         desc_pool=_ptr(desc_pool),
         desc_stride=desc_stride if desc_stride is not None else 1,
         desc_cap=desc_cap if desc_cap is not None else desc_pool.shape[0])
+    out._keepalive = (raw_pool, desc_pool)  # C writes through raw pointers
+    return out
 
 
 def unpack_plane(d: dict[str, np.ndarray], raw_pool: np.ndarray,
@@ -224,19 +226,23 @@ class NativePlanner:
     def prepare(self, plane_views: list[dict], pool: "_PoolOut",
                 nest_view: np.ndarray):
         """Pre-build the ctypes argument block for a stable set of output
-        views (one stream's slice of the multi-stream arenas + pool columns)."""
+        views (one stream's slice of the multi-stream arenas + pool columns).
+
+        The returned block keeps references to the backing arrays: the C side
+        writes through raw pointers, so the buffers must outlive the block."""
         pouts = (_PlaneOut * 3)()
         for i, d in enumerate(plane_views):
             pouts[i] = _PlaneOut(**{k: _ptr(d[k]) for k in PLANE_KEYS})
         fout = _FrameOut(nest=_ptr(nest_view))
         err = ctypes.create_string_buffer(256)
-        return (pouts, pool, fout, err)
+        keepalive = (list(plane_views), nest_view)
+        return (pouts, pool, fout, err, keepalive)
 
     def plan_frame_prepared(self, ftype: str, payload: bytes, prep):
         """Plan into a prepared argument block.
 
         Returns (display_id, raw_used, desc_used)."""
-        pouts, pool, fout, err = prep
+        pouts, pool, fout, err, _keepalive = prep
         rc = self._lib.hvqm4_plan_frame(
             payload, len(payload), _FTYPE_CODE[ftype],
             self.cfg.width, self.cfg.height, self.cfg.h_samp, self.cfg.v_samp,

@@ -157,10 +157,14 @@ struct Huff {
 
     void init(const uint8_t* d, size_t n) {
         nodes.clear();
+        nodes.reserve(640);
         present = n > 0;
         br.init(d, n);
         if (!present) return;
-        lut.assign(1u << LUT_BITS, 0);
+        // No zero-fill: a serialized tree is complete by construction (every
+        // internal node has both children), so its leaves + continuation
+        // entries cover the entire LUT index space.
+        lut.resize(1u << LUT_BITS);
         root = read_tree(0, 0, 0);
         if (root < 0) {  // degenerate single-leaf tree: 0-bit symbols
             uint32_t entry = (uint32_t)(-root - 1);  // len 0
@@ -433,8 +437,15 @@ extern "C" int hvqm4_plan_frame(const uint8_t* payload, size_t n, int ftype,
         }
         if (off != n) throw Error("trailing bytes after streams");
 
-        std::vector<MBInfo> mbs;
-        if (ftype != 0) mbs.resize((size_t)g.mh * g.mw);
+        // thread-local scratch: mb_rows() fully initializes every entry it
+        // covers, so no per-call zeroing is needed. Heap-allocated and
+        // intentionally leaked: a thread_local with a non-trivial destructor
+        // in a dlopen'd library segfaults at interpreter teardown.
+        static thread_local std::vector<MBInfo>* mbs_tls = nullptr;
+        if (!mbs_tls) mbs_tls = new std::vector<MBInfo>();
+        std::vector<MBInfo>& mbs = *mbs_tls;
+        if (ftype != 0 && mbs.size() < (size_t)g.mh * g.mw)
+            mbs.resize((size_t)g.mh * g.mw);
 
         std::vector<SliceDec> slices(S);
         for (int sl = 0; sl < S; sl++) {
