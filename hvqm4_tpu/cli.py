@@ -49,6 +49,19 @@ def cmd_info(args) -> int:
 def cmd_decode(args) -> int:
     data = Path(args.clip).read_bytes()
     cfg = Demuxer(data).info.cfg
+    if args.gop_parallel:
+        from .parallel.multistream import decode_clip_gop_parallel
+
+        out = open(args.output, "wb") if args.output else None
+        n = 0
+        for _bi, yuv in decode_clip_gop_parallel(data):
+            if out:
+                out.write(yuv)
+            n += 1
+        if out:
+            out.close()
+        print(f"decoded {n} frames (gop-parallel)", file=sys.stderr)
+        return 0
     sess = DecoderSession(cfg, backend=args.backend, profile=args.profile)
     out = open(args.output, "wb") if args.output else None
     n = 0
@@ -174,6 +187,8 @@ def main(argv=None) -> int:
     p.add_argument("--start-block", type=int, default=0)
     p.add_argument("--display-order", action="store_true",
                    help="emit frames in presentation order (default: decode order)")
+    p.add_argument("--gop-parallel", action="store_true",
+                   help="batch independent GOP blocks as parallel streams")
     p.add_argument("--profile", action="store_true")
     p.set_defaults(fn=cmd_decode)
 

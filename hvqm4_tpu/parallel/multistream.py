@@ -259,20 +259,25 @@ class MultiStreamDecoder:
     """Host orchestration for N parallel streams of one SeqConfig."""
 
     def __init__(self, cfg: SeqConfig, clips: list[bytes],
-                 planner_factory=Planner, sharding=None):
+                 planner_factory=Planner, sharding=None,
+                 record_lists: list | None = None):
         self.cfg = cfg
-        self.n = len(clips)
         self.planner = planner_factory(cfg)
         self.sharding = sharding
         self._use_into = hasattr(self.planner, "plan_frame_into")
         self.streams = []
-        for clip in clips:
-            d = Demuxer(clip)
-            if d.info.cfg != cfg:
-                raise ValueError("all streams must share one SeqConfig")
-            recs = [(r.block_index, r.frame_char, r.payload)
-                    for r in d.video_records()]
-            self.streams.append(_Stream(records=recs))
+        if record_lists is not None:
+            for recs in record_lists:
+                self.streams.append(_Stream(records=list(recs)))
+        else:
+            for clip in clips:
+                d = Demuxer(clip)
+                if d.info.cfg != cfg:
+                    raise ValueError("all streams must share one SeqConfig")
+                recs = [(r.block_index, r.frame_char, r.payload)
+                        for r in d.video_records()]
+                self.streams.append(_Stream(records=recs))
+        self.n = len(self.streams)
         nh, nw = cfg.nest_shape
         dev = self._put
         self.nest = dev(np.zeros((self.n, nh, nw), np.uint8))
@@ -533,3 +538,49 @@ def shard_streams(mesh, axis: str = "dp"):
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     return NamedSharding(mesh, P(axis))
+
+
+def decode_clip_gop_parallel(clip: bytes, max_streams: int = 8,
+                             planner_factory=None):
+    """Decode ONE `.h4m` clip with its GOP blocks batched as parallel streams.
+
+    GOP blocks are independent seek points (reference state resets at each,
+    FORMAT.md §2), so a single long clip decodes at multi-stream throughput:
+    blocks are dealt round-robin onto up to `max_streams` lanes and each
+    lane's frames are re-assembled into decode order at the end.
+
+    Yields (block_index, yuv_bytes) per frame, in the clip's decode order.
+    Frames round-trip to the host here (this is the export/CLI path — the
+    training/serving paths keep frames on device).
+    """
+    d = Demuxer(clip)
+    cfg = d.info.cfg
+    blocks: list[list] = [[] for _ in d.block_offsets]
+    for r in d.video_records():
+        blocks[r.block_index].append((r.block_index, r.frame_char, r.payload))
+    n = min(max_streams, len(blocks)) or 1
+    lanes: list[list] = [[] for _ in range(n)]
+    lane_of_block = {}
+    for bi, recs in enumerate(blocks):
+        lanes[bi % n].extend(recs)
+        lane_of_block[bi] = bi % n
+    if planner_factory is None:
+        try:
+            from ..native import NativePlanner as planner_factory
+        except Exception:
+            planner_factory = Planner
+    ms = MultiStreamDecoder(cfg, [], planner_factory=planner_factory,
+                            record_lists=lanes)
+    per_lane: list[list] = [[] for _ in range(n)]
+    for frames, metas, valid in ms.run_pipelined():
+        fnp = [np.asarray(p) for p in frames]
+        for si, ok in enumerate(valid):
+            if ok:
+                per_lane[si].append(b"".join(
+                    fnp[pi][si].tobytes() for pi in range(3)))
+    cursors = [0] * n
+    for bi, recs in enumerate(blocks):
+        lane = lane_of_block[bi]
+        for _ in recs:
+            yield bi, per_lane[lane][cursors[lane]]
+            cursors[lane] += 1

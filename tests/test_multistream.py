@@ -66,3 +66,14 @@ def test_sharded_multistream_matches():
     expected = _multi_frames(CFG, clips)
     got = _multi_frames(CFG, clips, sharding=shard_streams(mesh))
     assert got == expected
+
+
+def test_gop_parallel_matches_sequential():
+    from hvqm4_tpu.parallel.multistream import decode_clip_gop_parallel
+    from hvqm4_tpu.planner import Planner
+
+    clip = make_clip(CFG, ["IPB", "IPP", "IB" + "P" * 3, "I"], seed=77)
+    want = _single_stream_frames(CFG, clip)
+    got = [yuv for _bi, yuv in decode_clip_gop_parallel(
+        clip, max_streams=3, planner_factory=Planner)]
+    assert got == want
