@@ -17,7 +17,6 @@ collective-free while the ViT inserts its tensor-parallel all-reduces.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 from .config import SeqConfig
 from .models.vit import ViTConfig, init_vit, shard_vit_params, vit_encode

@@ -14,7 +14,7 @@ from __future__ import annotations
 import numpy as np
 
 from .config import MAX_BASES, SeqConfig
-from .planner import CLS_INTRA, REF_BI, REF_LAST
+from .planner import CLS_INTRA, REF_LAST
 from .plans import FramePlan, PlanePlan
 
 _W = np.array([4, 1, 0, 0], np.int32)  # up/left weights; reversed for down/right

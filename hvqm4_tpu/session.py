@@ -20,7 +20,7 @@ from typing import Iterator
 
 import numpy as np
 
-from .config import FRAME_B, FRAME_I, FRAME_P, MEDIA_VIDEO, SeqConfig
+from .config import MEDIA_VIDEO, SeqConfig
 from .container import Demuxer, Record
 from .planner import Planner
 from .plans import FramePlan

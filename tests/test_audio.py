@@ -1,7 +1,5 @@
 """IMA-ADPCM audio tests (FORMAT.md §8): Python codec vs the C oracle."""
 
-import struct
-
 import numpy as np
 import pytest
 

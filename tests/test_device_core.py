@@ -4,7 +4,6 @@ Runs on the XLA CPU backend here (conftest); the same integer ops are exact
 on TPU (bench.py re-verifies hashes on the real chip).
 """
 
-import numpy as np
 import pytest
 
 from hvqm4_tpu.config import SeqConfig

@@ -11,7 +11,7 @@ import subprocess
 import numpy as np
 import pytest
 
-from hvqm4_tpu.config import FRAME_I, SeqConfig
+from hvqm4_tpu.config import SeqConfig
 from hvqm4_tpu.container import ContainerError, Demuxer
 from hvqm4_tpu.planner import Planner, PlannerError
 from tools.encoder import make_clip

@@ -2,7 +2,6 @@
 
 import jax
 import numpy as np
-import pytest
 
 from hvqm4_tpu.config import SeqConfig
 from hvqm4_tpu.parallel.multistream import MultiStreamDecoder, shard_streams

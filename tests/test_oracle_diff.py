@@ -5,7 +5,6 @@ docs/FORMAT.md (C scalar decoder vs Python planner + vectorized NumPy core)
 must agree byte-for-byte on synthetic corpus clips covering every decode path.
 """
 
-import numpy as np
 import pytest
 
 from hvqm4_tpu.config import SeqConfig

@@ -1,6 +1,5 @@
 """Display-order reordering and geometry edge cases."""
 
-import numpy as np
 import pytest
 
 from hvqm4_tpu.config import SeqConfig
