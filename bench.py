@@ -165,6 +165,13 @@ def phase_hash(n_streams: int) -> dict:
 
 
 def main() -> None:
+    # persistent compilation cache: phases run in subprocesses and the driver
+    # may invoke bench cold — without this every phase pays its own ~minutes
+    # of TPU compiles
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          os.path.expanduser("~/.cache/jax"))
+    pathlib.Path(os.environ["JAX_COMPILATION_CACHE_DIR"]).mkdir(
+        parents=True, exist_ok=True)
     n_streams = int(os.environ.get("HVQM4_BENCH_STREAMS", "8"))
     if len(sys.argv) == 3 and sys.argv[1] == "--phase":
         out = {"pipeline": phase_pipeline, "device": phase_device,
