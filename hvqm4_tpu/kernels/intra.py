@@ -151,7 +151,3 @@ def intra_synth_pallas(plan, nest, interpret: bool = False):
     return (out[:, :n].T.reshape(bh, bw, 4, 4),
             acc[:, :n].T.reshape(bh, bw, 4, 4))
 
-
-def intra_synth_pallas_px(plan, nest, interpret: bool = False):
-    """Pixels only (test convenience)."""
-    return intra_synth_pallas(plan, nest, interpret=interpret)[0]

@@ -6,15 +6,16 @@ loop). The shared library is built on demand with g++ (no pybind11 in the
 image — plain `extern "C"` + ctypes per the environment constraints) and
 cached next to the source.
 
-The C++ side emits the *packed device plan layout* directly (see
-`ops.device_core.plane_plan_arrays`): meta/dc/raw/desc/mv/mv2. Two call
-styles:
+The C++ side emits the *packed device plan layout* directly (dense
+meta/dc/mv/mv2 plus sparse raw/descriptor pools). Call styles:
 
 - `plan_frame(ftype, payload)` → `FramePlan` (Planner-compatible; unpacks)
-- `plan_frame_into(ftype, payload, plane_views, nest_view)` → zero-copy:
-  writes straight into caller buffers (one stream's slice of the
-  multi-stream batch tensors). Every field the device core reads unmasked is
-  written on every call, so buffers may be reused across frames.
+- `prepare(...)` + `plan_frame_prepared(...)` → zero-copy into caller
+  buffers (one stream's slice of the multi-stream arenas); every field the
+  device core reads unmasked is written on every call, so buffers are
+  reusable across frames
+- `StepPlanner.plan(...)` → one GIL-released call planning a whole
+  multi-stream step (thread-pool capable)
 
 Errors raise `PlannerError` carrying the C++ message (per-stream poisoning,
 SURVEY.md §5).

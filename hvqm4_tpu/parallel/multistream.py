@@ -15,9 +15,9 @@ corrupt streams are masked inactive and decode a trivial plan (SURVEY.md §5
 "fail per-stream without killing the batch").
 
 Host-side cost engineering:
-- the batch plan tensors live in ONE contiguous host **arena** per ping-pong
-  slot; the native planner writes each stream's field slices in place
-  (`plan_frame_into`) — no per-frame allocation, no stacking copies;
+- the batch plan tensors live in typed host **arenas** per ping-pong slot;
+  the native planner writes every stream's field slices and sparse pools in
+  place via one batch C call per step — no per-frame allocation or copies;
 - each step uploads the arena as a single u8 transfer (one host→device
   round-trip instead of ~20 — interconnect latency, not bandwidth, dominated
   the per-field path) and the jitted step bitcasts field views out of it;
@@ -56,12 +56,6 @@ _FIELD_SPECS = (
     ("mv", np.int16, (2,)),
     ("mv2", np.int16, (2,)),
 )
-
-
-def stack_plane_plans(plans: list[PlanePlan]) -> dict[str, np.ndarray]:
-    """N same-shape PlanePlans → dict of (N, ...) arrays (slow path)."""
-    arrs = [device_core.plane_plan_arrays(p) for p in plans]
-    return {k: np.stack([a[k] for a in arrs]) for k in arrs[0]}
 
 
 # ---------------------------------------------------------------------------
@@ -264,7 +258,6 @@ class MultiStreamDecoder:
         self.cfg = cfg
         self.planner = planner_factory(cfg)
         self.sharding = sharding
-        self._use_into = hasattr(self.planner, "plan_frame_into")
         self.streams = []
         if record_lists is not None:
             for recs in record_lists:
