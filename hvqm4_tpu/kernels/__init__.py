@@ -6,4 +6,6 @@ runtime-checked: `intra_synth` falls back to XLA automatically off-TPU (the
 CPU test mesh runs kernels in interpreter mode instead).
 """
 
+from .csc import yuv_to_rgb_pallas  # noqa: F401
+from .inter import decode_plane_inter_pallas  # noqa: F401
 from .intra import intra_synth_pallas  # noqa: F401

@@ -219,6 +219,11 @@ def decode_plane_inter(plan, nest, ref0, ref1):
     bidirectional blend is (fwd + bwd + 1) >> 1 before the residual
     (FORMAT.md §7.5).
     """
+    if _PALLAS_MODE != "off":
+        from ..kernels.inter import decode_plane_inter_pallas
+
+        return decode_plane_inter_pallas(
+            plan, nest, ref0, ref1, interpret=_PALLAS_MODE == "interpret")
     intra, acc = _intra_pixels(plan, nest)
     cls_, refsel, _mode = unpack_meta(plan["meta"])
     pf = mc_predict(ref0, plan["mv"])

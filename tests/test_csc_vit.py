@@ -1,4 +1,4 @@
-"""YUV→RGB conversion, resize, and the ViT feed (BASELINE config 5)."""
+"""YUV→RGB conversion (XLA + Pallas), resize, and the ViT feed (config 5)."""
 
 import jax
 import jax.numpy as jnp
@@ -63,3 +63,14 @@ def test_vit_encode_shapes_and_grad_free_forward():
     # deterministic
     emb2 = jax.jit(lambda p, x: vit_encode(p, cfg, x))(params, imgs)
     assert np.array_equal(np.asarray(emb), np.asarray(emb2))
+
+
+def test_yuv_to_rgb_pallas_matches_xla():
+    from hvqm4_tpu.kernels.csc import yuv_to_rgb_pallas
+
+    rng = np.random.default_rng(5)
+    y, u, v = (jnp.asarray(rng.integers(0, 256, (36, 48), dtype=np.uint8))
+               for _ in range(3))
+    want = np.asarray(yuv_to_rgb(y, u, v))
+    got = np.asarray(yuv_to_rgb_pallas(y, u, v, interpret=True))
+    assert np.array_equal(want, got)

@@ -45,3 +45,16 @@ def test_intra_synth_pallas_portrait_nest():
     got_px, got_acc = intra_synth_pallas(plan, nest, interpret=True)
     assert jnp.array_equal(jnp.clip(ref_px, 0, 255), got_px)
     assert jnp.array_equal(ref_acc, got_acc)
+
+
+def test_inter_combine_pallas_matches_xla():
+    from hvqm4_tpu.kernels.inter import decode_plane_inter_pallas
+
+    rng = np.random.default_rng(9)
+    plan = _plan(rng, 12, 16)
+    nest = jnp.asarray(rng.integers(0, 256, (38, 70), dtype=np.uint8))
+    ref0 = jnp.asarray(rng.integers(0, 256, (48, 64), dtype=np.uint8))
+    ref1 = jnp.asarray(rng.integers(0, 256, (48, 64), dtype=np.uint8))
+    want = dc.decode_plane_inter(plan, nest, ref0, ref1)
+    got = decode_plane_inter_pallas(plan, nest, ref0, ref1, interpret=True)
+    assert jnp.array_equal(want, got)
