@@ -32,7 +32,7 @@ with open(out_path, "wb") as f:
 
 def test_pallas_interpret_decode_matches_oracle(oracle_bin, tmp_path):
     cfg = SeqConfig(32, 16)
-    clip = make_clip(cfg, ["I"], seed=77)  # one frame: interpret-mode lowering is slow
+    clip = make_clip(cfg, ["IPB"], seed=77)  # all frame types through all kernels
     clip_path = tmp_path / "c.h4m"
     out_path = tmp_path / "pallas.yuv"
     clip_path.write_bytes(clip)
