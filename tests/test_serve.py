@@ -63,3 +63,25 @@ def test_serve_rejects_oversized(server):
         assert head[:4] == serve.MAGIC_R
         status, _n = struct.unpack("<II", head[4:])
         assert status == 1
+
+
+def test_serve_embeddings_mode():
+    import struct
+
+    from hvqm4_tpu.models.vit import ViTConfig
+
+    srv = serve.DecodeServer(("127.0.0.1", 0), backend="numpy",
+                             vit_cfg=ViTConfig(image_size=32, patch_size=8,
+                                               dim=64, depth=1, heads=2))
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        cfg = SeqConfig(64, 48)
+        clip = make_clip(cfg, ["IP"], seed=94)
+        host, port = srv.server_address
+        chunks = serve.decode_remote(host, port, clip, mode=serve.MODE_EMBED)
+        assert len(chunks) == 2
+        emb = np.frombuffer(chunks[0], "<f4")
+        assert emb.shape == (64,) and np.isfinite(emb).all()
+    finally:
+        srv.shutdown()
