@@ -114,7 +114,7 @@ def alloc_packed_plane(bh: int, bw: int) -> dict[str, np.ndarray]:
     return {
         "meta": np.zeros((bh, bw), np.uint8),
         "dc": np.full((bh, bw), 128, np.uint8),
-        "raw_idx": np.zeros((bh, bw), np.int16),
+        "raw_idx": np.zeros((bh, bw), np.uint32),
         "desc_start": np.zeros((bh, bw), np.uint32),
         "mv": np.zeros((bh, bw, 2), np.int16),
         "mv2": np.zeros((bh, bw, 2), np.int16),

@@ -199,7 +199,7 @@ struct Huff {
 struct PlaneOut {
     uint8_t* meta;        // bh*bw
     uint8_t* dc;          // bh*bw
-    int16_t* raw_idx;     // bh*bw      slot into the shared raw pool
+    uint32_t* raw_idx;    // bh*bw      slot into the shared raw pool
     uint32_t* desc_start; // bh*bw      first slot into the shared desc pool
     int16_t* mv;          // bh*bw*2
     int16_t* mv2;         // bh*bw*2
@@ -255,7 +255,7 @@ struct SliceDec {
     inline void write_raw(PlaneOut& p, size_t bi) {
         uint32_t slot = raw_ctr->fetch_add(1, std::memory_order_relaxed);
         if (slot >= pools->raw_cap) throw Error("raw pool overflow");
-        p.raw_idx[bi] = (int16_t)slot;
+        p.raw_idx[bi] = slot;
         uint8_t* dst = pools->raw_pool + (size_t)slot * pools->raw_stride;
         for (int i = 0; i < 16; i++) dst[i] = (uint8_t)aux.bits(8);
     }

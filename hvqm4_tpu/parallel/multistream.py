@@ -51,7 +51,7 @@ _PLANE_KEYS = ("meta", "dc", "raw_idx", "desc_start", "mv", "mv2")
 _FIELD_SPECS = (
     ("meta", np.uint8, ()),
     ("dc", np.uint8, ()),
-    ("raw_idx", np.int16, ()),
+    ("raw_idx", np.uint32, ()),
     ("desc_start", np.uint32, ()),
     ("mv", np.int16, (2,)),
     ("mv2", np.int16, (2,)),
@@ -346,7 +346,7 @@ class MultiStreamDecoder:
             pp["mv"][si] = src["mv"]
             pp["mv2"][si] = src["mv2"]
             is_raw = (p.cls == 0) & (p.mode == 6)
-            idx = np.zeros(p.mode.shape, np.int16)
+            idx = np.zeros(p.mode.shape, np.uint32)
             for (by, bx) in zip(*np.nonzero(is_raw)):
                 buf["pools"]["raw"][raw_slot, si] = src["raw"][by, bx]
                 idx[by, bx] = raw_slot
