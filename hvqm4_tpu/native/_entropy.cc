@@ -318,6 +318,27 @@ struct SliceDec {
         }
     }
 
+    // One intra block: mode, DC chain, raw/descriptor payloads. Shared by
+    // the I-frame fast loop and the P/B general loop.
+    inline void intra_block(PlaneOut& p, uint8_t* dcg, size_t bi, int bx,
+                            int by, int row0, int W, int dc_shift) {
+        int mode = basisnum();
+        if (mode == 5) throw Error("intra basisnum 5 invalid");
+        p.meta[bi] = (uint8_t)mode;  // cls=0 refsel=0
+        if (mode == 6) {
+            write_raw(p, bi);
+            p.dc[bi] = dcg[bi] = 128;
+        } else {
+            int pred = bx > 0        ? dcg[bi - 1]
+                       : by > row0   ? dcg[bi - W]
+                                     : 128;
+            int32_t v = dch.delta();
+            p.dc[bi] = dcg[bi] = (uint8_t)(
+                (uint32_t)(pred + v * (1 << dc_shift)) & 0xFF);
+            if (mode) write_descs(p, bi, mode);
+        }
+    }
+
     void plane(int pi, int dc_shift, PlaneOut& p) {
         const int W = g->bw[pi];
         const bool chroma_mb = (pi > 0 && g->h_samp == 2);
@@ -327,28 +348,21 @@ struct SliceDec {
         const int row0 = ms0 * rpm, row1 = ms1 * rpm;
         uint8_t* dcg = p.dc;  // the output DC grid doubles as the
                               // prediction scratch (it IS the effective grid)
+        if (ftype == 0) {     // I-frame fast path: every block is intra
+            for (int by = row0; by < row1; by++) {
+                size_t bi = (size_t)by * W;
+                for (int bx = 0; bx < W; bx++, bi++)
+                    intra_block(p, dcg, bi, bx, by, row0, W, dc_shift);
+            }
+            return;
+        }
         for (int by = row0; by < row1; by++) {
-            const MBInfo* mbrow =
-                (ftype != 0) ? &mbs[(size_t)(by >> shift_idx) * g->mw] : nullptr;
+            const MBInfo* mbrow = &mbs[(size_t)(by >> shift_idx) * g->mw];
             for (int bx = 0; bx < W; bx++) {
                 const size_t bi = (size_t)by * W + bx;
-                const MBInfo* mb = mbrow ? &mbrow[bx >> shift_idx] : nullptr;
-                if (!mb || mb->type == MB_INTRA) {
-                    int mode = basisnum();
-                    if (mode == 5) throw Error("intra basisnum 5 invalid");
-                    p.meta[bi] = (uint8_t)mode;  // cls=0 refsel=0
-                    if (mode == 6) {
-                        write_raw(p, bi);
-                        p.dc[bi] = dcg[bi] = 128;
-                    } else {
-                        int pred = bx > 0        ? dcg[bi - 1]
-                                   : by > row0   ? dcg[bi - W]
-                                                 : 128;
-                        int32_t v = dch.delta();
-                        p.dc[bi] = dcg[bi] = (uint8_t)(
-                            (uint32_t)(pred + v * (1 << dc_shift)) & 0xFF);
-                        if (mode) write_descs(p, bi, mode);
-                    }
+                const MBInfo* mb = &mbrow[bx >> shift_idx];
+                if (mb->type == MB_INTRA) {
+                    intra_block(p, dcg, bi, bx, by, row0, W, dc_shift);
                 } else {
                     p.dc[bi] = dcg[bi] = 128;
                     if (mb->type == MB_INTER) {
