@@ -154,6 +154,36 @@ def cmd_encode(args) -> int:
     return 0
 
 
+def cmd_verify(args) -> int:
+    """Decode via the JAX and NumPy backends (and the C oracle when built)
+    and compare byte-for-byte — a user-facing conformance check."""
+    data = Path(args.clip).read_bytes()
+    cfg = Demuxer(data).info.cfg
+    results = {}
+    for backend in ("numpy", "jax"):
+        sess = DecoderSession(cfg, backend=backend)
+        results[backend] = [f.yuv_bytes() for f in sess.decode_clip(data)]
+    ok = results["numpy"] == results["jax"]
+    print(f"numpy vs jax ({len(results['jax'])} frames): "
+          f"{'MATCH' if ok else 'MISMATCH'}")
+    oracle = Path(__file__).resolve().parent.parent / "oracle" / "hvqm4_oracle"
+    if oracle.exists():
+        import subprocess
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as td:
+            inp = Path(td) / "c.h4m"
+            out = Path(td) / "c.yuv"
+            inp.write_bytes(data)
+            subprocess.run([str(oracle), str(inp), str(out)], check=True)
+            oracle_ok = out.read_bytes() == b"".join(results["jax"])
+        print(f"jax vs C oracle: {'MATCH' if oracle_ok else 'MISMATCH'}")
+        ok = ok and oracle_ok
+    else:
+        print("C oracle not built (make -C oracle) — skipped")
+    return 0 if ok else 1
+
+
 def cmd_stats(args) -> int:
     data = Path(args.clip).read_bytes()
     print(clip_stats(data))
@@ -216,6 +246,10 @@ def main(argv=None) -> int:
     p = sub.add_parser("stats")
     p.add_argument("clip")
     p.set_defaults(fn=cmd_stats)
+
+    p = sub.add_parser("verify")
+    p.add_argument("clip")
+    p.set_defaults(fn=cmd_verify)
 
     args = ap.parse_args(argv)
     _select_platform(args.platform)

@@ -82,3 +82,9 @@ def test_cli_rejects_bad_file(tmp_path, capsys):
     rc = cli.main(["decode", str(bad), "/dev/null", "--backend", "numpy"])
     assert rc == 1
     assert "error" in capsys.readouterr().err
+
+
+def test_cli_verify(capsys, clip_path, oracle_bin):
+    assert cli.main(["verify", str(clip_path)]) == 0
+    out = capsys.readouterr().out
+    assert out.count("MATCH") == 2 and "MISMATCH" not in out
