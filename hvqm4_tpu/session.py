@@ -52,7 +52,14 @@ class DecoderSession:
                  planner: Planner | None = None, profile: bool = False):
         self.cfg = cfg
         self.backend = backend
-        self.planner = planner or Planner(cfg)
+        if planner is None:
+            try:  # production entropy path; Python planner as fallback
+                from .native import NativePlanner
+
+                planner = NativePlanner(cfg)
+            except Exception:
+                planner = Planner(cfg)
+        self.planner = planner
         self.timer = StageTimer(enabled=profile)
         if backend == "jax":
             import jax.numpy as jnp  # deferred so numpy backend needs no jax
