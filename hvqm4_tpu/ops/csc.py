@@ -17,8 +17,12 @@ codec's blocky aesthetic and keeping the op integer-exact.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
+
+_PALLAS_MODE = os.environ.get("HVQM4_PALLAS", "off")
 
 
 def _sra(x, n):
@@ -49,8 +53,14 @@ def yuv_to_rgb(y: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
 def frame_to_rgb(planes, h_samp: int, v_samp: int) -> jnp.ndarray:
     """[Y, U, V] session planes → (H, W, 3) u8 on device."""
     y, u, v = planes
-    return yuv_to_rgb(y, upsample_chroma(u, h_samp, v_samp),
-                      upsample_chroma(v, h_samp, v_samp))
+    uu = upsample_chroma(u, h_samp, v_samp)
+    vv = upsample_chroma(v, h_samp, v_samp)
+    if _PALLAS_MODE != "off" and y.ndim == 2:
+        from ..kernels.csc import yuv_to_rgb_pallas
+
+        return yuv_to_rgb_pallas(y, uu, vv,
+                                 interpret=_PALLAS_MODE == "interpret")
+    return yuv_to_rgb(y, uu, vv)
 
 
 def resize_bilinear(img: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
