@@ -92,10 +92,9 @@ def phase_pipeline(n_streams: int) -> dict:
     import jax
 
     _cfg, _cp, make_ms, planner_name = _setup(n_streams)
-    ms = make_ms()  # compile warmup (persistent-cache backed)
-    for _ in range(2):
-        out = ms.step()
-        jax.block_until_ready(out[0])
+    ms = make_ms()  # compile warmup (persistent-cache backed): run the whole
+    for _ in ms.run_pipelined():  # clip so every pool-tier executable is warm
+        pass
     del ms
 
     ms = make_ms()
@@ -126,8 +125,12 @@ def phase_device(n_streams: int) -> dict:
                          "raw_used": buf["raw_used"],
                          "desc_used": buf["desc_used"]})
         ms._cur ^= 1
+    # warm EVERY pool-tier executable the clip touches (a tier's first use
+    # pays compile/persistent-cache load; that must not land in the timing)
     ms2 = make_ms()
-    jax.block_until_ready(ms2.device_step(all_bufs[0]))  # warm
+    for buf in all_bufs:
+        last = ms2.device_step(buf)
+    jax.block_until_ready(last)
     ms3 = make_ms()
     t0 = time.perf_counter()
     last = None

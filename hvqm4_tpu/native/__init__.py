@@ -7,7 +7,8 @@ image — plain `extern "C"` + ctypes per the environment constraints) and
 cached next to the source.
 
 The C++ side emits the *packed device plan layout* directly (dense
-meta/dc/mv/mv2 plus sparse raw/descriptor pools). Call styles:
+meta/dc/slot per plane, per-MB motion vectors, sparse raw/descriptor
+pools). Call styles:
 
 - `plan_frame(ftype, payload)` → `FramePlan` (Planner-compatible; unpacks)
 - `prepare(...)` + `plan_frame_prepared(...)` → zero-copy into caller
@@ -39,8 +40,15 @@ _LIB = _DIR / "_entropy.so"
 
 _FTYPE_CODE = {"I": 0, "P": 1, "B": 2}
 
-# order must match the C PlaneOut struct / packed plan keys
-PLANE_KEYS = ("meta", "dc", "raw_idx", "desc_start", "mv", "mv2")
+# order must match the C PlaneOut struct / packed plan keys.
+# `slot` is the unified sparse-payload index: a raw-pool slot for raw blocks
+# (cls 0 mode 6) or a desc-pool start otherwise — the two are mutually
+# exclusive per block, so one u32 field serves both (meta disambiguates).
+# Motion vectors are per-MACROBLOCK and live at frame level (see FRAME_PTRS).
+PLANE_KEYS = ("meta", "dc", "slot")
+
+# frame-level output arrays (pointers in _FrameOut, after `nest`)
+FRAME_PTRS = ("nest", "mv", "mv2")
 
 
 class _PlaneOut(ctypes.Structure):
@@ -63,7 +71,9 @@ class _FrameOut(ctypes.Structure):
                 ("nest_y", ctypes.c_uint32),
                 ("raw_used", ctypes.c_uint32),
                 ("desc_used", ctypes.c_uint32),
-                ("nest", ctypes.c_void_p)]
+                ("nest", ctypes.c_void_p),
+                ("mv", ctypes.c_void_p),
+                ("mv2", ctypes.c_void_p)]
 
 
 def _build() -> pathlib.Path:
@@ -114,11 +124,24 @@ def alloc_packed_plane(bh: int, bw: int) -> dict[str, np.ndarray]:
     return {
         "meta": np.zeros((bh, bw), np.uint8),
         "dc": np.full((bh, bw), 128, np.uint8),
-        "raw_idx": np.zeros((bh, bw), np.uint32),
-        "desc_start": np.zeros((bh, bw), np.uint32),
-        "mv": np.zeros((bh, bw, 2), np.int16),
-        "mv2": np.zeros((bh, bw, 2), np.int16),
+        "slot": np.zeros((bh, bw), np.uint32),
     }
+
+
+def expand_mb_mv(mv_mb: np.ndarray, bh: int, bw: int, h_samp: int,
+                 plane_index: int) -> np.ndarray:
+    """Per-MB (mh, mw, 2) i16 vector grid → per-block (bh, bw, 2) at plane
+    resolution: repeat over the blocks of each MB and arithmetic-shift for
+    4:2:0 chroma (mirrors the device-side expansion in
+    `parallel.multistream._unpack_arena`)."""
+    chroma_mb = plane_index > 0 and h_samp == 2
+    rpm = 1 if chroma_mb else 2  # blocks per MB edge in this plane
+    shift = 1 if chroma_mb else 0
+    out = (mv_mb >> shift).astype(np.int16)
+    if rpm > 1:
+        out = np.repeat(np.repeat(out, rpm, axis=0), rpm, axis=1)
+    assert out.shape == (bh, bw, 2)
+    return out
 
 
 def alloc_pools(total_blocks: int):
@@ -144,8 +167,9 @@ def make_pool_struct(raw_pool: np.ndarray, desc_pool: np.ndarray,
 
 
 def unpack_plane(d: dict[str, np.ndarray], raw_pool: np.ndarray,
-                 desc_pool: np.ndarray) -> PlanePlan:
-    """Packed sparse plan dict (+ pools) → readable PlanePlan (vectorized)."""
+                 desc_pool: np.ndarray, mv_blocks: np.ndarray,
+                 mv2_blocks: np.ndarray) -> PlanePlan:
+    """Packed sparse plan dict (+ pools, expanded MVs) → readable PlanePlan."""
     meta = d["meta"]
     cls_ = (meta >> 5) & 1
     refsel = (meta >> 3) & 3
@@ -153,13 +177,14 @@ def unpack_plane(d: dict[str, np.ndarray], raw_pool: np.ndarray,
     nbases = np.where(
         ((cls_ == 0) & (mode >= 1) & (mode <= 4)) | (cls_ == 1), mode, 0)
     live = (np.arange(MAX_BASES)[None, None, :] < nbases[:, :, None])
-    # materialize dense raw/desc from the pools
+    # materialize dense raw/desc from the pools (the unified slot field is a
+    # raw index for raw blocks, a desc start otherwise; the inapplicable
+    # gather is masked out below)
+    slot = d["slot"].astype(np.int64)
     is_raw = (cls_ == 0) & (mode == 6)
-    raw_dense = raw_pool[np.clip(d["raw_idx"].astype(np.int64), 0,
-                                 len(raw_pool) - 1)]
+    raw_dense = raw_pool[np.clip(slot, 0, len(raw_pool) - 1)]
     raw_dense = raw_dense * is_raw[:, :, None].astype(np.uint8)
-    didx = (d["desc_start"].astype(np.int64)[:, :, None]
-            + np.arange(MAX_BASES)[None, None, :])
+    didx = slot[:, :, None] + np.arange(MAX_BASES)[None, None, :]
     desc = desc_pool[np.clip(didx, 0, len(desc_pool) - 1)] * live
     scale8 = (desc & 0xFF).astype(np.int16)
     return PlanePlan(
@@ -173,8 +198,8 @@ def unpack_plane(d: dict[str, np.ndarray], raw_pool: np.ndarray,
         basis_sy=np.where(live, ((desc >> 16) & 1) + 1, 0).astype(np.uint8),
         basis_off=np.where(live, (desc >> 8) & 0xFF, 0).astype(np.int16),
         basis_scale=np.where(live, scale8 - ((scale8 & 0x80) << 1), 0).astype(np.int16),
-        mv=d["mv"].copy(),
-        mv2=d["mv2"].copy(),
+        mv=mv_blocks,
+        mv2=mv2_blocks,
         refsel=refsel.astype(np.uint8),
     )
 
@@ -187,14 +212,14 @@ class NativePlanner:
         self._lib = _load()
 
     def _call(self, ftype: str, payload: bytes, plane_dicts, pool: "_PoolOut",
-              nest: np.ndarray):
+              nest: np.ndarray, mv_mb: np.ndarray, mv2_mb: np.ndarray):
         cfg = self.cfg
         if ftype not in _FTYPE_CODE:
             raise PlannerError(f"bad frame type {ftype!r}")
         pouts = (_PlaneOut * 3)()
         for i, d in enumerate(plane_dicts):
             pouts[i] = _PlaneOut(**{k: _ptr(d[k]) for k in PLANE_KEYS})
-        fout = _FrameOut(nest=_ptr(nest))
+        fout = _FrameOut(nest=_ptr(nest), mv=_ptr(mv_mb), mv2=_ptr(mv2_mb))
         err = ctypes.create_string_buffer(256)
         rc = self._lib.hvqm4_plan_frame(
             payload, len(payload), _FTYPE_CODE[ftype],
@@ -209,13 +234,21 @@ class NativePlanner:
         dicts = [alloc_packed_plane(bh, bw) for bh, bw in cfg.block_grids]
         nh, nw = cfg.nest_shape
         nest = np.zeros((nh, nw), np.uint8)
+        mh, mw = cfg.mb_grid
+        mv_mb = np.zeros((mh, mw, 2), np.int16)
+        mv2_mb = np.zeros((mh, mw, 2), np.int16)
         total = sum(bh * bw for bh, bw in cfg.block_grids)
         raw_pool, desc_pool = alloc_pools(total)
         pool = make_pool_struct(raw_pool, desc_pool)
-        fout = self._call(ftype, payload, dicts, pool, nest)
+        fout = self._call(ftype, payload, dicts, pool, nest, mv_mb, mv2_mb)
         # buffers are fresh here, so masked fields are already zero and the
         # unpacked FramePlan is canonical
-        planes = [unpack_plane(d, raw_pool, desc_pool) for d in dicts]
+        planes = [
+            unpack_plane(
+                d, raw_pool, desc_pool,
+                expand_mb_mv(mv_mb, bh, bw, cfg.h_samp, pi),
+                expand_mb_mv(mv2_mb, bh, bw, cfg.h_samp, pi))
+            for pi, (d, (bh, bw)) in enumerate(zip(dicts, cfg.block_grids))]
         return FramePlan(
             ftype=ftype, display_id=int(fout.display_id),
             dc_shift=int(fout.dc_shift), nest_x=int(fout.nest_x),
@@ -225,7 +258,8 @@ class NativePlanner:
     # -- prepared-call fast path (hot loop: one ctypes call, zero setup) ------
 
     def prepare(self, plane_views: list[dict], pool: "_PoolOut",
-                nest_view: np.ndarray):
+                nest_view: np.ndarray, mv_view: np.ndarray,
+                mv2_view: np.ndarray):
         """Pre-build the ctypes argument block for a stable set of output
         views (one stream's slice of the multi-stream arenas + pool columns).
 
@@ -234,9 +268,10 @@ class NativePlanner:
         pouts = (_PlaneOut * 3)()
         for i, d in enumerate(plane_views):
             pouts[i] = _PlaneOut(**{k: _ptr(d[k]) for k in PLANE_KEYS})
-        fout = _FrameOut(nest=_ptr(nest_view))
+        fout = _FrameOut(nest=_ptr(nest_view), mv=_ptr(mv_view),
+                         mv2=_ptr(mv2_view))
         err = ctypes.create_string_buffer(256)
-        keepalive = (list(plane_views), nest_view)
+        keepalive = (list(plane_views), nest_view, mv_view, mv2_view)
         return (pouts, pool, fout, err, keepalive)
 
     def plan_frame_prepared(self, ftype: str, payload: bytes, prep):
@@ -267,12 +302,14 @@ class StepPlanner:
         self.pools = (_PoolOut * n)()
         self.fouts = (_FrameOut * n)()
         self.nests = []
-        for si, (views, nest_view) in enumerate(stream_views):
+        for si, (views, nest_view, mv_view, mv2_view) in enumerate(
+                stream_views):
             for pi, d in enumerate(views):
                 self.pouts[3 * si + pi] = _PlaneOut(
                     **{k: _ptr(d[k]) for k in PLANE_KEYS})
             self.pools[si] = pools[si]
-            self.fouts[si] = _FrameOut(nest=_ptr(nest_view))
+            self.fouts[si] = _FrameOut(nest=_ptr(nest_view), mv=_ptr(mv_view),
+                                       mv2=_ptr(mv2_view))
         self.payloads = (ctypes.c_char_p * n)()
         self.sizes = (ctypes.c_size_t * n)()
         self.ftypes = (ctypes.c_int * n)()

@@ -10,10 +10,13 @@
 // - 64-bit windowed bit reader (refills 8 bytes at a time, branch-light).
 // - Single-level 12-bit Huffman LUT with tree-walk fallback for longer codes;
 //   the LUT is built once per (stream, frame) during tree parsing.
-// - Outputs are written in the *packed device layout* (42 B/block): basis
-//   descriptors stay in their 32-bit wire format (FORMAT.md §6.5) and
-//   cls/refsel/mode pack into one meta byte — the device core unpacks with
-//   shifts, and host→device transfer shrinks ~30%.
+// - Outputs are written in the *packed device layout* (6 B/block dense +
+//   per-MB motion vectors + sparse payload pools): basis descriptors stay in
+//   their 32-bit wire format (FORMAT.md §6.5), cls/refsel/mode pack into one
+//   meta byte, and the raw-slot/desc-start indices share one u32 field (a
+//   block never needs both) — the device core unpacks with shifts and
+//   expands MVs per plane, and host→device transfer shrinks ~2.5x vs a
+//   dense per-block layout.
 // - Every field the device reads unmasked is written on every call, so output
 //   buffers may be reused across frames without clearing.
 //
@@ -195,14 +198,20 @@ struct Huff {
 
 // ---------------- packed output plan layout ----------------
 // meta byte: mode(0..6) in bits 0-2, refsel in bits 3-4, cls in bit 5.
+//
+// A block is either raw (cls 0, mode 6 — needs a raw-pool slot) or carries
+// basis descriptors (needs a desc-pool start) — never both, so ONE u32
+// `slot` field serves both roles; the device disambiguates by meta and
+// masks the other gather. Motion vectors are per-MACROBLOCK quantities
+// (every block of an MB shares the MB's vector), so they are emitted once
+// per MB at luma resolution into FrameOut.mv/mv2 and the device expands
+// them per plane (repeat 2x2 for 2-blocks-per-MB planes, arithmetic >>1
+// for 4:2:0 chroma). Together these cut the dense per-step upload ~2.5x.
 
 struct PlaneOut {
     uint8_t* meta;        // bh*bw
     uint8_t* dc;          // bh*bw
-    uint32_t* raw_idx;    // bh*bw      slot into the shared raw pool
-    uint32_t* desc_start; // bh*bw      first slot into the shared desc pool
-    int16_t* mv;          // bh*bw*2
-    int16_t* mv2;         // bh*bw*2
+    uint32_t* slot;       // bh*bw   raw-pool slot (mode 6) or desc-pool start
 };
 
 // Shared per-stream pools (sparse payloads). Strided so the multi-stream
@@ -223,6 +232,8 @@ struct FrameOut {
     uint32_t nest_x, nest_y;
     uint32_t raw_used, desc_used;  // pool slots consumed by this frame
     uint8_t* nest;  // nest_h*nest_w (filled for I frames)
+    int16_t* mv;    // mh*mw*2 per-MB forward vector, luma units (P/B; 0 on I)
+    int16_t* mv2;   // mh*mw*2 per-MB backward vector (refsel-2 B blocks)
 };
 
 struct MBInfo {
@@ -255,7 +266,7 @@ struct SliceDec {
     inline void write_raw(PlaneOut& p, size_t bi) {
         uint32_t slot = raw_ctr->fetch_add(1, std::memory_order_relaxed);
         if (slot >= pools->raw_cap) throw Error("raw pool overflow");
-        p.raw_idx[bi] = slot;
+        p.slot[bi] = slot;
         uint8_t* dst = pools->raw_pool + (size_t)slot * pools->raw_stride;
         for (int i = 0; i < 16; i++) dst[i] = (uint8_t)aux.bits(8);
     }
@@ -264,7 +275,7 @@ struct SliceDec {
         uint32_t slot = desc_ctr->fetch_add((uint32_t)k,
                                             std::memory_order_relaxed);
         if (slot + k > pools->desc_cap) throw Error("desc pool overflow");
-        p.desc_start[bi] = slot;
+        p.slot[bi] = slot;
         for (int i = 0; i < k; i++)
             pools->desc_pool[(size_t)(slot + i) * pools->desc_stride] =
                 aux.bits(32);
@@ -284,7 +295,9 @@ struct SliceDec {
         return s;
     }
 
-    void mb_rows() {
+    // Decodes MB types + MV chains, emitting per-MB vectors straight into
+    // the FrameOut mv/mv2 arrays (row range [ms0, ms1) — slice-disjoint).
+    void mb_rows(int16_t* mv, int16_t* mv2) {
         int32_t px = 0, py = 0;  // MV chain resets per slice
         for (int my = ms0; my < ms1; my++) {
             for (int mx = 0; mx < g->mw; mx++) {
@@ -314,6 +327,11 @@ struct SliceDec {
                         mb.mv2y = py;
                     }
                 }
+                const size_t mi = ((size_t)my * g->mw + mx) * 2;
+                mv[mi + 0] = (int16_t)mb.mvx;
+                mv[mi + 1] = (int16_t)mb.mvy;
+                mv2[mi + 0] = (int16_t)mb.mv2x;
+                mv2[mi + 1] = (int16_t)mb.mv2y;
             }
         }
     }
@@ -343,7 +361,6 @@ struct SliceDec {
         const int W = g->bw[pi];
         const bool chroma_mb = (pi > 0 && g->h_samp == 2);
         const int shift_idx = chroma_mb ? 0 : 1;
-        const int mv_shift = chroma_mb ? 1 : 0;
         const int rpm = chroma_mb ? 1 : 2;  // block rows per MB row
         const int row0 = ms0 * rpm, row1 = ms1 * rpm;
         uint8_t* dcg = p.dc;  // the output DC grid doubles as the
@@ -366,18 +383,13 @@ struct SliceDec {
                 } else {
                     p.dc[bi] = dcg[bi] = 128;
                     if (mb->type == MB_INTER) {
-                        p.mv[bi * 2 + 0] = (int16_t)(mb->mvx >> mv_shift);
-                        p.mv[bi * 2 + 1] = (int16_t)(mb->mvy >> mv_shift);
-                        p.mv2[bi * 2 + 0] = (int16_t)(mb->mv2x >> mv_shift);
-                        p.mv2[bi * 2 + 1] = (int16_t)(mb->mv2y >> mv_shift);
                         int k = basisnum();
                         if (k > 4) throw Error("inter residual count invalid");
                         p.meta[bi] = (uint8_t)(0x20 | (mb->refsel << 3) | k);
                         if (k) write_descs(p, bi, k);
-                    } else {  // lowered copy: inter, mv 0, no residual
+                    } else {  // lowered copy: inter, mv 0 (per-MB mv is 0),
+                              // no residual
                         p.meta[bi] = (uint8_t)(0x20 | (mb->refsel << 3));
-                        p.mv[bi * 2 + 0] = p.mv[bi * 2 + 1] = 0;
-                        p.mv2[bi * 2 + 0] = p.mv2[bi * 2 + 1] = 0;
                     }
                 }
             }
@@ -494,8 +506,13 @@ extern "C" int hvqm4_plan_frame(const uint8_t* payload, size_t n, int ftype,
         }
 
         const int dc_shift = (int)fout->dc_shift;
+        if (ftype == 0) {  // no MB scan on I frames: MV arrays read as zero
+            std::memset(fout->mv, 0, (size_t)g.mh * g.mw * 2 * sizeof(int16_t));
+            std::memset(fout->mv2, 0,
+                        (size_t)g.mh * g.mw * 2 * sizeof(int16_t));
+        }
         auto run_slice = [&](SliceDec& d) {
-            if (d.ftype != 0) d.mb_rows();
+            if (d.ftype != 0) d.mb_rows(fout->mv, fout->mv2);
             for (int pi = 0; pi < 3; pi++) d.plane(pi, dc_shift, planes[pi]);
         };
 

@@ -32,7 +32,7 @@ _W = np.array([4, 1, 0, 0], np.int32)
 
 
 def plane_plan_arrays(p: PlanePlan) -> dict[str, np.ndarray]:
-    """PlanePlan → the *packed* device plan layout (42 B/block).
+    """PlanePlan → the dense per-block device plan arrays.
 
     Host→device bandwidth is a first-order cost (and, through the test
     tunnel, a leak multiplier), so the upload format is minimal:
@@ -41,9 +41,12 @@ def plane_plan_arrays(p: PlanePlan) -> dict[str, np.ndarray]:
     - ``desc`` u32[4]: basis descriptors in wire format (FORMAT.md §6.5)
     - ``dc`` u8, ``raw`` u8[16], ``mv``/``mv2`` i16[2]
 
-    The native planner emits this layout directly; this function packs the
-    readable `PlanePlan` for the Python path. The device core unpacks with
-    shifts (free — it fuses into the consuming ops).
+    This is the *expanded* form the device core consumes. The production
+    multi-stream arena uploads an even tighter encoding (unified sparse
+    payload slot, per-MACROBLOCK motion vectors — see
+    `parallel.multistream`) and expands to this form inside the jitted
+    step. The device core unpacks meta with shifts (free — it fuses into
+    the consuming ops).
     """
     meta = (p.mode | (p.refsel << 3) | (p.cls << 5)).astype(np.uint8)
     desc = ((p.basis_nx.astype(np.uint32) << 25)

@@ -46,15 +46,15 @@ from ..ops import device_core
 from ..planner import Planner, PlannerError
 from ..plans import FramePlan, PlanePlan
 
-_PLANE_KEYS = ("meta", "dc", "raw_idx", "desc_start", "mv", "mv2")
+# Per-plane packed fields. `slot` is the unified sparse-payload index: a
+# raw-pool slot for raw blocks, a desc-pool start otherwise (mutually
+# exclusive per block; meta disambiguates and the other gather is masked).
+_PLANE_KEYS = ("meta", "dc", "slot")
 
 _FIELD_SPECS = (
     ("meta", np.uint8, ()),
     ("dc", np.uint8, ()),
-    ("raw_idx", np.uint32, ()),
-    ("desc_start", np.uint32, ()),
-    ("mv", np.int16, (2,)),
-    ("mv2", np.int16, (2,)),
+    ("slot", np.uint32, ()),
 )
 
 
@@ -100,6 +100,12 @@ def _arena_entries(cfg: SeqConfig, n: int):
     add("new_nest", -1, np.uint8, (n, nh, nw))
     add("is_i", -1, np.uint8, (n,))
     add("is_ref", -1, np.uint8, (n,))
+    # motion vectors are per-MACROBLOCK (all blocks of an MB share them), so
+    # they upload at MB resolution (~6x fewer i16s than per-block) and the
+    # jitted step expands them per plane
+    mh, mw = cfg.mb_grid
+    add("mv", -1, np.int16, (n, mh, mw, 2))
+    add("mv2", -1, np.int16, (n, mh, mw, 2))
     total_blocks = sum(bh * bw for bh, bw in cfg.block_grids)
     pool_info = {
         "raw_off": totals["u8"],          # u8 elems; pool (cap, n, 16)
@@ -114,7 +120,8 @@ def _pool_tiers(cap: int):
     """Capacity ladder: compact tiers for typical content, full for the
     worst case. Each tier used by a run costs one (persistently cached)
     compilation of the step."""
-    return (max(cap // 8, 64), max(cap // 4, 64), max(cap // 2, 64), cap)
+    return (max(cap // 32, 64), max(cap // 16, 64), max(cap // 8, 64),
+            max(cap // 4, 64), max(cap // 2, 64), cap)
 
 
 def _pick_tier(used: int, cap: int) -> int:
@@ -184,10 +191,26 @@ def _unpack_arena(cfg: SeqConfig, n: int, arenas: dict,
         idx = jnp.clip(idx, 0, desc_cap - 1)
         return jnp.take(pool_s, idx.reshape(-1), axis=0).reshape(idx.shape)
 
-    for pp in planes:
-        pp["raw"] = jax.vmap(gather_raw)(raw_pool, pp.pop("raw_idx"))
-        pp["desc"] = jax.vmap(gather_desc)(desc_pool, pp.pop("desc_start"))
+    for pi, pp in enumerate(planes):
+        slot = pp.pop("slot")  # raw index or desc start; meta disambiguates
+        pp["raw"] = jax.vmap(gather_raw)(raw_pool, slot)
+        pp["desc"] = jax.vmap(gather_desc)(desc_pool, slot)
+        bh, bw = cfg.block_grids[pi]
+        for key in ("mv", "mv2"):
+            pp[key] = _expand_mb_mv_jnp(extras[key], bh, bw, cfg.h_samp, pi)
     return planes, extras["new_nest"], extras["is_i"] != 0, extras["is_ref"] != 0
+
+
+def _expand_mb_mv_jnp(mv_mb, bh: int, bw: int, h_samp: int, pi: int):
+    """Per-MB (n, mh, mw, 2) i16 vectors → per-block (n, bh, bw, 2) at plane
+    resolution (repeat over the MB's blocks; arithmetic >>1 for 4:2:0
+    chroma). Mirror of `native.expand_mb_mv`; runs inside the jitted step."""
+    chroma_mb = pi > 0 and h_samp == 2
+    out = jnp.right_shift(mv_mb, 1) if chroma_mb else mv_mb
+    if not chroma_mb:  # 2x2 blocks per MB in this plane
+        out = jnp.repeat(jnp.repeat(out, 2, axis=1), 2, axis=2)
+    assert out.shape[1:3] == (bh, bw)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -298,7 +321,7 @@ class MultiStreamDecoder:
             # planning hot loop is a bare ctypes call (GIL-released C++)
             buf["stream_views"] = [
                 ([{k: pp[k][si] for k in _PLANE_KEYS} for pp in planes],
-                 extras["new_nest"][si])
+                 extras["new_nest"][si], extras["mv"][si], extras["mv2"][si])
                 for si in range(self.n)]
             buf["raw_used"] = 0
             buf["desc_used"] = 0
@@ -343,25 +366,25 @@ class MultiStreamDecoder:
             src = device_core.plane_plan_arrays(p)
             pp["meta"][si] = src["meta"]
             pp["dc"][si] = src["dc"]
-            pp["mv"][si] = src["mv"]
-            pp["mv2"][si] = src["mv2"]
             is_raw = (p.cls == 0) & (p.mode == 6)
-            idx = np.zeros(p.mode.shape, np.uint32)
+            slot = np.zeros(p.mode.shape, np.uint32)
             for (by, bx) in zip(*np.nonzero(is_raw)):
                 buf["pools"]["raw"][raw_slot, si] = src["raw"][by, bx]
-                idx[by, bx] = raw_slot
+                slot[by, bx] = raw_slot
                 raw_slot += 1
-            pp["raw_idx"][si] = idx
             counts = np.where(((p.cls == 0) & (p.mode >= 1) & (p.mode <= 4))
                               | (p.cls == 1), p.mode, 0)
-            start = np.zeros(p.mode.shape, np.uint32)
             for (by, bx) in zip(*np.nonzero(counts)):
                 k = int(counts[by, bx])
-                start[by, bx] = desc_slot
+                slot[by, bx] = desc_slot
                 buf["pools"]["desc"][desc_slot:desc_slot + k, si] = \
                     src["desc"][by, bx, :k]
                 desc_slot += k
-            pp["desc_start"][si] = start
+            pp["slot"][si] = slot
+        # per-MB vectors: the luma plan carries them unshifted, one MB = a
+        # 2x2 luma block group, so its top-left block is the MB's vector
+        buf["mv"][si] = plan.planes[0].mv[::2, ::2]
+        buf["mv2"][si] = plan.planes[0].mv2[::2, ::2]
         return raw_slot, desc_slot
 
     def plan_step(self):
@@ -471,19 +494,24 @@ class MultiStreamDecoder:
                 arenas, self.nest, self.ref_prev, self.ref_last)
             return frames
         # mesh path: per-field uploads (each field is N-major and shardable);
-        # dense raw/desc are materialized on host from the pools
+        # dense raw/desc/mv are materialized on host from the pools/MB grid
         put = self._put
         plane_plans = []
         pools = buf["pools"]
         rc, dcp = self._pinfo["raw_cap"], self._pinfo["desc_cap"]
-        for pp in buf["planes"]:
-            d = {k: put(np.ascontiguousarray(pp[k]))
-                 for k in ("meta", "dc", "mv", "mv2")}
-            idx = np.clip(pp["raw_idx"].astype(np.int64), 0, rc - 1)
+        for pi, pp in enumerate(buf["planes"]):
+            d = {k: put(np.ascontiguousarray(pp[k])) for k in ("meta", "dc")}
+            chroma_mb = pi > 0 and self.cfg.h_samp == 2
+            for key in ("mv", "mv2"):
+                arr = buf[key] >> 1 if chroma_mb else buf[key]
+                if not chroma_mb:
+                    arr = np.repeat(np.repeat(arr, 2, axis=1), 2, axis=2)
+                d[key] = put(np.ascontiguousarray(arr))
+            slot = pp["slot"].astype(np.int64)
+            idx = np.clip(slot, 0, rc - 1)
             raw_dense = np.stack([pools["raw"][idx[si], si]
                                   for si in range(self.n)])
-            didx = np.clip(pp["desc_start"].astype(np.int64)[..., None]
-                           + np.arange(4), 0, dcp - 1)
+            didx = np.clip(slot[..., None] + np.arange(4), 0, dcp - 1)
             desc_dense = np.stack([pools["desc"][didx[si], si]
                                    for si in range(self.n)])
             d["raw"] = put(np.ascontiguousarray(raw_dense))

@@ -1,0 +1,79 @@
+"""One-off: measure the host-side cost split of the production pipeline.
+
+Times, per step over a real clip on the real chip:
+  plan   — the batched C planner call (plan_step)
+  xfer   — jnp.asarray of the three typed arenas (host->device serialization)
+  step   — jitted step dispatch (async; queue cost only)
+  sync   — block_until_ready at the end (device residue)
+
+Run: python scripts/profile_split.py [n_streams]
+"""
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, ".")
+from bench import ensure_clip, REPO  # noqa: E402
+from hvqm4_tpu.native import NativePlanner  # noqa: E402
+from hvqm4_tpu.parallel.multistream import (  # noqa: E402
+    MultiStreamDecoder, _pick_tier, _arena_step)
+
+n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+cfg, clip = ensure_clip(REPO / "testdata" / "ref640.h4m")
+
+# warm pass: compile every tier this clip touches
+ms = MultiStreamDecoder(cfg, [clip] * n, planner_factory=NativePlanner)
+for _ in ms.run_pipelined():
+    pass
+
+ms = MultiStreamDecoder(cfg, [clip] * n, planner_factory=NativePlanner)
+t_plan = t_xfer = t_step = 0.0
+nsteps = 0
+bytes_up = 0
+last = None
+t0 = time.perf_counter()
+while any(ms.active):
+    t = time.perf_counter()
+    buf, metas, valid = ms.plan_step()
+    t_plan += time.perf_counter() - t
+
+    t = time.perf_counter()
+    raw_cap = _pick_tier(buf["raw_used"], ms._pinfo["raw_cap"])
+    desc_cap = _pick_tier(buf["desc_used"], ms._pinfo["desc_cap"])
+    cut8 = ms._fixed["u8"] + raw_cap * ms.n * 16
+    cut32 = ms._fixed["u32"] + desc_cap * ms.n
+    arenas = {
+        "u8": jnp.asarray(buf["arenas"]["u8"][:cut8]),
+        "i16": jnp.asarray(buf["arenas"]["i16"]),
+        "u32": jnp.asarray(buf["arenas"]["u32"][:cut32]),
+    }
+    bytes_up += cut8 + ms._fixed["i16"] * 2 + cut32 * 4
+    t_xfer += time.perf_counter() - t
+
+    t = time.perf_counter()
+    step_fn = _arena_step(ms.cfg, ms.n, raw_cap, desc_cap)
+    frames, ms.nest, ms.ref_prev, ms.ref_last = step_fn(
+        arenas, ms.nest, ms.ref_prev, ms.ref_last)
+    t_step += time.perf_counter() - t
+    last = frames
+    ms._cur ^= 1
+    nsteps += 1
+
+t = time.perf_counter()
+jax.block_until_ready(last)
+t_sync = time.perf_counter() - t
+wall = time.perf_counter() - t0
+
+fr = nsteps * n
+print(f"streams={n} steps={nsteps} frames={fr} wall={wall:.2f}s "
+      f"fps={fr / wall:.0f}")
+print(f"per-step ms: plan={1e3 * t_plan / nsteps:.2f} "
+      f"xfer={1e3 * t_xfer / nsteps:.2f} step={1e3 * t_step / nsteps:.2f} "
+      f"sync_total={1e3 * t_sync:.1f}")
+print(f"upload: {bytes_up / nsteps / 1024:.0f} KiB/step, "
+      f"{bytes_up / wall / 1e6:.0f} MB/s effective")
