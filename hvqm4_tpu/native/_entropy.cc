@@ -10,13 +10,14 @@
 // - 64-bit windowed bit reader (refills 8 bytes at a time, branch-light).
 // - Single-level 12-bit Huffman LUT with tree-walk fallback for longer codes;
 //   the LUT is built once per (stream, frame) during tree parsing.
-// - Outputs are written in the *packed device layout* (6 B/block dense +
+// - Outputs are written in the *packed device layout* (2 B/block dense +
 //   per-MB motion vectors + sparse payload pools): basis descriptors stay in
 //   their 32-bit wire format (FORMAT.md §6.5), cls/refsel/mode pack into one
-//   meta byte, and the raw-slot/desc-start indices share one u32 field (a
-//   block never needs both) — the device core unpacks with shifts and
-//   expands MVs per plane, and host→device transfer shrinks ~2.5x vs a
-//   dense per-block layout.
+//   meta byte, and pool slots are allocated in canonical block scan order
+//   (plane-major) so the device recomputes every raw/desc index from meta
+//   alone (exclusive cumsum) — the slot arrays written here are host-side
+//   scratch, never uploaded. Host→device transfer shrinks ~4x vs a dense
+//   per-block layout.
 // - Every field the device reads unmasked is written on every call, so output
 //   buffers may be reused across frames without clearing.
 //
@@ -268,7 +269,10 @@ struct SliceDec {
         if (slot >= pools->raw_cap) throw Error("raw pool overflow");
         p.slot[bi] = slot;
         uint8_t* dst = pools->raw_pool + (size_t)slot * pools->raw_stride;
-        for (int i = 0; i < 16; i++) dst[i] = (uint8_t)aux.bits(8);
+        for (int i = 0; i < 16; i += 4) {  // 4x32-bit reads, not 16x8-bit
+            uint32_t v = __builtin_bswap32(aux.bits(32));
+            std::memcpy(dst + i, &v, 4);
+        }
     }
 
     inline void write_descs(PlaneOut& p, size_t bi, int k) {
@@ -397,6 +401,58 @@ struct SliceDec {
     }
 };
 
+// Renumber pool slots into canonical order (plane-major, row-major block
+// scan) after threaded slice decode, rewriting the slot fields and moving
+// the pool payloads. Single-threaded decode allocates canonically by
+// construction; this pass makes the threaded path indistinguishable, so
+// the device can always derive slot indices from meta alone.
+void compact_pools(const Geometry& g, PlaneOut* planes, const PoolOut* pools,
+                   uint32_t raw_used, uint32_t desc_used) {
+    static thread_local std::vector<uint8_t>* raw_scratch_p = nullptr;
+    static thread_local std::vector<uint32_t>* desc_scratch_p = nullptr;
+    if (!raw_scratch_p) {  // leaked on purpose (dlopen teardown, see mbs_tls)
+        raw_scratch_p = new std::vector<uint8_t>();
+        desc_scratch_p = new std::vector<uint32_t>();
+    }
+    std::vector<uint8_t>& raw_scratch = *raw_scratch_p;
+    std::vector<uint32_t>& desc_scratch = *desc_scratch_p;
+    if (raw_scratch.size() < (size_t)raw_used * 16)
+        raw_scratch.resize((size_t)raw_used * 16);
+    if (desc_scratch.size() < desc_used) desc_scratch.resize(desc_used);
+
+    uint32_t r = 0, dsc = 0;
+    for (int pi = 0; pi < 3; pi++) {
+        PlaneOut& p = planes[pi];
+        const size_t nb = (size_t)g.bh[pi] * g.bw[pi];
+        for (size_t bi = 0; bi < nb; bi++) {
+            const unsigned meta = p.meta[bi];
+            const unsigned cls = (meta >> 5) & 1, mode = meta & 7;
+            if (cls == 0 && mode == 6) {
+                std::memcpy(&raw_scratch[(size_t)r * 16],
+                            pools->raw_pool
+                                + (size_t)p.slot[bi] * pools->raw_stride,
+                            16);
+                p.slot[bi] = r++;
+            } else {
+                const unsigned k =
+                    (cls == 1 || (mode >= 1 && mode <= 4)) ? mode : 0;
+                if (!k) continue;
+                const uint32_t old = p.slot[bi];
+                for (unsigned j = 0; j < k; j++)
+                    desc_scratch[dsc + j] = pools->desc_pool[
+                        (size_t)(old + j) * pools->desc_stride];
+                p.slot[bi] = dsc;
+                dsc += k;
+            }
+        }
+    }
+    for (uint32_t i = 0; i < r; i++)
+        std::memcpy(pools->raw_pool + (size_t)i * pools->raw_stride,
+                    &raw_scratch[(size_t)i * 16], 16);
+    for (uint32_t i = 0; i < dsc; i++)
+        pools->desc_pool[(size_t)i * pools->desc_stride] = desc_scratch[i];
+}
+
 uint32_t rd32(const uint8_t* p) {
     return ((uint32_t)p[0] << 24) | ((uint32_t)p[1] << 16) |
            ((uint32_t)p[2] << 8) | p[3];
@@ -511,10 +567,6 @@ extern "C" int hvqm4_plan_frame(const uint8_t* payload, size_t n, int ftype,
             std::memset(fout->mv2, 0,
                         (size_t)g.mh * g.mw * 2 * sizeof(int16_t));
         }
-        auto run_slice = [&](SliceDec& d) {
-            if (d.ftype != 0) d.mb_rows(fout->mv, fout->mv2);
-            for (int pi = 0; pi < 3; pi++) d.plane(pi, dc_shift, planes[pi]);
-        };
 
         const char* tenv = std::getenv("HVQM4_PLANNER_THREADS");
         int want = (tenv && !g_in_step_worker) ? std::atoi(tenv) : 1;
@@ -529,7 +581,10 @@ extern "C" int hvqm4_plan_frame(const uint8_t* payload, size_t n, int ftype,
                     int sl;
                     while ((sl = next.fetch_add(1)) < S) {
                         try {
-                            run_slice(slices[sl]);
+                            SliceDec& d = slices[sl];
+                            if (d.ftype != 0) d.mb_rows(fout->mv, fout->mv2);
+                            for (int pi = 0; pi < 3; pi++)
+                                d.plane(pi, dc_shift, planes[pi]);
                         } catch (const std::exception& e) {
                             errs[sl] = e.what();
                         }
@@ -539,8 +594,22 @@ extern "C" int hvqm4_plan_frame(const uint8_t* payload, size_t n, int ftype,
             for (auto& th : pool) th.join();
             for (auto& e : errs)
                 if (!e.empty()) throw Error(e);
+            // threads allocate pool slots in nondeterministic order; restore
+            // the canonical numbering the device recomputes from meta
+            compact_pools(g, planes, pools, raw_ctr.load(), desc_ctr.load());
         } else {
-            for (auto& d : slices) run_slice(d);
+            // plane-MAJOR order (not slice-major): pool slots are then
+            // allocated in exactly the canonical block scan order — plane 0
+            // row-major, then planes 1, 2 — which lets the device (and
+            // Python unpackers) recompute every raw/desc index as an
+            // exclusive cumsum over meta-derived counts instead of
+            // uploading a u32 index field per block. Each slice's streams
+            // are its own readers, so interleaving slices between plane
+            // passes is safe.
+            for (auto& d : slices)
+                if (d.ftype != 0) d.mb_rows(fout->mv, fout->mv2);
+            for (int pi = 0; pi < 3; pi++)
+                for (auto& d : slices) d.plane(pi, dc_shift, planes[pi]);
         }
 
         fout->raw_used = raw_ctr.load();

@@ -46,15 +46,18 @@ from ..ops import device_core
 from ..planner import Planner, PlannerError
 from ..plans import FramePlan, PlanePlan
 
-# Per-plane packed fields. `slot` is the unified sparse-payload index: a
-# raw-pool slot for raw blocks, a desc-pool start otherwise (mutually
-# exclusive per block; meta disambiguates and the other gather is masked).
+# Per-plane packed fields handed to the C planner (ABI order). `slot` is the
+# unified sparse-payload index: a raw-pool slot for raw blocks, a desc-pool
+# start otherwise (mutually exclusive per block; meta disambiguates). The
+# planner allocates slots in canonical order (plane-major, row-major block
+# scan), which makes every slot value an exclusive cumsum over meta-derived
+# counts — so slot arrays are host-side scratch and are NEVER uploaded: the
+# jitted step recomputes them from meta (see `_derive_slots`).
 _PLANE_KEYS = ("meta", "dc", "slot")
 
 _FIELD_SPECS = (
     ("meta", np.uint8, ()),
     ("dc", np.uint8, ()),
-    ("slot", np.uint32, ()),
 )
 
 
@@ -135,7 +138,11 @@ _ARENA_DTYPES = {"u8": np.uint8, "i16": np.int16, "u32": np.uint32}
 
 
 def _arena_views(cfg: SeqConfig, n: int, arenas: dict):
-    """Writable numpy views into the arenas: (planes, extras, pools)."""
+    """Writable numpy views into the arenas: (planes, extras, pools).
+
+    Also allocates the per-plane `slot` scratch arrays the C planner writes
+    through — plain host memory, not part of any upload arena (the device
+    recomputes slots from meta)."""
     groups, _totals, pinfo = _arena_entries(cfg, n)
     planes = [dict() for _ in cfg.block_grids]
     extras = {}
@@ -146,6 +153,8 @@ def _arena_views(cfg: SeqConfig, n: int, arenas: dict):
                 planes[pi][name] = view
             else:
                 extras[name] = view
+    for pi, (bh, bw) in enumerate(cfg.block_grids):
+        planes[pi]["slot"] = np.zeros((n, bh, bw), np.uint32)
     rc, dcp = pinfo["raw_cap"], pinfo["desc_cap"]
     pools = {
         "raw": arenas["u8"][pinfo["raw_off"]:
@@ -191,14 +200,43 @@ def _unpack_arena(cfg: SeqConfig, n: int, arenas: dict,
         idx = jnp.clip(idx, 0, desc_cap - 1)
         return jnp.take(pool_s, idx.reshape(-1), axis=0).reshape(idx.shape)
 
+    slots = _derive_slots(cfg, n, [pp["meta"] for pp in planes])
     for pi, pp in enumerate(planes):
-        slot = pp.pop("slot")  # raw index or desc start; meta disambiguates
-        pp["raw"] = jax.vmap(gather_raw)(raw_pool, slot)
-        pp["desc"] = jax.vmap(gather_desc)(desc_pool, slot)
+        pp["raw"] = jax.vmap(gather_raw)(raw_pool, slots[pi])
+        pp["desc"] = jax.vmap(gather_desc)(desc_pool, slots[pi])
         bh, bw = cfg.block_grids[pi]
         for key in ("mv", "mv2"):
             pp[key] = _expand_mb_mv_jnp(extras[key], bh, bw, cfg.h_samp, pi)
     return planes, extras["new_nest"], extras["is_i"] != 0, extras["is_ref"] != 0
+
+
+def _derive_slots(cfg: SeqConfig, n: int, metas: list):
+    """Recompute each block's pool slot from meta alone (in-jit).
+
+    The planner allocates raw/desc pool slots in canonical order — plane
+    major, row-major block scan — so a block's raw index is the exclusive
+    cumsum of `is_raw` and its desc start the exclusive cumsum of the
+    per-block descriptor count, both over the concatenated planes. A block
+    is never both raw and descriptor-carrying, so the two cumsums share one
+    output field (the inapplicable gather is masked by meta downstream).
+    This replaces a dense u32 upload per block with ~µs of device work.
+    """
+    flat = jnp.concatenate(
+        [m.reshape(n, -1).astype(jnp.int32) for m in metas], axis=1)
+    cls_ = (flat >> 5) & 1
+    mode = flat & 7
+    counts = jnp.where((cls_ == 1) | ((mode >= 1) & (mode <= 4)), mode, 0)
+    is_raw = ((cls_ == 0) & (mode == 6)).astype(jnp.int32)
+    slot_flat = jnp.where(
+        is_raw != 0,
+        jnp.cumsum(is_raw, axis=1) - is_raw,
+        jnp.cumsum(counts, axis=1) - counts).astype(jnp.uint32)
+    out, off = [], 0
+    for bh, bw in cfg.block_grids:
+        out.append(jax.lax.slice_in_dim(slot_flat, off, off + bh * bw, axis=1)
+                   .reshape(n, bh, bw))
+        off += bh * bw
+    return out
 
 
 def _expand_mb_mv_jnp(mv_mb, bh: int, bw: int, h_samp: int, pi: int):

@@ -90,3 +90,30 @@ def test_sliced_fuzz_no_crashes(oracle_bin, tmp_path):
             pl.plan_frame("IPB"[int(rng.integers(0, 3))], bytes(p))
         except (PlannerError, EOFError):
             pass
+
+
+def test_sliced_threaded_device_path_matches_oracle(oracle_bin, tmp_path,
+                                                    monkeypatch):
+    """Threaded slice planning through the production arena path.
+
+    With HVQM4_PLANNER_THREADS > 1 the C planner allocates pool slots in
+    nondeterministic order and must compact them back to the canonical
+    numbering the device recomputes from meta (`_derive_slots`); a
+    mismatch anywhere shows up as wrong pixels here.
+    """
+    native = pytest.importorskip("hvqm4_tpu.native")
+    from hvqm4_tpu.parallel.multistream import MultiStreamDecoder
+    from .conftest import run_oracle
+
+    monkeypatch.setenv("HVQM4_PLANNER_THREADS", "4")
+    cfg = SeqConfig(64, 48)
+    clip = make_clip(cfg, ["IPBPB", "IPP"], seed=90, slices=4)
+    want = run_oracle(oracle_bin, clip, tmp_path)
+    ms = MultiStreamDecoder(cfg, [clip],
+                            planner_factory=native.NativePlanner)
+    got = []
+    for frames, _metas, valid in ms.run_pipelined():
+        if valid[0]:
+            got.append(b"".join(
+                np.asarray(frames[pi][0]).tobytes() for pi in range(3)))
+    assert b"".join(got) == want
