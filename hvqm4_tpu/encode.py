@@ -234,12 +234,12 @@ class VideoEncoder:
         return (bx2, by2), bsse
 
     @staticmethod
-    def _mc_block(ref: np.ndarray, y0: int, x0: int, mv):
-        """8x8 half-pel MC identical to FORMAT.md §7.4 (clamped)."""
+    def _mc_block(ref: np.ndarray, y0: int, x0: int, mv, size: int = 8):
+        """size×size half-pel MC identical to FORMAT.md §7.4 (clamped)."""
         h, w = ref.shape
         r = ref.astype(np.int32)
-        ys = 2 * (y0 + np.arange(8))[:, None] + mv[1]
-        xs = 2 * (x0 + np.arange(8))[None, :] + mv[0]
+        ys = 2 * (y0 + np.arange(size))[:, None] + mv[1]
+        xs = 2 * (x0 + np.arange(size))[None, :] + mv[0]
         iy, hy = ys >> 1, ys & 1
         ix, hx = xs >> 1, xs & 1
 
@@ -319,6 +319,7 @@ class VideoEncoder:
             search = NestSearch(nest)
         else:
             search = None
+        cand = None
         if search is not None and search.ok:
             for plane in frame:
                 decisions, _dcg = self._intra_plane_batched(plane, search)
@@ -329,13 +330,113 @@ class VideoEncoder:
                 decisions, _dcg = self._intra_plane(plane, cand)
                 plane_decisions.append(decisions)
 
+        inter_bases = self._inter_residuals(
+            ftype, frame, refs, mb_map, mv_map, ref_map,
+            search if (search is not None and search.ok) else None,
+            cand, nest)
+
         return self._serialize(ftype, display_id, mb_map, mv_map, ref_map,
-                               plane_decisions)
+                               plane_decisions, inter_bases)
+
+    def _inter_residuals(self, ftype, frame, refs, mb_map, mv_map, ref_map,
+                         search, cand, nest):
+        """AOT residual coding for inter MBs (FORMAT.md §7.4-§7.5).
+
+        For every 4×4 block of a motion-compensated MB, reconstruct the
+        decoder's exact prediction (closed loop: `refs` are decoded planes),
+        then greedily fit up to `aot_bases` nest bases to the residual,
+        keeping k bases only when SSE + λ·bits beats fewer. Returns
+        per-plane dicts {(by, bx): [desc, ...]} ({} entries mean k = 0).
+        """
+        if mb_map is None or not (mb_map == 2).any():
+            return None
+        if search is None and cand is None:
+            cand = _CandidateSet(nest, self.rng)
+        cfg = self.cfg
+        lam = self.lam
+        out = []
+        for pi, plane in enumerate(frame):
+            bh, bw = cfg.block_grids[pi]
+            chroma_mb = pi > 0 and cfg.h_samp == 2
+            shift_idx = 0 if chroma_mb else 1
+            mv_shift = 1 if chroma_mb else 0
+            blocks = _blockify(plane).astype(np.int32).reshape(bh, bw, 16)
+            # reference planes as the DECODER selects them (refsel 0 = past /
+            # ref_prev, 1 = ref_last, 2 = blend; P always predicts ref_last)
+            r0 = (refs[0][pi] if ftype == "B" else refs[1][pi])
+            r1 = refs[1][pi]
+            # phase 1: the decoder's exact predictions for every inter block
+            coords, preds = [], []
+            for by in range(bh):
+                my = by >> shift_idx
+                for bx in range(bw):
+                    mx = bx >> shift_idx
+                    if mb_map[my, mx] != 2:
+                        continue
+                    rs = ref_map[(my, mx)]
+                    mv = mv_map[(my, mx)]
+                    y0, x0 = by * 4, bx * 4
+                    if rs == 2:
+                        mvf = (mv[0][0] >> mv_shift, mv[0][1] >> mv_shift)
+                        mvb = (mv[1][0] >> mv_shift, mv[1][1] >> mv_shift)
+                        pf = self._mc_block(r0, y0, x0, mvf, 4)
+                        pb = self._mc_block(r1, y0, x0, mvb, 4)
+                        pred = (pf + pb + 1) >> 1
+                    else:
+                        ref = r1 if (rs == 1 or ftype == "P") else r0
+                        mvp = (mv[0] >> mv_shift, mv[1] >> mv_shift)
+                        pred = self._mc_block(ref, y0, x0, mvp, 4)
+                    coords.append((by, bx))
+                    preds.append(pred.reshape(16))
+            if not coords:
+                out.append({})
+                continue
+            preds = np.stack(preds)                          # (B, 16)
+            targets = np.stack([blocks[by, bx] for by, bx in coords])
+            resid = targets - preds
+            base_sse = ((np.clip(preds, 0, 255) - targets) ** 2).sum(1)
+
+            # phase 2: matching-pursuit rounds, batched when the TPU search
+            # is available (one MXU matmul per round, as in intra)
+            nblk = len(coords)
+            round_bases: list[list] = [[] for _ in range(nblk)]
+            best_k = np.zeros(nblk, np.int32)
+            best_cost = base_sse.astype(np.float64).copy()
+            acc = np.zeros((nblk, 16), np.int32)
+            for rnd in range(self.aot_bases):
+                if search is not None:
+                    d, terms, s = search.best(resid - acc)
+                    hits = [(None if int(s[i]) == 0 else
+                             ((int(d[i][0]), int(d[i][1]), int(d[i][2]),
+                               int(d[i][3]), int(d[i][4]), int(s[i])),
+                              terms[i])) for i in range(nblk)]
+                else:
+                    hits = []
+                    for i in range(nblk):
+                        h = cand.best(resid[i] - acc[i])
+                        hits.append(None if (h is None or h[0][5] == 0)
+                                    else h)
+                for i, hit in enumerate(hits):
+                    if hit is None or len(round_bases[i]) < rnd:
+                        continue  # this block stopped in an earlier round
+                    b, term = hit
+                    round_bases[i].append(b)
+                    acc[i] += term  # terms carry the decoder's >>4
+                    rec = np.clip(preds[i] + acc[i], 0, 255)
+                    sse = int(((rec - targets[i]) ** 2).sum())
+                    cost = sse + lam * (3 + 34 * len(round_bases[i]))
+                    if cost < best_cost[i]:
+                        best_cost[i] = cost
+                        best_k[i] = len(round_bases[i])
+            dec_p = {coords[i]: round_bases[i][:int(best_k[i])]
+                     for i in range(nblk) if best_k[i] > 0}
+            out.append(dec_p)
+        return out
 
     # -- serialization (FORMAT.md §3-§7, single slice) ------------------------
 
     def _serialize(self, ftype, display_id, mb_map, mv_map, ref_map,
-                   plane_decisions) -> bytes:
+                   plane_decisions, inter_bases=None) -> bytes:
         cfg = self.cfg
         bn_syms: list[int] = []
         dch = HuffWriter()
@@ -379,8 +480,15 @@ class VideoEncoder:
                         t = mb_map[by >> shift, bx >> shift]
                         if t == 0:
                             continue
-                        if t == 2:
-                            bn_syms.append(0)  # MC without residual
+                        if t == 2:  # MC block: k residual bases (maybe 0)
+                            bases = (inter_bases[pi].get((by, bx), ())
+                                     if inter_bases is not None else ())
+                            bn_syms.append(len(bases))
+                            for (nx, ny, sxb, syb, off, scale) in bases:
+                                v = ((nx << 25) | (ny << 18) | (sxb << 17)
+                                     | (syb << 16) | (off << 8)
+                                     | (scale & 0xFF))
+                                aux.write_bits(v, 32)
                             continue
                     d = decisions[by][bx]
                     bn_syms.append(d.mode)

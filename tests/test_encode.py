@@ -72,3 +72,40 @@ def test_encoder_closed_loop_matches_decoder():
     last = decoded[-1]
     enc_last = np.concatenate([p.reshape(-1) for p in enc.dec.ref_last])
     assert np.array_equal(enc_last, last)
+
+
+def test_inter_residuals_emitted_and_bitexact(oracle_bin, tmp_path):
+    """The encoder spends AOT bases on MC residuals (FORMAT.md §7.4) where
+    they pay, and the result still decodes bit-exactly vs the oracle."""
+    from hvqm4_tpu.container import Demuxer
+    from hvqm4_tpu.planner import Planner
+
+    cfg = SeqConfig(64, 48)
+    # I frame with per-block-constant random DCs: encodes as weight blocks,
+    # so the decoded DC grid (hence the nest) is rich in structure. P frames
+    # translate it and add noise: motion search finds the shift but MC can't
+    # be exact, so residual bases pay their bits.
+    rng = np.random.default_rng(11)
+    dcs = rng.integers(40, 220, (12 + 4, 16 + 4)).astype(np.uint8)
+    base = np.kron(dcs, np.ones((4, 4), np.uint8))
+    frames = []
+    for t in range(4):
+        y = base[2 * t:2 * t + 48, 3 * t:3 * t + 64].astype(np.int32)
+        if t:
+            y = np.clip(y + rng.integers(-12, 13, y.shape), 0, 255)
+        u = np.full(cfg.plane_shapes[1], 120, np.uint8)
+        v = np.full(cfg.plane_shapes[2], 130, np.uint8)
+        frames.append([y.astype(np.uint8), u, v])
+    clip = VideoEncoder(cfg, seed=2).encode(frames, ["IPPP"])
+
+    pl = Planner(cfg)
+    inter_k = 0
+    for r in Demuxer(clip).video_records():
+        plan = pl.plan_frame(r.frame_char, r.payload)
+        for p in plan.planes:
+            inter_k += int(((p.cls == 1) & (p.mode > 0)).sum())
+    assert inter_k > 0, "no inter residual bases were emitted"
+
+    want = run_oracle(oracle_bin, clip, tmp_path)
+    got = b"".join(f.tobytes() for f in golden_decode(cfg, clip))
+    assert got == want
