@@ -1,36 +1,49 @@
 """Decode service: a long-running socket server over the TPU pipeline.
 
-Minimal production-shaped serving surface (ROADMAP §7): clients submit
-`.h4m` clips over TCP and stream back decoded frames (YUV or RGB) or ViT
+Production-shaped serving surface (ROADMAP §7/§8): clients submit `.h4m`
+clips over TCP and stream back decoded frames (YUV or RGB) or ViT
 embeddings, while the server keeps one warm `DecoderSession`-compatible
 state per sequence shape (compilations amortize across requests via the
-persistent cache).
+persistent cache). Hardening: optional shared-token auth, bounded
+admission (busy rejection instead of unbounded queueing — the device is a
+serial resource), structured metrics, graceful SIGTERM shutdown.
 
 Protocol (all integers little-endian u32):
     request:  [4: magic 'H4MQ'][4: mode][4: clip_len][clip bytes]
-              mode 0 = YUV frames, 1 = RGB frames, 2 = ViT embeddings
+    authed:   [4: magic 'H4MA'][4: token_len][token]
+              [4: mode][4: clip_len][clip bytes]
+              mode 0 = YUV frames, 1 = RGB frames, 2 = ViT embeddings,
+              3 = metrics snapshot (clip_len 0; no auth state mutated)
     response: [4: magic 'H4MR'][4: status][4: n_chunks]
               then per chunk: [4: len][payload]
-              status 0 = ok; 1 = error (single chunk = UTF-8 message)
+              status 0 = ok; 1 = error; 2 = busy (retry later);
+              3 = auth required/failed (1/2/3: single UTF-8 chunk)
 
-Run:  python -m hvqm4_tpu.serve --port 8907
-Client helper: `decode_remote(host, port, clip, mode)`.
+Run:  python -m hvqm4_tpu.serve --port 8907 [--auth-token T] [--max-pending K]
+Client helper: `decode_remote(host, port, clip, mode, token=...)`.
 """
 
 from __future__ import annotations
 
 import argparse
+import json
+import signal
 import socket
 import socketserver
 import struct
 import sys
+import threading
+import time
 
 import numpy as np
 
 MAGIC_Q = b"H4MQ"
+MAGIC_A = b"H4MA"
 MAGIC_R = b"H4MR"
 
-MODE_YUV, MODE_RGB, MODE_EMBED = 0, 1, 2
+MODE_YUV, MODE_RGB, MODE_EMBED, MODE_METRICS = 0, 1, 2, 3
+
+STATUS_OK, STATUS_ERROR, STATUS_BUSY, STATUS_AUTH = 0, 1, 2, 3
 
 
 def _recv_exact(sock, n: int) -> bytes:
@@ -44,28 +57,63 @@ def _recv_exact(sock, n: int) -> bytes:
 
 
 class _Handler(socketserver.BaseRequestHandler):
+    def _reply(self, status: int, chunks: list[bytes]) -> None:
+        self.request.sendall(MAGIC_R + struct.pack("<II", status, len(chunks)))
+        for c in chunks:
+            self.request.sendall(struct.pack("<I", len(c)) + c)
+
     def handle(self) -> None:  # one request per connection
+        srv = self.server
+        admitted = False
+        t0 = time.monotonic()
         try:
-            head = _recv_exact(self.request, 12)
-            magic, mode, clip_len = head[:4], *struct.unpack("<II", head[4:])
+            magic = _recv_exact(self.request, 4)
+            token = b""
+            if magic == MAGIC_A:
+                (tlen,) = struct.unpack("<I", _recv_exact(self.request, 4))
+                if tlen > 1024:
+                    raise ValueError("token too long")
+                token = _recv_exact(self.request, tlen)
+                magic = MAGIC_Q
             if magic != MAGIC_Q:
                 raise ValueError("bad request magic")
+            mode, clip_len = struct.unpack("<II",
+                                           _recv_exact(self.request, 8))
+            if srv.auth_token and token != srv.auth_token:
+                srv.count("auth_failures")
+                self._reply(STATUS_AUTH, [b"authentication required"])
+                return
+            if mode == MODE_METRICS:
+                self._reply(STATUS_OK, [srv.metrics_json()])
+                return
             if mode not in (MODE_YUV, MODE_RGB, MODE_EMBED):
                 raise ValueError(f"bad mode {mode}")
-            if clip_len > self.server.max_clip_bytes:
+            if clip_len > srv.max_clip_bytes:
                 raise ValueError("clip too large")
             clip = _recv_exact(self.request, clip_len)
-            chunks = self.server.decode(clip, mode)
-            self.request.sendall(MAGIC_R + struct.pack("<II", 0, len(chunks)))
-            for c in chunks:
-                self.request.sendall(struct.pack("<I", len(c)) + c)
+            # admission control: the device is serial; beyond 1 active +
+            # max_pending waiters, shed load instead of queueing unboundedly
+            admitted = srv.admission.acquire(blocking=False)
+            if not admitted:
+                srv.count("busy_rejections")
+                self._reply(STATUS_BUSY, [b"server busy, retry later"])
+                return
+            chunks = srv.decode(clip, mode)
+            # record before replying: a client that sees the reply must see
+            # its own request in a subsequent metrics snapshot
+            srv.record_success(mode, len(clip), sum(map(len, chunks)),
+                               len(chunks), time.monotonic() - t0)
+            self._reply(STATUS_OK, chunks)
         except Exception as e:  # controlled error response, keep serving
+            srv.count("errors")
             msg = str(e).encode()[:1000]
             try:
-                self.request.sendall(MAGIC_R + struct.pack("<II", 1, 1)
-                                     + struct.pack("<I", len(msg)) + msg)
+                self._reply(STATUS_ERROR, [msg])
             except OSError:
                 pass
+        finally:
+            if admitted:
+                srv.admission.release()
 
 
 class DecodeServer(socketserver.ThreadingTCPServer):
@@ -73,16 +121,54 @@ class DecodeServer(socketserver.ThreadingTCPServer):
     daemon_threads = True
 
     def __init__(self, addr, backend: str = "jax",
-                 max_clip_bytes: int = 256 << 20, vit_cfg=None):
+                 max_clip_bytes: int = 256 << 20, vit_cfg=None,
+                 auth_token: bytes | str = b"", max_pending: int = 8):
         super().__init__(addr, _Handler)
         self.backend = backend
         self.max_clip_bytes = max_clip_bytes
+        self.auth_token = (auth_token.encode()
+                           if isinstance(auth_token, str) else auth_token)
+        self.admission = threading.BoundedSemaphore(1 + max(max_pending, 0))
         self._sessions: dict = {}
         self._vit = None
         self._vit_cfg = vit_cfg
-        import threading
-
         self._lock = threading.Lock()  # one decode at a time per device
+        self._mlock = threading.Lock()
+        self._t_start = time.monotonic()
+        self._metrics = {
+            "requests_total": 0, "errors": 0, "busy_rejections": 0,
+            "auth_failures": 0, "frames_served": 0, "bytes_in": 0,
+            "bytes_out": 0, "latency_last_s": 0.0, "latency_sum_s": 0.0,
+            "by_mode": {"yuv": 0, "rgb": 0, "embed": 0},
+        }
+
+    # -- metrics ---------------------------------------------------------------
+
+    def count(self, key: str) -> None:
+        with self._mlock:
+            self._metrics[key] += 1
+
+    def record_success(self, mode: int, bytes_in: int, bytes_out: int,
+                       frames: int, latency_s: float) -> None:
+        with self._mlock:
+            m = self._metrics
+            m["requests_total"] += 1
+            m["frames_served"] += frames
+            m["bytes_in"] += bytes_in
+            m["bytes_out"] += bytes_out
+            m["latency_last_s"] = round(latency_s, 6)
+            m["latency_sum_s"] += latency_s
+            m["by_mode"][("yuv", "rgb", "embed")[mode]] += 1
+
+    def metrics_json(self) -> bytes:
+        with self._mlock:
+            m = dict(self._metrics, by_mode=dict(self._metrics["by_mode"]))
+        m["uptime_s"] = round(time.monotonic() - self._t_start, 3)
+        n = m["requests_total"]
+        m["latency_avg_s"] = round(m.pop("latency_sum_s") / n, 6) if n else 0.0
+        return json.dumps(m).encode()
+
+    # -- decode ----------------------------------------------------------------
 
     def _session(self, cfg):
         from .session import DecoderSession
@@ -127,10 +213,19 @@ class DecodeServer(socketserver.ThreadingTCPServer):
 
 
 def decode_remote(host: str, port: int, clip: bytes,
-                  mode: int = MODE_YUV, timeout: float = 600.0) -> list[bytes]:
-    """Client helper: submit a clip, return response chunks."""
+                  mode: int = MODE_YUV, timeout: float = 600.0,
+                  token: bytes | str = b"") -> list[bytes]:
+    """Client helper: submit a clip, return response chunks.
+
+    Raises RuntimeError on server error, BusyError on load-shed, and
+    PermissionError on auth failure."""
+    token = token.encode() if isinstance(token, str) else token
     with socket.create_connection((host, port), timeout=timeout) as s:
-        s.sendall(MAGIC_Q + struct.pack("<II", mode, len(clip)) + clip)
+        if token:
+            s.sendall(MAGIC_A + struct.pack("<I", len(token)) + token)
+        else:
+            s.sendall(MAGIC_Q)
+        s.sendall(struct.pack("<II", mode, len(clip)) + clip)
         head = _recv_exact(s, 12)
         if head[:4] != MAGIC_R:
             raise ValueError("bad response magic")
@@ -139,9 +234,23 @@ def decode_remote(host: str, port: int, clip: bytes,
         for _ in range(n_chunks):
             (ln,) = struct.unpack("<I", _recv_exact(s, 4))
             chunks.append(_recv_exact(s, ln))
+        if status == STATUS_BUSY:
+            raise BusyError(chunks[0].decode())
+        if status == STATUS_AUTH:
+            raise PermissionError(chunks[0].decode())
         if status != 0:
             raise RuntimeError(f"server error: {chunks[0].decode()}")
         return chunks
+
+
+class BusyError(RuntimeError):
+    """The server shed this request (admission queue full); retry later."""
+
+
+def fetch_metrics(host: str, port: int, token: bytes | str = b"") -> dict:
+    """Fetch the server's metrics snapshot as a dict."""
+    (raw,) = decode_remote(host, port, b"", mode=MODE_METRICS, token=token)
+    return json.loads(raw)
 
 
 def main(argv=None) -> int:
@@ -149,10 +258,19 @@ def main(argv=None) -> int:
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8907)
     ap.add_argument("--backend", default="jax", choices=["jax", "numpy"])
+    ap.add_argument("--auth-token", default="",
+                    help="require this shared token on every request")
+    ap.add_argument("--max-pending", type=int, default=8,
+                    help="queued requests beyond the active one before "
+                         "shedding with status=busy")
     args = ap.parse_args(argv)
-    srv = DecodeServer((args.host, args.port), backend=args.backend)
+    srv = DecodeServer((args.host, args.port), backend=args.backend,
+                       auth_token=args.auth_token,
+                       max_pending=args.max_pending)
+    signal.signal(signal.SIGTERM, lambda *_: srv.shutdown())
     print(f"hvqm4_tpu decode service on {args.host}:{args.port} "
-          f"(backend={args.backend})", file=sys.stderr)
+          f"(backend={args.backend}, auth={'on' if args.auth_token else 'off'})",
+          file=sys.stderr)
     try:
         srv.serve_forever()
     except KeyboardInterrupt:

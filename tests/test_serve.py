@@ -85,3 +85,82 @@ def test_serve_embeddings_mode():
         assert emb.shape == (64,) and np.isfinite(emb).all()
     finally:
         srv.shutdown()
+
+
+def test_serve_metrics(server):
+    host, port = server
+    cfg = SeqConfig(64, 48)
+    clip = make_clip(cfg, ["IP"], seed=94)
+    serve.decode_remote(host, port, clip, mode=serve.MODE_YUV)
+    m = serve.fetch_metrics(host, port)
+    assert m["requests_total"] >= 1
+    assert m["frames_served"] >= 2
+    assert m["by_mode"]["yuv"] >= 1
+    assert m["uptime_s"] > 0
+    assert "latency_avg_s" in m
+
+
+def test_serve_auth():
+    srv = serve.DecodeServer(("127.0.0.1", 0), backend="numpy",
+                             auth_token="sekrit")
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        host, port = srv.server_address
+        cfg = SeqConfig(64, 48)
+        clip = make_clip(cfg, ["I"], seed=95)
+        with pytest.raises(PermissionError):
+            serve.decode_remote(host, port, clip)
+        with pytest.raises(PermissionError):
+            serve.decode_remote(host, port, clip, token="wrong")
+        want = [f.tobytes() for f in golden_decode(cfg, clip)]
+        got = serve.decode_remote(host, port, clip, token="sekrit")
+        assert got == want
+        assert serve.fetch_metrics(host, port, token="sekrit")[
+            "auth_failures"] == 2
+    finally:
+        srv.shutdown()
+
+
+def test_serve_busy_shedding():
+    """With max_pending=0, a request arriving while one is active is shed
+    with status=busy instead of queueing."""
+    srv = serve.DecodeServer(("127.0.0.1", 0), backend="numpy",
+                             max_pending=0)
+    # make decode slow and controllable
+    gate = threading.Event()
+    orig = srv.decode
+
+    def slow(clip, mode):
+        gate.wait(timeout=30)
+        return orig(clip, mode)
+
+    srv.decode = slow
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        host, port = srv.server_address
+        cfg = SeqConfig(64, 48)
+        clip = make_clip(cfg, ["I"], seed=96)
+        results = {}
+
+        def first():
+            results["first"] = serve.decode_remote(host, port, clip)
+
+        t1 = threading.Thread(target=first)
+        t1.start()
+        # wait until the first request holds the admission slot
+        for _ in range(200):
+            if srv.admission._value == 0:  # noqa: SLF001 - test introspection
+                break
+            import time
+            time.sleep(0.01)
+        with pytest.raises(serve.BusyError):
+            serve.decode_remote(host, port, clip)
+        gate.set()
+        t1.join(timeout=30)
+        assert "first" in results  # the admitted request completed fine
+        assert serve.fetch_metrics(host, port)["busy_rejections"] == 1
+    finally:
+        gate.set()
+        srv.shutdown()
