@@ -122,9 +122,10 @@ def _arena_entries(cfg: SeqConfig, n: int):
 def _pool_tiers(cap: int):
     """Capacity ladder: compact tiers for typical content, full for the
     worst case. Each tier used by a run costs one (persistently cached)
-    compilation of the step."""
-    return (max(cap // 32, 64), max(cap // 16, 64), max(cap // 8, 64),
-            max(cap // 4, 64), max(cap // 2, 64), cap)
+    compilation of the step. Tiers never exceed cap (tiny frames have
+    pools smaller than the 64-slot floor)."""
+    return tuple(sorted({min(max(cap // d, 64), cap)
+                         for d in (32, 16, 8, 4, 2, 1)}))
 
 
 def _pick_tier(used: int, cap: int) -> int:

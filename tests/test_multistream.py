@@ -76,3 +76,12 @@ def test_gop_parallel_matches_sequential():
     got = [yuv for _bi, yuv in decode_clip_gop_parallel(
         clip, max_streams=3, planner_factory=Planner)]
     assert got == want
+
+
+def test_tiny_frame_pool_tiers():
+    """Frames whose pools are smaller than the 64-slot tier floor must not
+    slice past the arena (regression: 16x16 raw pool is 24 slots)."""
+    cfg = SeqConfig(16, 16)
+    clips = [make_clip(cfg, ["IPB"], seed=97)]
+    got = _multi_frames(cfg, clips)
+    assert got[0] == _single_stream_frames(cfg, clips[0])
