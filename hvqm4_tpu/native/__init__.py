@@ -36,7 +36,37 @@ from ..plans import FramePlan, PlanePlan
 
 _DIR = pathlib.Path(__file__).resolve().parent
 _SRC = _DIR / "_entropy.cc"
-_LIB = _DIR / "_entropy.so"
+
+_CXXFLAGS = ["-std=c++17", "-O3", "-march=native", "-fPIC", "-shared",
+             "-Wall", "-Wextra", "-pthread"]
+
+
+def _fingerprint() -> str:
+    """Host+flags fingerprint for the cached .so name.
+
+    -march=native binds the binary to this CPU's ISA; a .so carried to a
+    different machine (or built with different flags) must not be reused —
+    it could SIGILL or silently mis-run. Keying the cache file on
+    (machine, flags) forces a rebuild whenever either changes."""
+    import hashlib
+    import platform
+
+    cpu = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("model name") or line.startswith("flags"):
+                    cpu = line
+                    if line.startswith("flags"):
+                        break
+    except OSError:
+        pass
+    key = "|".join([platform.machine(), platform.system(), cpu,
+                    " ".join(_CXXFLAGS)])
+    return hashlib.sha256(key.encode()).hexdigest()[:12]
+
+
+_LIB = _DIR / f"_entropy_{_fingerprint()}.so"
 
 _FTYPE_CODE = {"I": 0, "P": 1, "B": 2}
 
@@ -79,10 +109,10 @@ class _FrameOut(ctypes.Structure):
 def _build() -> pathlib.Path:
     if _LIB.exists() and _LIB.stat().st_mtime >= _SRC.stat().st_mtime:
         return _LIB
+    for stale in _DIR.glob("_entropy*.so"):  # drop caches for other hosts
+        stale.unlink(missing_ok=True)
     subprocess.run(
-        ["g++", "-std=c++17", "-O3", "-march=native", "-fPIC", "-shared",
-         "-Wall", "-Wextra", "-pthread",
-         "-o", str(_LIB), str(_SRC)],
+        ["g++", *_CXXFLAGS, "-o", str(_LIB), str(_SRC)],
         check=True, capture_output=True, text=True)
     return _LIB
 

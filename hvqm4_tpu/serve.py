@@ -26,6 +26,7 @@ Client helper: `decode_remote(host, port, clip, mode, token=...)`.
 from __future__ import annotations
 
 import argparse
+import hmac
 import json
 import signal
 import socket
@@ -34,6 +35,7 @@ import struct
 import sys
 import threading
 import time
+from collections import OrderedDict
 
 import numpy as np
 
@@ -65,8 +67,12 @@ class _Handler(socketserver.BaseRequestHandler):
     def handle(self) -> None:  # one request per connection
         srv = self.server
         admitted = False
+        ingress = False
         t0 = time.monotonic()
         try:
+            # a stalled or slow-lorising client must not pin a handler
+            # thread (and its ingress buffer) forever
+            self.request.settimeout(srv.socket_timeout_s)
             magic = _recv_exact(self.request, 4)
             token = b""
             if magic == MAGIC_A:
@@ -79,7 +85,8 @@ class _Handler(socketserver.BaseRequestHandler):
                 raise ValueError("bad request magic")
             mode, clip_len = struct.unpack("<II",
                                            _recv_exact(self.request, 8))
-            if srv.auth_token and token != srv.auth_token:
+            if srv.auth_token and not hmac.compare_digest(token,
+                                                          srv.auth_token):
                 srv.count("auth_failures")
                 self._reply(STATUS_AUTH, [b"authentication required"])
                 return
@@ -90,6 +97,14 @@ class _Handler(socketserver.BaseRequestHandler):
                 raise ValueError(f"bad mode {mode}")
             if clip_len > srv.max_clip_bytes:
                 raise ValueError("clip too large")
+            # ingress control: each buffered clip body costs up to
+            # max_clip_bytes of RAM, so bound how many exist at once —
+            # shed *before* recv so the bound covers ingress, not just decode
+            ingress = srv.ingress.acquire(blocking=False)
+            if not ingress:
+                srv.count("busy_rejections")
+                self._reply(STATUS_BUSY, [b"server busy, retry later"])
+                return
             clip = _recv_exact(self.request, clip_len)
             # admission control: the device is serial; beyond 1 active +
             # max_pending waiters, shed load instead of queueing unboundedly
@@ -114,6 +129,8 @@ class _Handler(socketserver.BaseRequestHandler):
         finally:
             if admitted:
                 srv.admission.release()
+            if ingress:
+                srv.ingress.release()
 
 
 class DecodeServer(socketserver.ThreadingTCPServer):
@@ -122,14 +139,22 @@ class DecodeServer(socketserver.ThreadingTCPServer):
 
     def __init__(self, addr, backend: str = "jax",
                  max_clip_bytes: int = 256 << 20, vit_cfg=None,
-                 auth_token: bytes | str = b"", max_pending: int = 8):
+                 auth_token: bytes | str = b"", max_pending: int = 8,
+                 max_pixels: int = 4096 * 4096, max_sessions: int = 16,
+                 socket_timeout_s: float = 120.0):
         super().__init__(addr, _Handler)
         self.backend = backend
         self.max_clip_bytes = max_clip_bytes
+        self.max_pixels = max_pixels
+        self.socket_timeout_s = socket_timeout_s
         self.auth_token = (auth_token.encode()
                            if isinstance(auth_token, str) else auth_token)
         self.admission = threading.BoundedSemaphore(1 + max(max_pending, 0))
-        self._sessions: dict = {}
+        # ingress bound: active + pending + a small recv margin; each slot
+        # can buffer up to max_clip_bytes, so total ingress RAM is bounded
+        self.ingress = threading.BoundedSemaphore(1 + max(max_pending, 0) + 4)
+        self._sessions: OrderedDict = OrderedDict()
+        self._max_sessions = max(max_sessions, 1)
         self._vit = None
         self._vit_cfg = vit_cfg
         self._lock = threading.Lock()  # one decode at a time per device
@@ -174,7 +199,14 @@ class DecodeServer(socketserver.ThreadingTCPServer):
         from .session import DecoderSession
 
         key = (cfg, self.backend)
-        if key not in self._sessions:
+        if key in self._sessions:
+            self._sessions.move_to_end(key)  # LRU refresh
+        else:
+            # a client can present arbitrarily many distinct (valid) shapes;
+            # evict least-recently-used so per-shape XLA programs and device
+            # state don't accumulate without bound
+            while len(self._sessions) >= self._max_sessions:
+                self._sessions.popitem(last=False)
             self._sessions[key] = DecoderSession(cfg, backend=self.backend)
         return self._sessions[key]
 
@@ -182,6 +214,11 @@ class DecodeServer(socketserver.ThreadingTCPServer):
         from .container import Demuxer
 
         cfg = Demuxer(clip).info.cfg
+        # untrusted header: cap declared dimensions before any allocation
+        # or compilation keyed on them
+        if cfg.width * cfg.height > self.max_pixels:
+            raise ValueError(
+                f"frame {cfg.width}x{cfg.height} exceeds server pixel cap")
         with self._lock:
             sess = self._session(cfg)
             frames = list(sess.decode_clip(clip))
@@ -263,10 +300,20 @@ def main(argv=None) -> int:
     ap.add_argument("--max-pending", type=int, default=8,
                     help="queued requests beyond the active one before "
                          "shedding with status=busy")
+    ap.add_argument("--max-pixels", type=int, default=4096 * 4096,
+                    help="reject clips whose header declares more than this "
+                         "many pixels per frame")
+    ap.add_argument("--max-sessions", type=int, default=16,
+                    help="LRU cap on cached per-shape decoder sessions")
+    ap.add_argument("--socket-timeout", type=float, default=120.0,
+                    help="per-connection socket timeout in seconds")
     args = ap.parse_args(argv)
     srv = DecodeServer((args.host, args.port), backend=args.backend,
                        auth_token=args.auth_token,
-                       max_pending=args.max_pending)
+                       max_pending=args.max_pending,
+                       max_pixels=args.max_pixels,
+                       max_sessions=args.max_sessions,
+                       socket_timeout_s=args.socket_timeout)
     signal.signal(signal.SIGTERM, lambda *_: srv.shutdown())
     print(f"hvqm4_tpu decode service on {args.host}:{args.port} "
           f"(backend={args.backend}, auth={'on' if args.auth_token else 'off'})",

@@ -122,6 +122,44 @@ def test_serve_auth():
         srv.shutdown()
 
 
+def test_serve_rejects_huge_dimensions():
+    """An untrusted header declaring giant frames is rejected before any
+    shape-keyed allocation or compilation happens."""
+    srv = serve.DecodeServer(("127.0.0.1", 0), backend="numpy",
+                             max_pixels=64 * 48)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        host, port = srv.server_address
+        ok_clip = make_clip(SeqConfig(64, 48), ["I"], seed=97)
+        assert serve.decode_remote(host, port, ok_clip)
+        big_clip = make_clip(SeqConfig(128, 96), ["I"], seed=97)
+        with pytest.raises(RuntimeError, match="pixel cap"):
+            serve.decode_remote(host, port, big_clip)
+    finally:
+        srv.shutdown()
+
+
+def test_serve_session_lru_eviction():
+    """Distinct sequence shapes must not grow the session cache without
+    bound; least-recently-used shapes are evicted."""
+    srv = serve.DecodeServer(("127.0.0.1", 0), backend="numpy",
+                             max_sessions=2)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        host, port = srv.server_address
+        for w, h in [(32, 32), (64, 48), (32, 48), (64, 32)]:
+            clip = make_clip(SeqConfig(w, h), ["I"], seed=98)
+            assert serve.decode_remote(host, port, clip)
+            assert len(srv._sessions) <= 2  # noqa: SLF001
+        # most recent shape is still cached and serves correctly
+        clip = make_clip(SeqConfig(64, 32), ["I"], seed=99)
+        assert serve.decode_remote(host, port, clip)
+    finally:
+        srv.shutdown()
+
+
 def test_serve_busy_shedding():
     """With max_pending=0, a request arriving while one is active is shed
     with status=busy instead of queueing."""
