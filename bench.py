@@ -142,29 +142,33 @@ def phase_device(n_streams: int) -> dict:
 
 
 def phase_hash(n_streams: int) -> dict:
-    """Bit-exactness vs the C oracle, verified on stream 0 of the same
+    """Bit-exactness vs the C oracle, verified on EVERY stream of the same
     batched configuration the throughput phases use (same compiled
-    executable; multi-stream equality is separately covered by tests/)."""
+    executable): a stream-dependent layout/donation bug on this backend
+    would show up in streams 1..N-1 even when stream 0 is right."""
     import jax
 
     _cfg, clip_path, make_ms, _pn = _setup(n_streams)
     ms = make_ms()
-    hashes = []
+    per_stream: list[list[str]] = [[] for _ in range(n_streams)]
     while True:
         out = ms.step()
         if out is None:
             break
         frames, _metas, _valid = out
-        # read back only stream 0's planes (device-side slice)
-        fnp = [np.asarray(frames[pi][0]) for pi in range(3)]
-        hashes.append(_fnv1a(b"".join(p.tobytes() for p in fnp)))
+        planes = [np.asarray(frames[pi]) for pi in range(3)]  # (N, H, W) each
+        for si in range(n_streams):
+            per_stream[si].append(_fnv1a(
+                b"".join(p[si].tobytes() for p in planes)))
 
     oracle = ensure_oracle()
     res = subprocess.run([str(oracle), "--hash", str(clip_path), "/dev/null"],
                          check=True, capture_output=True, text=True)
     want = [line.split("hash=")[1] for line in res.stdout.splitlines()
             if "hash=" in line]
-    return {"bitexact": hashes == want}
+    ok = all(h == want for h in per_stream)
+    return {"bitexact": ok, "bitexact_streams": n_streams,
+            "bitexact_frames": len(want)}
 
 
 def main() -> None:
@@ -214,6 +218,8 @@ def main() -> None:
         "streams": n_streams,
         "planner": merged["planner"],
         "bitexact": merged["bitexact"],
+        "bitexact_streams": merged["bitexact_streams"],
+        "bitexact_frames": merged["bitexact_frames"],
         "backend": merged["backend"],
     }))
 
