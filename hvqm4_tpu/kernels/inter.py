@@ -66,16 +66,27 @@ def _pad(x, n_pad):
     return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, n_pad - n)])
 
 
+def _mv_blocks(mv, bh, bw):
+    """(2, gh, gw) vector grid (per-block or per-MB, values plane-resolved)
+    → per-block (2, bh, bw)."""
+    _, gh, gw = mv.shape
+    if (gh, gw) != (bh, bw):
+        mv = jnp.repeat(jnp.repeat(mv, bh // gh, axis=1), bw // gw, axis=2)
+    return mv
+
+
 def _corner_gathers(ref, mv):
-    """XLA prologue: the 4 corner gathers of FORMAT.md §7.4 → (4*16, n) i32."""
+    """XLA prologue: the 4 corner gathers of FORMAT.md §7.4 → (4*16, n) i32.
+
+    `mv` is per-block component-major (2, bh, bw)."""
     ph, pw = ref.shape
-    bh, bw = mv.shape[:2]
+    bh, bw = mv.shape[1:]
     r = _i32(ref).reshape(-1)
     j = jnp.arange(4, dtype=jnp.int32)
     gx = (jnp.arange(bw, dtype=jnp.int32) * 4)[None, :, None, None] + j[None, None, None, :]
     gy = (jnp.arange(bh, dtype=jnp.int32) * 4)[:, None, None, None] + j[None, None, :, None]
-    sx = 2 * gx + _i32(mv[:, :, 0])[:, :, None, None]
-    sy = 2 * gy + _i32(mv[:, :, 1])[:, :, None, None]
+    sx = 2 * gx + _i32(mv[0])[:, :, None, None]
+    sy = 2 * gy + _i32(mv[1])[:, :, None, None]
     ix, iy = _sra(sx, 1), _sra(sy, 1)
 
     def at(y, x):
@@ -100,17 +111,19 @@ def decode_plane_inter_pallas(plan, nest, ref0, ref1, interpret: bool = False):
     n = bh * bw
     n_pad = -(-n // TILE_N) * TILE_N if n > TILE_N else -(-n // 128) * 128
 
+    mv = _mv_blocks(plan["mv"], bh, bw)
+    mv2 = _mv_blocks(plan["mv2"], bh, bw)
     corners = jnp.concatenate([
-        _corner_gathers(ref0, plan["mv"]),
-        _corner_gathers(ref1, plan["mv"]),
-        _corner_gathers(ref1, plan["mv2"]),
+        _corner_gathers(ref0, mv),
+        _corner_gathers(ref1, mv),
+        _corner_gathers(ref1, mv2),
     ], axis=0)                                            # (192, n)
     meta = jnp.stack([
         cls_.reshape(-1), refsel.reshape(-1),
-        _i32(plan["mv"][:, :, 0]).reshape(-1) & 1,
-        _i32(plan["mv"][:, :, 1]).reshape(-1) & 1,
-        _i32(plan["mv2"][:, :, 0]).reshape(-1) & 1,
-        _i32(plan["mv2"][:, :, 1]).reshape(-1) & 1,
+        _i32(mv[0]).reshape(-1) & 1,
+        _i32(mv[1]).reshape(-1) & 1,
+        _i32(mv2[0]).reshape(-1) & 1,
+        _i32(mv2[1]).reshape(-1) & 1,
     ])                                                    # (6, n)
     intra_t = intra_px.reshape(n, 16).T
     acc_t = acc.reshape(n, 16).T

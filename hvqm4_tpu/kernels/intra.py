@@ -103,8 +103,11 @@ def intra_synth_pallas(plan, nest, interpret: bool = False):
     n_pad = -(-n // TILE_N) * TILE_N if n > TILE_N else -(-n // 128) * 128
 
     # --- XLA prologue: nest gather + neighbor grids + lane-major layout ---
+    # (plan["desc"] is component-major (4, bh, bw) per the device-core
+    # contract; this prologue works block-major)
     nh, nw = nest.shape
-    bnx, bny, bsx, bsy, boff, bscale = unpack_desc(plan["desc"])
+    bnx, bny, bsx, bsy, boff, bscale = unpack_desc(
+        plan["desc"].transpose(1, 2, 0))
     cls_, _refsel, mode = unpack_meta(plan["meta"])
     i = jnp.arange(4, dtype=jnp.int32)
     ny = bny[:, :, :, None] + i[None, None, None, :] * bsy[:, :, :, None]
@@ -124,7 +127,9 @@ def intra_synth_pallas(plan, nest, interpret: bool = False):
                       jnp.where(cls_ != 0, mode, 0))
     meta = jnp.stack([mode.reshape(-1), count.reshape(-1),
                       jnp.zeros((n,), jnp.int32)])
-    raw_t = _i32(plan["raw"]).reshape(n, 16).T
+    # raw arrives in plane layout (H, W); regroup to (blocks, 16) lanes
+    raw_t = (_i32(plan["raw"]).reshape(bh, 4, bw, 4)
+             .transpose(0, 2, 1, 3).reshape(n, 16).T)
     boff_t = boff.reshape(n, MAX_BASES).T
     bscale_t = bscale.reshape(n, MAX_BASES).T
 

@@ -160,14 +160,17 @@ def alloc_packed_plane(bh: int, bw: int) -> dict[str, np.ndarray]:
 
 def expand_mb_mv(mv_mb: np.ndarray, bh: int, bw: int, h_samp: int,
                  plane_index: int) -> np.ndarray:
-    """Per-MB (mh, mw, 2) i16 vector grid → per-block (bh, bw, 2) at plane
-    resolution: repeat over the blocks of each MB and arithmetic-shift for
-    4:2:0 chroma (mirrors the device-side expansion in
-    `parallel.multistream._unpack_arena`)."""
+    """Per-MB packed (mh, mw) u32 vector grid (y16 << 16 | x16) → per-block
+    (bh, bw, 2) i16 at plane resolution: unpack, repeat over the blocks of
+    each MB and arithmetic-shift for 4:2:0 chroma (mirrors the device-side
+    unpack in `parallel.multistream._unpack_arena` + per-pixel gather in
+    `ops.device_core._mv_pixels`)."""
+    v = mv_mb.astype(np.int32)
+    grid = np.stack([(v << 16) >> 16, v >> 16], axis=-1)  # (mh, mw, 2) i32
     chroma_mb = plane_index > 0 and h_samp == 2
     rpm = 1 if chroma_mb else 2  # blocks per MB edge in this plane
     shift = 1 if chroma_mb else 0
-    out = (mv_mb >> shift).astype(np.int16)
+    out = (grid >> shift).astype(np.int16)
     if rpm > 1:
         out = np.repeat(np.repeat(out, rpm, axis=0), rpm, axis=1)
     assert out.shape == (bh, bw, 2)
@@ -265,8 +268,8 @@ class NativePlanner:
         nh, nw = cfg.nest_shape
         nest = np.zeros((nh, nw), np.uint8)
         mh, mw = cfg.mb_grid
-        mv_mb = np.zeros((mh, mw, 2), np.int16)
-        mv2_mb = np.zeros((mh, mw, 2), np.int16)
+        mv_mb = np.zeros((mh, mw), np.uint32)
+        mv2_mb = np.zeros((mh, mw), np.uint32)
         total = sum(bh * bw for bh, bw in cfg.block_grids)
         raw_pool, desc_pool = alloc_pools(total)
         pool = make_pool_struct(raw_pool, desc_pool)

@@ -233,8 +233,9 @@ struct FrameOut {
     uint32_t nest_x, nest_y;
     uint32_t raw_used, desc_used;  // pool slots consumed by this frame
     uint8_t* nest;  // nest_h*nest_w (filled for I frames)
-    int16_t* mv;    // mh*mw*2 per-MB forward vector, luma units (P/B; 0 on I)
-    int16_t* mv2;   // mh*mw*2 per-MB backward vector (refsel-2 B blocks)
+    uint32_t* mv;   // (mh, mw) per-MB forward vector, packed (y16 << 16 | x16),
+                    // luma half-pel units (P/B; 0 on I)
+    uint32_t* mv2;  // (mh, mw) per-MB backward vector (refsel-2 B blocks)
 };
 
 struct MBInfo {
@@ -301,7 +302,7 @@ struct SliceDec {
 
     // Decodes MB types + MV chains, emitting per-MB vectors straight into
     // the FrameOut mv/mv2 arrays (row range [ms0, ms1) — slice-disjoint).
-    void mb_rows(int16_t* mv, int16_t* mv2) {
+    void mb_rows(uint32_t* mv, uint32_t* mv2) {
         int32_t px = 0, py = 0;  // MV chain resets per slice
         for (int my = ms0; my < ms1; my++) {
             for (int mx = 0; mx < g->mw; mx++) {
@@ -331,11 +332,14 @@ struct SliceDec {
                         mb.mv2y = py;
                     }
                 }
-                const size_t mi = ((size_t)my * g->mw + mx) * 2;
-                mv[mi + 0] = (int16_t)mb.mvx;
-                mv[mi + 1] = (int16_t)mb.mvy;
-                mv2[mi + 0] = (int16_t)mb.mv2x;
-                mv2[mi + 1] = (int16_t)mb.mv2y;
+                // one packed u32 per MB keeps vectors in the u32 upload
+                // arena (no separate i16 transfer) and the TPU side
+                // unpacks with two shifts
+                const size_t mi = (size_t)my * g->mw + mx;
+                mv[mi] = ((uint32_t)(uint16_t)mb.mvy << 16)
+                         | (uint16_t)mb.mvx;
+                mv2[mi] = ((uint32_t)(uint16_t)mb.mv2y << 16)
+                          | (uint16_t)mb.mv2x;
             }
         }
     }
@@ -563,9 +567,9 @@ extern "C" int hvqm4_plan_frame(const uint8_t* payload, size_t n, int ftype,
 
         const int dc_shift = (int)fout->dc_shift;
         if (ftype == 0) {  // no MB scan on I frames: MV arrays read as zero
-            std::memset(fout->mv, 0, (size_t)g.mh * g.mw * 2 * sizeof(int16_t));
+            std::memset(fout->mv, 0, (size_t)g.mh * g.mw * sizeof(uint32_t));
             std::memset(fout->mv2, 0,
-                        (size_t)g.mh * g.mw * 2 * sizeof(int16_t));
+                        (size_t)g.mh * g.mw * sizeof(uint32_t));
         }
 
         const char* tenv = std::getenv("HVQM4_PLANNER_THREADS");

@@ -2,11 +2,28 @@
 
 The TPU-native replacement for the reference's per-block scalar loops
 (SURVEY.md §2.3: `WeightImBlock`, `IntraAotBlock`, `OrgBlock`,
-`PrediAotBlock`, `_MotionComp*`, B blending). Every 4×4 block of a plane is
-computed simultaneously: block modes become masked selects over the block
-grid, nest lookups and motion compensation become gathers, and all arithmetic
-is exact int32 with arithmetic shifts so the output is bit-identical to the C
-oracle on any XLA backend.
+`PrediAotBlock`, `_MotionComp*`, B blending). Every pixel of a plane is
+computed simultaneously: block modes become masked selects, nest lookups
+and motion compensation become gathers, and all arithmetic is exact int32
+with arithmetic shifts so the output is bit-identical to the C oracle on
+any XLA backend.
+
+Layout discipline (the TPU-first part): every large tensor is **plane
+shaped (H, W)** — minor dimension = the plane width, a near multiple of
+the 128-lane tile — and per-block plan fields are upsampled to pixels by
+gathers indexed with a shared block-index map. Block-granular shapes like
+(bh, bw, 4, 4) or (bh, bw, B) never appear on big intermediates: XLA pads
+a trailing dim of 4 to 128 on TPU (32× memory), which both wastes HBM
+(it OOMed the 32-stream batch) and forces relayout copies.
+
+Plan dict contract (per plane):
+    meta (bh, bw) u8       mode bits 0-2, refsel 3-4, cls 5
+    dc   (bh, bw) u8       prediction-resolved DC
+    desc (4, bh, bw) u32   basis descriptors, wire format — component-MAJOR
+    raw  (H, W) u8         raw-block pixels already in plane layout
+    mv, mv2 (2, gh, gw) i16  vectors on any power-of-two grid (per-block or
+                           per-MB); values already plane-resolved (chroma
+                           half-pel shift applied by the producer)
 
 Two entry points per plane shape, each jit-compiled once per `SeqConfig`:
 - `decode_plane_intra(plan, nest)`            — I frames
@@ -32,22 +49,15 @@ _W = np.array([4, 1, 0, 0], np.int32)
 
 
 def plane_plan_arrays(p: PlanePlan) -> dict[str, np.ndarray]:
-    """PlanePlan → the dense per-block device plan arrays.
+    """PlanePlan → the dense per-plane device plan arrays (host-side).
 
-    Host→device bandwidth is a first-order cost (and, through the test
-    tunnel, a leak multiplier), so the upload format is minimal:
-
-    - ``meta`` u8: mode in bits 0-2, refsel in bits 3-4, cls in bit 5
-    - ``desc`` u32[4]: basis descriptors in wire format (FORMAT.md §6.5)
-    - ``dc`` u8, ``raw`` u8[16], ``mv``/``mv2`` i16[2]
-
-    This is the *expanded* form the device core consumes. The production
-    multi-stream arena uploads an even tighter encoding (unified sparse
-    payload slot, per-MACROBLOCK motion vectors — see
+    Emits the plane-layout contract documented in the module docstring.
+    The production multi-stream arena uploads an even tighter encoding
+    (unified sparse payload slot, per-MACROBLOCK motion vectors — see
     `parallel.multistream`) and expands to this form inside the jitted
-    step. The device core unpacks meta with shifts (free — it fuses into
-    the consuming ops).
+    step.
     """
+    bh, bw = p.mode.shape
     meta = (p.mode | (p.refsel << 3) | (p.cls << 5)).astype(np.uint8)
     desc = ((p.basis_nx.astype(np.uint32) << 25)
             | (p.basis_ny.astype(np.uint32) << 18)
@@ -55,13 +65,15 @@ def plane_plan_arrays(p: PlanePlan) -> dict[str, np.ndarray]:
             | ((np.maximum(p.basis_sy.astype(np.uint32), 1) - 1) << 16)
             | ((p.basis_off.astype(np.int64) & 0xFF).astype(np.uint32) << 8)
             | (p.basis_scale.astype(np.int64) & 0xFF).astype(np.uint32))
+    raw_plane = (p.raw.reshape(bh, bw, 4, 4).transpose(0, 2, 1, 3)
+                 .reshape(bh * 4, bw * 4))
     return {
         "meta": meta,
         "dc": p.dc,
-        "raw": p.raw,
-        "desc": desc,
-        "mv": p.mv,
-        "mv2": p.mv2,
+        "raw": np.ascontiguousarray(raw_plane),
+        "desc": np.ascontiguousarray(desc.transpose(2, 0, 1)),
+        "mv": np.ascontiguousarray(p.mv.transpose(2, 0, 1)),
+        "mv2": np.ascontiguousarray(p.mv2.transpose(2, 0, 1)),
     }
 
 
@@ -80,31 +92,6 @@ def _i32(x):
     return x.astype(jnp.int32)
 
 
-# ---------------------------------------------------------------------------
-# Intra pieces
-# ---------------------------------------------------------------------------
-
-def weight_blocks(dc_grid):
-    """Mode-0 smoothing for all blocks at once (FORMAT.md §6.3) → (bh,bw,4,4).
-
-    Neighbor DCs via edge-replicating shifts of the DC grid: replication
-    makes out-of-frame neighbors equal the center DC, exactly the border rule.
-    """
-    dc = _i32(dc_grid)
-    dcU = jnp.concatenate([dc[:1], dc[:-1]], axis=0)
-    dcD = jnp.concatenate([dc[1:], dc[-1:]], axis=0)
-    dcL = jnp.concatenate([dc[:, :1], dc[:, :-1]], axis=1)
-    dcR = jnp.concatenate([dc[:, 1:], dc[:, -1:]], axis=1)
-    c = dc[:, :, None, None]
-    wi = jnp.asarray(_W)[None, None, :, None]
-    wj = jnp.asarray(_W)[None, None, None, :]
-    acc = ((dcU[:, :, None, None] - c) * wi
-           + (dcD[:, :, None, None] - c) * wi[:, :, ::-1, :]
-           + (dcL[:, :, None, None] - c) * wj
-           + (dcR[:, :, None, None] - c) * wj[:, :, :, ::-1])
-    return c + _sra(acc + 8, 4)
-
-
 def unpack_desc(desc):
     """Wire-format u32 basis descriptors (FORMAT.md §6.5) → i32 fields."""
     d = _i32(desc.astype(jnp.uint32))  # logical ops below mask sign bits away
@@ -118,23 +105,87 @@ def unpack_desc(desc):
     return nx, ny, sx, sy, off, scale
 
 
-def aot_acc(plan, nest, count):
-    """AOT accumulator for all blocks (FORMAT.md §6.2) → (bh,bw,4,4) i32.
+# ---------------------------------------------------------------------------
+# Plane-layout helpers
+# ---------------------------------------------------------------------------
 
-    One flat gather from the VMEM-resident nest (≤ 2660 entries) — the
-    device-side `GetAotBasis`/`GetMCAotBasis`.
+def _pixel_maps(bh: int, bw: int):
+    """Shared per-pixel index maps for a (bh, bw) block grid.
+
+    Returns (y, x, by, bx, iw, jw) as (H, W) i32: pixel coords, owning
+    block coords, and within-block coords.
     """
+    H, W = bh * 4, bw * 4
+    y = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    x = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    return y, x, _sra(y, 2), _sra(x, 2), y & 3, x & 3
+
+
+def _up(grid2d, blk):
+    """Per-block value grid (bh, bw) → per-pixel (H, W) i32 via one gather."""
+    return jnp.take(_i32(grid2d).reshape(-1), blk)
+
+
+def _wsel(idx):
+    """The smoothing weight table W = [4, 1, 0, 0] as arithmetic on the
+    (H, W) within-block index (FORMAT.md §6.3)."""
+    return jnp.where(idx == 0, 4, jnp.where(idx == 1, 1, 0))
+
+
+# ---------------------------------------------------------------------------
+# Intra synthesis (WeightImBlock + IntraAotBlock + OrgBlock, per pixel)
+# ---------------------------------------------------------------------------
+
+def _intra_pixels_plane(plan, nest):
+    """All intra math in plane layout.
+
+    Returns (intra (H,W) i32 unclipped, acc (H,W) i32 AOT accumulator,
+    meta_up (H,W) i32 per-pixel meta) — inter blocks reuse acc as their
+    residual and meta_up for cls/refsel.
+    """
+    bh, bw = plan["meta"].shape
+    _y, _x, by, bx, iw, jw = _pixel_maps(bh, bw)
+    blk = by * bw + bx
+
+    meta_up = _up(plan["meta"], blk)
+    cls_u = _sra(meta_up, 5) & 1
+    mode_u = meta_up & 7
+    # basis count: intra AOT modes 1..4 or inter residual count (cls 1)
+    count_u = jnp.where((cls_u == 0) & (mode_u >= 1) & (mode_u <= 4), mode_u,
+                        jnp.where(cls_u != 0, mode_u, 0))
+
+    # --- WeightImBlock: DC smoothing against the 4 neighbour DCs ---------
+    # (FORMAT.md §6.3). Border rule = edge replication: clamp the
+    # neighbour block index, making the out-of-frame neighbour equal the
+    # centre DC.
+    dcf = _i32(plan["dc"]).reshape(-1)
+    dc_c = jnp.take(dcf, blk)
+    dcU = jnp.take(dcf, jnp.maximum(by - 1, 0) * bw + bx)
+    dcD = jnp.take(dcf, jnp.minimum(by + 1, bh - 1) * bw + bx)
+    dcL = jnp.take(dcf, by * bw + jnp.maximum(bx - 1, 0))
+    dcR = jnp.take(dcf, by * bw + jnp.minimum(bx + 1, bw - 1))
+    wacc = ((dcU - dc_c) * _wsel(iw) + (dcD - dc_c) * _wsel(3 - iw)
+            + (dcL - dc_c) * _wsel(jw) + (dcR - dc_c) * _wsel(3 - jw))
+    wpx = dc_c + _sra(wacc + 8, 4)
+
+    # --- AOT accumulator: Σ scaled nest samples (FORMAT.md §6.2) ---------
+    # One (H, W) gather per basis from the ≤2.7 KB nest — the device-side
+    # `GetAotBasis`/`GetMCAotBasis`.
     nh, nw = nest.shape
-    bnx, bny, bsx, bsy, boff, bscale = unpack_desc(plan["desc"])
-    i = jnp.arange(4, dtype=jnp.int32)
-    ny = bny[:, :, :, None] + i[None, None, None, :] * bsy[:, :, :, None]
-    nx = bnx[:, :, :, None] + i[None, None, None, :] * bsx[:, :, :, None]
-    idx = (ny % nh)[:, :, :, :, None] * nw + (nx % nw)[:, :, :, None, :]
-    samples = jnp.take(_i32(nest.reshape(-1)), idx)                 # (bh,bw,B,4,4)
-    terms = (samples - boff[:, :, :, None, None]) \
-        * bscale[:, :, :, None, None]
-    mask = (jnp.arange(MAX_BASES)[None, None, :] < count[:, :, None])
-    return jnp.sum(terms * mask[:, :, :, None, None], axis=2)
+    nestf = _i32(nest).reshape(-1)
+    acc = jnp.zeros_like(meta_up)
+    for b in range(MAX_BASES):
+        nx, ny, sx, sy, off, scale = unpack_desc(jnp.take(
+            plan["desc"][b].reshape(-1).astype(jnp.uint32), blk))
+        yy = (ny + iw * sy) % nh
+        xx = (nx + jw * sx) % nw
+        s = jnp.take(nestf, yy * nw + xx)
+        acc = acc + (s - off) * scale * (count_u > b)
+    apx = dc_c + _sra(acc, 4)
+
+    rpx = _i32(plan["raw"])
+    intra = jnp.where(mode_u == 0, wpx, jnp.where(mode_u == 6, rpx, apx))
+    return intra, acc, meta_up
 
 
 # Pallas kernel routing, fixed at import: "off" (XLA, default), "on"
@@ -145,52 +196,49 @@ def aot_acc(plan, nest, count):
 _PALLAS_MODE = os.environ.get("HVQM4_PALLAS", "off")
 
 
-def _intra_pixels(plan, nest):
-    if _PALLAS_MODE != "off":
-        from ..kernels.intra import intra_synth_pallas
-
-        return intra_synth_pallas(plan, nest,
-                                  interpret=_PALLAS_MODE == "interpret")
-    bh, bw = plan["meta"].shape
-    cls_, _refsel, mode = unpack_meta(plan["meta"])
-    count = jnp.where((cls_ == 0) & (mode >= 1) & (mode <= 4), mode, 0)
-    inter_count = jnp.where(cls_ != 0, mode, 0)
-    acc = aot_acc(plan, nest, count + inter_count)
-    dc = _i32(plan["dc"])[:, :, None, None]
-    wpx = weight_blocks(plan["dc"])
-    apx = dc + _sra(acc, 4)
-    rpx = _i32(plan["raw"]).reshape(bh, bw, 4, 4)
-    m = mode[:, :, None, None]
-    intra = jnp.where(m == 0, wpx, jnp.where(m == 6, rpx, apx))
-    return intra, acc
-
-
 def _blocks_to_plane(px):
+    """(bh, bw, 4, 4) block-granular pixels → clipped (H, W) u8 plane.
+
+    Used by the Pallas path (lane-major kernels); the XLA path computes in
+    plane layout directly."""
     bh, bw = px.shape[:2]
-    return jnp.clip(px, 0, 255).astype(jnp.uint8).transpose(0, 2, 1, 3).reshape(bh * 4, bw * 4)
+    return (jnp.clip(px, 0, 255).astype(jnp.uint8)
+            .transpose(0, 2, 1, 3).reshape(bh * 4, bw * 4))
 
 
 # ---------------------------------------------------------------------------
 # Motion compensation (FORMAT.md §7.4) — the device-side `_MotionComp{00,01,10,11}`
 # ---------------------------------------------------------------------------
 
-def mc_predict(ref, mv):
-    """Half-pel MC for every block → (bh,bw,4,4) i32; clamped addressing."""
+def _mv_pixels(plan, key, y, x):
+    """Upsample a (2, gh, gw) vector grid to per-pixel (mvx, mvy) (H,W) i32.
+
+    The grid may be per-block (gh = bh) or per-macroblock (gh = mh); the
+    pixel→grid shift is the exact log2 of the resolution ratio. Vector
+    values arrive plane-resolved (chroma shift already applied).
+    """
+    mv = plan[key]
+    _, gh, gw = mv.shape
+    H, W = y.shape
+    sh_y = (H // gh - 1).bit_length()
+    sh_x = (W // gw - 1).bit_length()
+    mblk = _sra(y, sh_y) * gw + _sra(x, sh_x)
+    return (jnp.take(_i32(mv[0]).reshape(-1), mblk),
+            jnp.take(_i32(mv[1]).reshape(-1), mblk))
+
+
+def _mc_plane(ref, y, x, mvx, mvy):
+    """Half-pel MC for every pixel → (H, W) i32; clamped addressing."""
     ph, pw = ref.shape
-    bh, bw = mv.shape[:2]
     r = _i32(ref).reshape(-1)
-    j = jnp.arange(4, dtype=jnp.int32)
-    gx = (jnp.arange(bw, dtype=jnp.int32) * 4)[None, :, None, None] + j[None, None, None, :]
-    gy = (jnp.arange(bh, dtype=jnp.int32) * 4)[:, None, None, None] + j[None, None, :, None]
-    sx = 2 * gx + _i32(mv[:, :, 0])[:, :, None, None]
-    sy = 2 * gy + _i32(mv[:, :, 1])[:, :, None, None]
+    sx = 2 * x + mvx
+    sy = 2 * y + mvy
     ix, hx = _sra(sx, 1), sx & 1
     iy, hy = _sra(sy, 1), sy & 1
 
-    def at(y, x):
-        yy = jnp.clip(y, 0, ph - 1)
-        xx = jnp.clip(x, 0, pw - 1)
-        return jnp.take(r, yy * pw + xx)
+    def at(yy, xx):
+        return jnp.take(r, jnp.clip(yy, 0, ph - 1) * pw
+                        + jnp.clip(xx, 0, pw - 1))
 
     a = at(iy, ix)
     b = at(iy, ix + 1)
@@ -210,8 +258,14 @@ def mc_predict(ref, mv):
 @functools.partial(jax.jit, donate_argnums=())
 def decode_plane_intra(plan, nest):
     """I-frame plane: all blocks intra."""
-    intra, _ = _intra_pixels(plan, nest)
-    return _blocks_to_plane(intra)
+    if _PALLAS_MODE != "off":
+        from ..kernels.intra import intra_synth_pallas
+
+        intra, _ = intra_synth_pallas(plan, nest,
+                                      interpret=_PALLAS_MODE == "interpret")
+        return _blocks_to_plane(intra)
+    intra, _acc, _meta = _intra_pixels_plane(plan, nest)
+    return jnp.clip(intra, 0, 255).astype(jnp.uint8)
 
 
 @functools.partial(jax.jit, donate_argnums=())
@@ -227,17 +281,21 @@ def decode_plane_inter(plan, nest, ref0, ref1):
 
         return decode_plane_inter_pallas(
             plan, nest, ref0, ref1, interpret=_PALLAS_MODE == "interpret")
-    intra, acc = _intra_pixels(plan, nest)
-    cls_, refsel, _mode = unpack_meta(plan["meta"])
-    pf = mc_predict(ref0, plan["mv"])
-    pl_ = mc_predict(ref1, plan["mv"])
-    pb = mc_predict(ref1, plan["mv2"])
-    sel = refsel[:, :, None, None]
+    bh, bw = plan["meta"].shape
+    y, x, _by, _bx, _iw, _jw = _pixel_maps(bh, bw)
+    intra, acc, meta_up = _intra_pixels_plane(plan, nest)
+    cls_u = _sra(meta_up, 5) & 1
+    sel = _sra(meta_up, 3) & 3
+    mvx, mvy = _mv_pixels(plan, "mv", y, x)
+    mv2x, mv2y = _mv_pixels(plan, "mv2", y, x)
+    pf = _mc_plane(ref0, y, x, mvx, mvy)
+    pl_ = _mc_plane(ref1, y, x, mvx, mvy)
+    pb = _mc_plane(ref1, y, x, mv2x, mv2y)
     pred = jnp.where(sel == 0, pf,
                      jnp.where(sel == 1, pl_, _sra(pf + pb + 1, 1)))
     inter = pred + _sra(acc, 4)
-    px = jnp.where((cls_ == 0)[:, :, None, None], intra, inter)
-    return _blocks_to_plane(px)
+    px = jnp.where(cls_u == 0, intra, inter)
+    return jnp.clip(px, 0, 255).astype(jnp.uint8)
 
 
 def build_nest_device(dc_grid_y, nest_x, nest_y, nest_shape):

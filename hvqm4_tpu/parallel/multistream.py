@@ -67,7 +67,7 @@ _FIELD_SPECS = (
 
 @functools.lru_cache(maxsize=None)
 def _arena_entries(cfg: SeqConfig, n: int):
-    """Three dtype-homogeneous arenas (u8 / i16 / u32): one upload each.
+    """Two dtype-homogeneous arenas (u8 / u32): one upload each.
 
     A single mixed-dtype u8 arena would be ideal (one transfer), but
     reinterpreting it on device — whether via bitcast_convert_type or
@@ -85,10 +85,9 @@ def _arena_entries(cfg: SeqConfig, n: int):
     Returns ({dtype_name: [(field_name, plane|-1, shape, elem_off, elems)]},
              {dtype_name: total_fixed_elems}, pool_info).
     """
-    groups: dict[str, list] = {"u8": [], "i16": [], "u32": []}
-    totals = {"u8": 0, "i16": 0, "u32": 0}
-    keymap = {np.dtype(np.uint8): "u8", np.dtype(np.int16): "i16",
-              np.dtype(np.uint32): "u32"}
+    groups: dict[str, list] = {"u8": [], "u32": []}
+    totals = {"u8": 0, "u32": 0}
+    keymap = {np.dtype(np.uint8): "u8", np.dtype(np.uint32): "u32"}
 
     def add(name, pi, dtype, shape):
         g = keymap[np.dtype(dtype)]
@@ -103,12 +102,13 @@ def _arena_entries(cfg: SeqConfig, n: int):
     add("new_nest", -1, np.uint8, (n, nh, nw))
     add("is_i", -1, np.uint8, (n,))
     add("is_ref", -1, np.uint8, (n,))
-    # motion vectors are per-MACROBLOCK (all blocks of an MB share them), so
-    # they upload at MB resolution (~6x fewer i16s than per-block) and the
-    # jitted step expands them per plane
+    # motion vectors are per-MACROBLOCK (all blocks of an MB share them) and
+    # pack as ONE u32 per MB (y16 << 16 | x16): they ride the u32 arena, so
+    # a step needs only two h2d transfers (u8 + u32), and the jitted step
+    # unpacks with two shifts
     mh, mw = cfg.mb_grid
-    add("mv", -1, np.int16, (n, mh, mw, 2))
-    add("mv2", -1, np.int16, (n, mh, mw, 2))
+    add("mv", -1, np.uint32, (n, mh, mw))
+    add("mv2", -1, np.uint32, (n, mh, mw))
     total_blocks = sum(bh * bw for bh, bw in cfg.block_grids)
     pool_info = {
         "raw_off": totals["u8"],          # u8 elems; pool (cap, n, 16)
@@ -135,7 +135,7 @@ def _pick_tier(used: int, cap: int) -> int:
     return cap
 
 
-_ARENA_DTYPES = {"u8": np.uint8, "i16": np.int16, "u32": np.uint32}
+_ARENA_DTYPES = {"u8": np.uint8, "u32": np.uint32}
 
 
 def _arena_views(cfg: SeqConfig, n: int, arenas: dict):
@@ -172,8 +172,11 @@ def _unpack_arena(cfg: SeqConfig, n: int, arenas: dict,
     """In-jit: typed arenas → (plane plan dicts, new_nest, is_i, is_ref).
 
     `raw_cap`/`desc_cap` are the upload tier's pool capacities (static).
-    Dense per-block `raw` (…,16) and `desc` (…,4) are materialized here by
-    pool gathers, so the device core below is layout-agnostic."""
+    Pool payloads are materialized in the device core's plane-layout
+    contract (raw as (n, H, W) pixels, desc component-major (n, 4, bh, bw))
+    by gathers straight from the flat pool regions — no intermediate ever
+    carries a trailing dim of 4/16 (TPU tiling would pad it to 128).
+    """
     groups, _totals, pinfo = _arena_entries(cfg, n)
     planes = [dict() for _ in cfg.block_grids]
     extras = {}
@@ -185,29 +188,42 @@ def _unpack_arena(cfg: SeqConfig, n: int, arenas: dict,
             else:
                 extras[name] = arr
     ro, do = pinfo["raw_off"], pinfo["desc_off"]
-    raw_pool = jax.lax.slice(arenas["u8"], (ro,), (ro + raw_cap * n * 16,)
-                             ).reshape(raw_cap, n, 16).transpose(1, 0, 2)
-    desc_pool = jax.lax.slice(arenas["u32"], (do,), (do + desc_cap * n,)
-                              ).reshape(desc_cap, n).transpose(1, 0)
-
-    def gather_raw(pool_s, idx_s):  # (cap,16), (bh,bw) -> (bh,bw,16)
-        flat = jnp.take(pool_s, jnp.clip(idx_s.astype(jnp.int32), 0,
-                                         raw_cap - 1).reshape(-1), axis=0)
-        return flat.reshape(idx_s.shape + (16,))
-
-    def gather_desc(pool_s, start_s):  # (capd,), (bh,bw) -> (bh,bw,4)
-        idx = (start_s.astype(jnp.int32)[:, :, None]
-               + jnp.arange(4, dtype=jnp.int32)[None, None, :])
-        idx = jnp.clip(idx, 0, desc_cap - 1)
-        return jnp.take(pool_s, idx.reshape(-1), axis=0).reshape(idx.shape)
+    # flat pool regions; element layouts (slot, stream, 16) and (slot, stream)
+    raw_flat = jax.lax.slice(arenas["u8"], (ro,), (ro + raw_cap * n * 16,))
+    desc_flat = jax.lax.slice(arenas["u32"], (do,), (do + desc_cap * n,))
+    sidx = jnp.arange(n, dtype=jnp.int32)
 
     slots = _derive_slots(cfg, n, [pp["meta"] for pp in planes])
     for pi, pp in enumerate(planes):
-        pp["raw"] = jax.vmap(gather_raw)(raw_pool, slots[pi])
-        pp["desc"] = jax.vmap(gather_desc)(desc_pool, slots[pi])
         bh, bw = cfg.block_grids[pi]
+        H, W = bh * 4, bw * 4
+        y = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+        x = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+        blk = (y >> 2) * bw + (x >> 2)
+        slot = jnp.clip(slots[pi].astype(jnp.int32), 0, raw_cap - 1)
+        # raw: one gather lands the pixels directly in plane layout
+        slot_up = jax.vmap(lambda s: jnp.take(s.reshape(-1), blk))(slot)
+        k = (y & 3) * 4 + (x & 3)
+        ridx = (slot_up * n + sidx[:, None, None]) * 16 + k[None]
+        pp["raw"] = jnp.take(raw_flat, ridx)
+        # desc: (n, 4, bh, bw) component-major
+        start = jnp.clip(slots[pi].astype(jnp.int32), 0, desc_cap - 1)
+        didx = jnp.clip(start[:, None] + jnp.arange(
+            4, dtype=jnp.int32)[None, :, None, None], 0, desc_cap - 1)
+        pp["desc"] = jnp.take(desc_flat,
+                              didx * n + sidx[:, None, None, None])
+        # motion vectors stay at MB resolution: unpack the per-MB u32
+        # (y16 << 16 | x16) into component-major (n, 2, mh, mw) i32 and
+        # apply the chroma half-pel value shift (tiny grids — cheap)
+        chroma_mb = pi > 0 and cfg.h_samp == 2
+        sra = device_core._sra
         for key in ("mv", "mv2"):
-            pp[key] = _expand_mb_mv_jnp(extras[key], bh, bw, cfg.h_samp, pi)
+            v = extras[key].astype(jnp.int32)
+            mvx = sra(v << 16, 16)
+            mvy = sra(v, 16)
+            if chroma_mb:
+                mvx, mvy = sra(mvx, 1), sra(mvy, 1)
+            pp[key] = jnp.stack([mvx, mvy], axis=1)
     return planes, extras["new_nest"], extras["is_i"] != 0, extras["is_ref"] != 0
 
 
@@ -237,18 +253,6 @@ def _derive_slots(cfg: SeqConfig, n: int, metas: list):
         out.append(jax.lax.slice_in_dim(slot_flat, off, off + bh * bw, axis=1)
                    .reshape(n, bh, bw))
         off += bh * bw
-    return out
-
-
-def _expand_mb_mv_jnp(mv_mb, bh: int, bw: int, h_samp: int, pi: int):
-    """Per-MB (n, mh, mw, 2) i16 vectors → per-block (n, bh, bw, 2) at plane
-    resolution (repeat over the MB's blocks; arithmetic >>1 for 4:2:0
-    chroma). Mirror of `native.expand_mb_mv`; runs inside the jitted step."""
-    chroma_mb = pi > 0 and h_samp == 2
-    out = jnp.right_shift(mv_mb, 1) if chroma_mb else mv_mb
-    if not chroma_mb:  # 2x2 blocks per MB in this plane
-        out = jnp.repeat(jnp.repeat(out, 2, axis=1), 2, axis=2)
-    assert out.shape[1:3] == (bh, bw)
     return out
 
 
@@ -345,7 +349,6 @@ class MultiStreamDecoder:
         self._pinfo = pinfo
         arena_totals = {
             "u8": totals["u8"] + pinfo["raw_cap"] * self.n * 16,
-            "i16": totals["i16"],
             "u32": totals["u32"] + pinfo["desc_cap"] * self.n,
         }
         self._fixed = totals
@@ -403,12 +406,13 @@ class MultiStreamDecoder:
         raw_slot = desc_slot = 0
         for pp, p in zip(buf["planes"], plan.planes):
             src = device_core.plane_plan_arrays(p)
+            desc_blk = src["desc"].transpose(1, 2, 0)  # (bh, bw, 4) wire u32
             pp["meta"][si] = src["meta"]
             pp["dc"][si] = src["dc"]
             is_raw = (p.cls == 0) & (p.mode == 6)
             slot = np.zeros(p.mode.shape, np.uint32)
             for (by, bx) in zip(*np.nonzero(is_raw)):
-                buf["pools"]["raw"][raw_slot, si] = src["raw"][by, bx]
+                buf["pools"]["raw"][raw_slot, si] = p.raw[by, bx]
                 slot[by, bx] = raw_slot
                 raw_slot += 1
             counts = np.where(((p.cls == 0) & (p.mode >= 1) & (p.mode <= 4))
@@ -417,13 +421,17 @@ class MultiStreamDecoder:
                 k = int(counts[by, bx])
                 slot[by, bx] = desc_slot
                 buf["pools"]["desc"][desc_slot:desc_slot + k, si] = \
-                    src["desc"][by, bx, :k]
+                    desc_blk[by, bx, :k]
                 desc_slot += k
             pp["slot"][si] = slot
         # per-MB vectors: the luma plan carries them unshifted, one MB = a
-        # 2x2 luma block group, so its top-left block is the MB's vector
-        buf["mv"][si] = plan.planes[0].mv[::2, ::2]
-        buf["mv2"][si] = plan.planes[0].mv2[::2, ::2]
+        # 2x2 luma block group, so its top-left block is the MB's vector;
+        # packed (y16 << 16 | x16) into the u32 arena
+        for key, mvs in (("mv", plan.planes[0].mv),
+                         ("mv2", plan.planes[0].mv2)):
+            mb = mvs[::2, ::2]
+            buf[key][si] = (((mb[..., 1].astype(np.uint32) & 0xFFFF) << 16)
+                            | (mb[..., 0].astype(np.uint32) & 0xFFFF))
         return raw_slot, desc_slot
 
     def plan_step(self):
@@ -525,7 +533,6 @@ class MultiStreamDecoder:
             cut32 = self._fixed["u32"] + desc_cap * self.n
             arenas = {
                 "u8": jnp.asarray(buf["arenas"]["u8"][:cut8]),
-                "i16": jnp.asarray(buf["arenas"]["i16"]),
                 "u32": jnp.asarray(buf["arenas"]["u32"][:cut32]),
             }
             step_fn = _arena_step(self.cfg, self.n, raw_cap, desc_cap)
@@ -539,20 +546,27 @@ class MultiStreamDecoder:
         pools = buf["pools"]
         rc, dcp = self._pinfo["raw_cap"], self._pinfo["desc_cap"]
         for pi, pp in enumerate(buf["planes"]):
+            bh, bw = self.cfg.block_grids[pi]
             d = {k: put(np.ascontiguousarray(pp[k])) for k in ("meta", "dc")}
             chroma_mb = pi > 0 and self.cfg.h_samp == 2
             for key in ("mv", "mv2"):
-                arr = buf[key] >> 1 if chroma_mb else buf[key]
-                if not chroma_mb:
-                    arr = np.repeat(np.repeat(arr, 2, axis=1), 2, axis=2)
-                d[key] = put(np.ascontiguousarray(arr))
+                v = buf[key].astype(np.int32)
+                mvx = (v << 16) >> 16
+                mvy = v >> 16
+                if chroma_mb:
+                    mvx, mvy = mvx >> 1, mvy >> 1
+                d[key] = put(np.ascontiguousarray(
+                    np.stack([mvx, mvy], axis=1).astype(np.int16)))
             slot = pp["slot"].astype(np.int64)
             idx = np.clip(slot, 0, rc - 1)
-            raw_dense = np.stack([pools["raw"][idx[si], si]
-                                  for si in range(self.n)])
+            raw_dense = np.stack([
+                pools["raw"][idx[si], si].reshape(bh, bw, 4, 4)
+                .transpose(0, 2, 1, 3).reshape(bh * 4, bw * 4)
+                for si in range(self.n)])
             didx = np.clip(slot[..., None] + np.arange(4), 0, dcp - 1)
-            desc_dense = np.stack([pools["desc"][didx[si], si]
-                                   for si in range(self.n)])
+            desc_dense = np.stack([
+                pools["desc"][didx[si], si].transpose(2, 0, 1)
+                for si in range(self.n)])
             d["raw"] = put(np.ascontiguousarray(raw_dense))
             d["desc"] = put(np.ascontiguousarray(desc_dense))
             plane_plans.append(d)

@@ -1,0 +1,154 @@
+"""Device-throughput decomposition at one stream count (VERDICT r1 #1).
+
+Measures, for N parallel streams on the real chip (plans pre-built, so the
+host entropy bound is out of the picture):
+
+  - full_fps:     the bench `device` phase — per step: 3 typed-arena
+                  host→device uploads + one jitted arena-step dispatch
+  - compute_fps:  arenas pre-staged on device — pure chip execution of the
+                  decode step (the kernel ceiling)
+  - upload_fps:   the 3 arena transfers alone (the interconnect ceiling)
+
+Prints ONE JSON line. Run one stream count per process (the axon tunnel's
+PJRT client leaks per byte transferred; fresh processes keep measurements
+in the clean window):
+
+    python scripts/device_sweep.py 8
+    python scripts/device_sweep.py 16 --repeat 3
+"""
+
+from __future__ import annotations
+
+import argparse
+import copy
+import json
+import os
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/jax"))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("n_streams", type=int)
+    ap.add_argument("--repeat", type=int, default=3,
+                    help="timed passes per phase; best is reported")
+    ap.add_argument("--skip-upload", action="store_true",
+                    help="skip the upload-only phase (saves leak budget)")
+    args = ap.parse_args()
+    n = args.n_streams
+
+    import jax
+    import jax.numpy as jnp
+
+    from bench import _setup
+    from hvqm4_tpu.parallel.multistream import _arena_step, _pick_tier
+
+    cfg, _clip_path, make_ms, _pn = _setup(n)
+
+    # ---- plan the whole clip once (host side) -----------------------------
+    ms = make_ms()
+    bufs = []
+    while any(ms.active):
+        buf, _metas, _valid = ms.plan_step()
+        bufs.append({"arenas": copy.deepcopy(buf["arenas"]),
+                     "raw_used": buf["raw_used"],
+                     "desc_used": buf["desc_used"]})
+        ms._cur ^= 1
+    steps = len(bufs)
+
+    def cuts(buf):
+        raw_cap = _pick_tier(buf["raw_used"], ms._pinfo["raw_cap"])
+        desc_cap = _pick_tier(buf["desc_used"], ms._pinfo["desc_cap"])
+        cut8 = ms._fixed["u8"] + raw_cap * n * 16
+        cut32 = ms._fixed["u32"] + desc_cap * n
+        return raw_cap, desc_cap, cut8, cut32
+
+    step_bytes = []
+    for buf in bufs:
+        _rc, _dc, cut8, cut32 = cuts(buf)
+        step_bytes.append(cut8 + cut32 * 4)
+    mb_per_step = sum(step_bytes) / steps / 1e6
+
+    # ---- warm every tier's executable (compile/persistent-cache load) -----
+    ms2 = make_ms()
+    last = None
+    for buf in bufs:
+        last = ms2.device_step(buf)
+    jax.block_until_ready(last)
+
+    # ---- full device phase (upload + dispatch + compute) -------------------
+    full_s = []
+    for _ in range(args.repeat):
+        ms3 = make_ms()
+        t0 = time.perf_counter()
+        last = None
+        for buf in bufs:
+            last = ms3.device_step(buf)
+        jax.block_until_ready(last)
+        full_s.append(time.perf_counter() - t0)
+    full = min(full_s)
+
+    # ---- compute-only: pre-stage every step's arenas on device -------------
+    staged = []
+    for buf in bufs:
+        raw_cap, desc_cap, cut8, cut32 = cuts(buf)
+        aren = {
+            "u8": jnp.asarray(buf["arenas"]["u8"][:cut8]),
+            "u32": jnp.asarray(buf["arenas"]["u32"][:cut32]),
+        }
+        jax.block_until_ready(aren)
+        staged.append((aren, raw_cap, desc_cap))
+    compute_s = []
+    for _ in range(args.repeat):
+        ms4 = make_ms()
+        t0 = time.perf_counter()
+        last = None
+        for aren, raw_cap, desc_cap in staged:
+            step_fn = _arena_step(cfg, n, raw_cap, desc_cap)
+            frames, ms4.nest, ms4.ref_prev, ms4.ref_last = step_fn(
+                aren, ms4.nest, ms4.ref_prev, ms4.ref_last)
+            last = frames
+        jax.block_until_ready(last)
+        compute_s.append(time.perf_counter() - t0)
+    compute = min(compute_s)
+    del staged
+
+    # ---- upload-only: the 3 arena transfers, synchronous -------------------
+    upload = None
+    if not args.skip_upload:
+        upload_s = []
+        for _ in range(args.repeat):
+            t0 = time.perf_counter()
+            for buf in bufs:
+                _rc, _dc, cut8, cut32 = cuts(buf)
+                jax.block_until_ready([
+                    jnp.asarray(buf["arenas"]["u8"][:cut8]),
+                    jnp.asarray(buf["arenas"]["u32"][:cut32])])
+            upload_s.append(time.perf_counter() - t0)
+        upload = min(upload_s)
+
+    frames = steps * n
+    out = {
+        "streams": n, "steps": steps, "frames": frames,
+        "mb_per_step": round(mb_per_step, 3),
+        "full_ms_per_step": round(full / steps * 1e3, 3),
+        "compute_ms_per_step": round(compute / steps * 1e3, 3),
+        "device_fps": round(frames / full, 1),
+        "compute_fps": round(frames / compute, 1),
+        "backend": jax.devices()[0].platform,
+    }
+    if upload is not None:
+        out["upload_ms_per_step"] = round(upload / steps * 1e3, 3)
+        out["upload_fps"] = round(frames / upload, 1)
+        out["upload_gbps"] = round(mb_per_step / 1e3 / (upload / steps), 3)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

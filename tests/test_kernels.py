@@ -22,29 +22,35 @@ def _plan(rng, bh, bw):
     return plan
 
 
-@pytest.mark.parametrize("bh,bw", [(12, 16), (30, 40), (60, 80)])
-def test_intra_synth_pallas_matches_xla(bh, bw):
+def _to_plane(blocks):
+    """(bh, bw, 4, 4) block-granular values → (H, W) plane layout."""
+    bh, bw = blocks.shape[:2]
+    return blocks.transpose(0, 2, 1, 3).reshape(bh * 4, bw * 4)
+
+
+def _check_intra(plan, nest):
+    """Pallas intra kernel vs the plane-layout XLA reference."""
     from hvqm4_tpu.kernels.intra import intra_synth_pallas
 
+    ref_px, ref_acc, _meta = dc._intra_pixels_plane(plan, nest)
+    got_px, got_acc = intra_synth_pallas(plan, nest, interpret=True)
+    assert jnp.array_equal(jnp.clip(ref_px, 0, 255), _to_plane(got_px))
+    assert jnp.array_equal(ref_acc, _to_plane(got_acc))
+
+
+@pytest.mark.parametrize("bh,bw", [(12, 16), (30, 40), (60, 80)])
+def test_intra_synth_pallas_matches_xla(bh, bw):
     rng = np.random.default_rng(3)
     plan = _plan(rng, bh, bw)
     nest = jnp.asarray(rng.integers(0, 256, (38, 70), dtype=np.uint8))
-    ref_px, ref_acc = dc._intra_pixels(plan, nest)
-    got_px, got_acc = intra_synth_pallas(plan, nest, interpret=True)
-    assert jnp.array_equal(jnp.clip(ref_px, 0, 255), got_px)
-    assert jnp.array_equal(ref_acc, got_acc)
+    _check_intra(plan, nest)
 
 
 def test_intra_synth_pallas_portrait_nest():
-    from hvqm4_tpu.kernels.intra import intra_synth_pallas
-
     rng = np.random.default_rng(4)
     plan = _plan(rng, 16, 12)
     nest = jnp.asarray(rng.integers(0, 256, (70, 38), dtype=np.uint8))
-    ref_px, ref_acc = dc._intra_pixels(plan, nest)
-    got_px, got_acc = intra_synth_pallas(plan, nest, interpret=True)
-    assert jnp.array_equal(jnp.clip(ref_px, 0, 255), got_px)
-    assert jnp.array_equal(ref_acc, got_acc)
+    _check_intra(plan, nest)
 
 
 def test_inter_combine_pallas_matches_xla():

@@ -63,9 +63,15 @@ def test_mc_all_phases_and_borders(mv):
     got_np = mc_numpy(ref, mv_grid)
     assert np.array_equal(got_np, want), "numpy golden diverges from spec"
 
-    got_jax = np.asarray(device_core.mc_predict(jnp.asarray(ref),
-                                                jnp.asarray(mv_grid)))
-    assert np.array_equal(got_jax, want), "device core diverges from spec"
+    # device core works in plane layout: per-pixel maps + (2, bh, bw) grid
+    y, x, _by, _bx, _iw, _jw = device_core._pixel_maps(bh, bw)
+    mvx, mvy = device_core._mv_pixels(
+        {"mv": jnp.asarray(mv_grid.transpose(2, 0, 1))}, "mv", y, x)
+    got_jax = np.asarray(device_core._mc_plane(
+        jnp.asarray(ref), y, x, mvx, mvy))
+    want_plane = want.transpose(0, 2, 1, 3).reshape(bh * 4, bw * 4)
+    assert np.array_equal(got_jax, want_plane), \
+        "device core diverges from spec"
 
 
 def test_mc_rounding_direction():

@@ -30,13 +30,33 @@ def _weight_scalar(dcg: np.ndarray) -> np.ndarray:
     return out
 
 
+def _blocks_to_plane_np(blocks):
+    bh, bw = blocks.shape[:2]
+    return blocks.transpose(0, 2, 1, 3).reshape(bh * 4, bw * 4)
+
+
+def _device_plan(bh, bw, dc=None, mode=None, desc=None):
+    """Minimal plan dict in the device core's plane-layout contract."""
+    plan = {
+        "meta": np.zeros((bh, bw), np.uint8) if mode is None
+        else mode.astype(np.uint8),
+        "dc": np.zeros((bh, bw), np.uint8) if dc is None else dc,
+        "desc": np.zeros((4, bh, bw), np.uint32) if desc is None else desc,
+        "raw": np.zeros((bh * 4, bw * 4), np.uint8),
+    }
+    return {k: jnp.asarray(v) for k, v in plan.items()}
+
+
 def test_weight_blocks_spec_all_borders():
     rng = np.random.default_rng(0)
     dcg = rng.integers(0, 256, (5, 7), dtype=np.uint8)  # corners+edges+interior
     want = _weight_scalar(dcg)
     assert np.array_equal(weight_blocks(dcg), want)
-    got_jax = np.asarray(device_core.weight_blocks(jnp.asarray(dcg)))
-    assert np.array_equal(got_jax, want)
+    # device core: an all-mode-0 plan makes every pixel the smoothing output
+    plan = _device_plan(5, 7, dc=dcg)
+    intra, _acc, _meta = device_core._intra_pixels_plane(
+        plan, jnp.zeros((38, 70), jnp.uint8))
+    assert np.array_equal(np.asarray(intra), _blocks_to_plane_np(want))
 
 
 def test_aot_acc_spec_modular_and_mask():
@@ -68,8 +88,10 @@ def test_aot_acc_spec_modular_and_mask():
     got = aot_acc(p, nest, count)[0, 0]
     assert np.array_equal(got, want)
 
+    # device core: count comes from meta, so encode an AOT mode-2 block
+    p.mode[0, 0] = 2
     arrs = {k: jnp.asarray(v) for k, v in
             device_core.plane_plan_arrays(p).items()}
-    got_jax = np.asarray(device_core.aot_acc(arrs, jnp.asarray(nest),
-                                             jnp.asarray(count)))[0, 0]
-    assert np.array_equal(got_jax, want)
+    _intra, acc, _meta = device_core._intra_pixels_plane(
+        arrs, jnp.asarray(nest))
+    assert np.array_equal(np.asarray(acc)[0:4, 0:4], want)
