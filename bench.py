@@ -63,6 +63,7 @@ def _setup(n_streams: int):
     clip_path = pathlib.Path(os.environ.get(
         "HVQM4_BENCH_CLIP", str(REPO / "testdata" / "ref640.h4m")))
     cfg, clip = ensure_clip(clip_path)
+    k = int(os.environ.get("HVQM4_STEPS_PER_DISPATCH", "1"))
 
     from hvqm4_tpu.parallel.multistream import MultiStreamDecoder
     from hvqm4_tpu.planner import Planner
@@ -79,7 +80,8 @@ def _setup(n_streams: int):
 
     def make_ms():
         return MultiStreamDecoder(cfg, [clip] * n_streams,
-                                  planner_factory=planner_factory)
+                                  planner_factory=planner_factory,
+                                  steps_per_dispatch=k)
 
     return cfg, clip_path, make_ms, planner_name
 
@@ -117,14 +119,16 @@ def phase_device(n_streams: int) -> dict:
     _cfg, _cp, make_ms, _pn = _setup(n_streams)
     ms = make_ms()
     all_bufs = []
+    frames_planned = 0
     while any(ms.active):
-        buf, _metas, _valid = ms.plan_step()
+        buf, _metas, valid = ms.plan_step()
         # snapshot only the upload payload (prepared ctypes blocks are not
         # copyable; device_step needs the arenas + pool-usage tiers)
         all_bufs.append({"arenas": copy.deepcopy(buf["arenas"]),
                          "raw_used": buf["raw_used"],
                          "desc_used": buf["desc_used"]})
         ms._cur ^= 1
+        frames_planned += int(np.sum(valid))
     # warm EVERY pool-tier executable the clip touches (a tier's first use
     # pays compile/persistent-cache load; that must not land in the timing)
     ms2 = make_ms()
@@ -137,7 +141,7 @@ def phase_device(n_streams: int) -> dict:
     for buf in all_bufs:
         last = ms3.device_step(buf)
     jax.block_until_ready(last)
-    fps = len(all_bufs) * n_streams / (time.perf_counter() - t0)
+    fps = frames_planned / (time.perf_counter() - t0)
     return {"device_fps": round(fps, 2)}
 
 
@@ -151,11 +155,9 @@ def phase_hash(n_streams: int) -> dict:
     _cfg, clip_path, make_ms, _pn = _setup(n_streams)
     ms = make_ms()
     per_stream: list[list[str]] = [[] for _ in range(n_streams)]
-    while True:
-        out = ms.step()
-        if out is None:
-            break
-        frames, _metas, _valid = out
+    # run_pipelined yields per single step for any fused-dispatch factor,
+    # so this hashes exactly the configuration the throughput phases run
+    for frames, _metas, _valid in ms.run_pipelined():
         planes = [np.asarray(frames[pi]) for pi in range(3)]  # (N, H, W) each
         for si in range(n_streams):
             per_stream[si].append(_fnv1a(

@@ -302,6 +302,46 @@ def _arena_step(cfg: SeqConfig, n: int, raw_cap: int, desc_cap: int):
     return step
 
 
+@functools.lru_cache(maxsize=None)
+def _arena_superstep(cfg: SeqConfig, n: int, k_steps: int,
+                     raw_cap: int, desc_cap: int):
+    """Jitted K-step fused dispatch: one upload + one executable run K
+    sequential lock-step decodes via `lax.scan` (donated state carry).
+
+    The arena holds n*K *virtual streams*: step k occupies slots
+    [k*n, (k+1)*n), so the host planner and the slot-derivation logic are
+    exactly the n*K-stream ones. Fusing K steps amortizes the per-dispatch
+    and per-transfer fixed costs K-fold — on tunnel- or PCIe-latency-bound
+    hosts that fixed cost, not bandwidth, dominates the device phase.
+
+    Returns (frames [3 x (K, n, H, W)], nest', ref_prev', ref_last').
+    """
+    nv = n * k_steps
+
+    @functools.partial(jax.jit, donate_argnums=(1, 2, 3))
+    def step(arenas, nest, ref_prev, ref_last):
+        plane_plans, new_nest, is_i, is_ref = _unpack_arena(
+            cfg, nv, arenas, raw_cap, desc_cap)
+
+        def resh(a):
+            return a.reshape((k_steps, n) + a.shape[1:])
+
+        xs = jax.tree.map(resh, (plane_plans, new_nest, is_i, is_ref))
+
+        def body(carry, x):
+            nest_c, rp, rl = carry
+            plans_k, nn_k, ii_k, ir_k = x
+            frames, nest_c, rp, rl = _step_body(
+                plans_k, nest_c, nn_k, ii_k, ir_k, rp, rl)
+            return (nest_c, rp, rl), frames
+
+        (nest, ref_prev, ref_last), frames = jax.lax.scan(
+            body, (nest, ref_prev, ref_last), xs)
+        return frames, nest, ref_prev, ref_last
+
+    return step
+
+
 @dataclasses.dataclass
 class _Stream:
     records: list
@@ -320,10 +360,14 @@ class MultiStreamDecoder:
 
     def __init__(self, cfg: SeqConfig, clips: list[bytes],
                  planner_factory=Planner, sharding=None,
-                 record_lists: list | None = None):
+                 record_lists: list | None = None,
+                 steps_per_dispatch: int = 1):
         self.cfg = cfg
         self.planner = planner_factory(cfg)
         self.sharding = sharding
+        self._k = max(int(steps_per_dispatch), 1)
+        if self._k > 1 and sharding is not None:
+            raise ValueError("fused multi-step dispatch is single-chip only")
         self.streams = []
         if record_lists is not None:
             for recs in record_lists:
@@ -344,27 +388,31 @@ class MultiStreamDecoder:
                          for h, w in cfg.plane_shapes]
         self.ref_last = [dev(np.zeros((self.n, h, w), np.uint8))
                          for h, w in cfg.plane_shapes]
-        # ping-pong host arenas (avoid racing an in-flight transfer)
-        _groups, totals, pinfo = _arena_entries(cfg, self.n)
+        # ping-pong host arenas (avoid racing an in-flight transfer).
+        # Arenas are sized for n * K VIRTUAL streams: with fused K-step
+        # dispatch, step k's plans occupy virtual slots [k*n, (k+1)*n)
+        nv = self.n * self._k
+        self._nv = nv
+        _groups, totals, pinfo = _arena_entries(cfg, nv)
         self._pinfo = pinfo
         arena_totals = {
-            "u8": totals["u8"] + pinfo["raw_cap"] * self.n * 16,
-            "u32": totals["u32"] + pinfo["desc_cap"] * self.n,
+            "u8": totals["u8"] + pinfo["raw_cap"] * nv * 16,
+            "u32": totals["u32"] + pinfo["desc_cap"] * nv,
         }
         self._fixed = totals
         self._bufs = []
         for _ in range(2):
             arenas = {g: np.zeros(t, _ARENA_DTYPES[g])
                       for g, t in arena_totals.items()}
-            planes, extras, pools = _arena_views(cfg, self.n, arenas)
+            planes, extras, pools = _arena_views(cfg, nv, arenas)
             buf = {"arenas": arenas, "planes": planes, "pools": pools,
                    **extras}
-            # per-stream view dicts are stable: precompute once so the
+            # per-slot view dicts are stable: precompute once so the
             # planning hot loop is a bare ctypes call (GIL-released C++)
             buf["stream_views"] = [
                 ([{k: pp[k][si] for k in _PLANE_KEYS} for pp in planes],
                  extras["new_nest"][si], extras["mv"][si], extras["mv2"][si])
-                for si in range(self.n)]
+                for si in range(nv)]
             buf["raw_used"] = 0
             buf["desc_used"] = 0
             if hasattr(self.planner, "prepare"):
@@ -373,11 +421,11 @@ class MultiStreamDecoder:
                 pool_structs = [
                     make_pool_struct(
                         pools["raw"][:, si, :], pools["desc"][:, si],
-                        raw_stride=self.n * 16, desc_stride=self.n,
+                        raw_stride=nv * 16, desc_stride=nv,
                         raw_cap=pinfo["raw_cap"], desc_cap=pinfo["desc_cap"])
-                    for si in range(self.n)]
+                    for si in range(nv)]
                 buf["step_planner"] = StepPlanner(
-                    self.planner, self.n, buf["stream_views"], pool_structs)
+                    self.planner, nv, buf["stream_views"], pool_structs)
             self._bufs.append(buf)
         self._cur = 0
 
@@ -437,10 +485,14 @@ class MultiStreamDecoder:
     def plan_step(self):
         """Plan the next frame of every stream into the current batch buffers.
 
-        Returns (buf, metas, valid)."""
+        Returns (buf, metas, valid). With fused dispatch (K > 1) a call
+        plans the next K lock-step frames of every stream and metas/valid
+        are nested per step: metas[k][si]."""
         buf = self._bufs[self._cur]
         buf["raw_used"] = 0
         buf["desc_used"] = 0
+        if self._k > 1:
+            return self._plan_super(buf)
         if "step_planner" in buf:
             return self._plan_step_batch(buf)
         metas: list[FrameMeta | None] = []
@@ -465,6 +517,66 @@ class MultiStreamDecoder:
             buf["is_ref"][si] = 1 if fchar in ("I", "P") else 0
             metas.append(meta)
             valid.append(True)
+        return buf, metas, valid
+
+    def _plan_super(self, buf):
+        """Plan the next K lock-step steps of every stream into one fused
+        arena (virtual slot k*n + si = stream si's k-th frame ahead).
+
+        Returns (buf, metas[k][si], valid[k][si])."""
+        n, K = self.n, self._k
+        slot_jobs: list = [None] * (K * n)
+        for si, s in enumerate(self.streams):
+            for k in range(K):
+                if s.failed or s.pos >= len(s.records):
+                    break
+                slot_jobs[k * n + si] = s.records[s.pos]
+                s.pos += 1
+        metas = [[None] * n for _ in range(K)]
+        valid = [[False] * n for _ in range(K)]
+        if "step_planner" in buf:
+            sp = buf["step_planner"]
+            jobs = [(j[1], j[2]) if j is not None else None
+                    for j in slot_jobs]
+            while True:
+                rc = sp.plan(jobs)
+                if rc == 0:
+                    break
+                si = (rc - 1) % n  # poison the failed stream, keep the rest
+                self.streams[si].failed = True
+                for k in range(K):
+                    jobs[k * n + si] = None
+            for v, job in enumerate(jobs):
+                k, si = divmod(v, n)
+                if job is None:
+                    self._fill_trivial(buf, v)
+                    continue
+                fchar = job[0]
+                fout = sp.fouts[v]
+                buf["is_i"][v] = 1 if fchar == "I" else 0
+                buf["is_ref"][v] = 1 if fchar in ("I", "P") else 0
+                buf["raw_used"] = max(buf["raw_used"], int(fout.raw_used))
+                buf["desc_used"] = max(buf["desc_used"], int(fout.desc_used))
+                metas[k][si] = FrameMeta(fchar, int(fout.display_id))
+                valid[k][si] = True
+            return buf, metas, valid
+        for v, job in enumerate(slot_jobs):
+            k, si = divmod(v, n)
+            if job is None or self.streams[si].failed:
+                self._fill_trivial(buf, v)
+                continue
+            _block, fchar, payload = job
+            try:
+                meta = self._plan_into(buf, v, fchar, payload)
+            except PlannerError:
+                # poison from this slot on; earlier slots stay valid
+                self.streams[si].failed = True
+                self._fill_trivial(buf, v)
+                continue
+            buf["is_i"][v] = 1 if fchar == "I" else 0
+            buf["is_ref"][v] = 1 if fchar in ("I", "P") else 0
+            metas[k][si] = meta
+            valid[k][si] = True
         return buf, metas, valid
 
     def _plan_step_batch(self, buf):
@@ -523,19 +635,26 @@ class MultiStreamDecoder:
     # -- device half -----------------------------------------------------------
 
     def device_step(self, buf):
-        """Batched decode of one planned step + state rotation."""
+        """Batched decode of one planned step + state rotation.
+
+        With fused dispatch (K > 1) the returned frames are stacked
+        per step: [3 x (K, n, H, W)]."""
         if self.sharding is None:
-            # production path: 3 typed-arena uploads (vs ~20 per-field ones),
+            # production path: 2 typed-arena uploads (vs ~20 per-field ones),
             # with the sparse pool regions truncated to the used tier
             raw_cap = _pick_tier(buf["raw_used"], self._pinfo["raw_cap"])
             desc_cap = _pick_tier(buf["desc_used"], self._pinfo["desc_cap"])
-            cut8 = self._fixed["u8"] + raw_cap * self.n * 16
-            cut32 = self._fixed["u32"] + desc_cap * self.n
+            cut8 = self._fixed["u8"] + raw_cap * self._nv * 16
+            cut32 = self._fixed["u32"] + desc_cap * self._nv
             arenas = {
                 "u8": jnp.asarray(buf["arenas"]["u8"][:cut8]),
                 "u32": jnp.asarray(buf["arenas"]["u32"][:cut32]),
             }
-            step_fn = _arena_step(self.cfg, self.n, raw_cap, desc_cap)
+            if self._k > 1:
+                step_fn = _arena_superstep(self.cfg, self.n, self._k,
+                                           raw_cap, desc_cap)
+            else:
+                step_fn = _arena_step(self.cfg, self.n, raw_cap, desc_cap)
             frames, self.nest, self.ref_prev, self.ref_last = step_fn(
                 arenas, self.nest, self.ref_prev, self.ref_last)
             return frames
@@ -577,7 +696,10 @@ class MultiStreamDecoder:
         return frames
 
     def step(self):
-        """plan + decode; returns (frames, metas, valid) or None when done."""
+        """plan + decode; returns (frames, metas, valid) or None when done.
+
+        With fused dispatch (K > 1): frames [3 x (K, n, H, W)], metas and
+        valid nested per step (metas[k][si])."""
         if not any(self.active):
             return None
         buf, metas, valid = self.plan_step()
@@ -591,8 +713,9 @@ class MultiStreamDecoder:
         While the device executes step k from one ping-pong arena, a worker
         thread plans step k+1 into the other (the native planner releases the
         GIL inside ctypes, so entropy decode genuinely overlaps device
-        dispatch/transfer). Yields (frames, metas, valid) per step.
-        """
+        dispatch/transfer). Yields (frames, metas, valid) per SINGLE step
+        regardless of the fused-dispatch factor (stacked frames are sliced
+        lazily — device-side views, no transfer)."""
         import concurrent.futures as cf
 
         with cf.ThreadPoolExecutor(max_workers=1) as ex:
@@ -604,7 +727,14 @@ class MultiStreamDecoder:
                 self._cur ^= 1
                 fut = ex.submit(self.plan_step) if any(self.active) else None
                 frames = self.device_step(buf)
-                yield frames, metas, valid
+                if self._k == 1:
+                    yield frames, metas, valid
+                else:
+                    for k in range(self._k):
+                        if not any(valid[k]) and k > 0:
+                            continue  # trailing filler slots of a short clip
+                        yield ([frames[pi][k] for pi in range(3)],
+                               metas[k], valid[k])
 
 
 def shard_streams(mesh, axis: str = "dp"):

@@ -47,26 +47,33 @@ def main() -> None:
     import jax.numpy as jnp
 
     from bench import _setup
-    from hvqm4_tpu.parallel.multistream import _arena_step, _pick_tier
+    from hvqm4_tpu.parallel.multistream import (_arena_step, _arena_superstep,
+                                                _pick_tier)
 
     cfg, _clip_path, make_ms, _pn = _setup(n)
 
     # ---- plan the whole clip once (host side) -----------------------------
+    import numpy as np
+
     ms = make_ms()
     bufs = []
+    frames = 0
     while any(ms.active):
-        buf, _metas, _valid = ms.plan_step()
+        buf, _metas, valid = ms.plan_step()
         bufs.append({"arenas": copy.deepcopy(buf["arenas"]),
                      "raw_used": buf["raw_used"],
                      "desc_used": buf["desc_used"]})
         ms._cur ^= 1
+        frames += int(np.sum(valid))
     steps = len(bufs)
+
+    nv = ms._nv
 
     def cuts(buf):
         raw_cap = _pick_tier(buf["raw_used"], ms._pinfo["raw_cap"])
         desc_cap = _pick_tier(buf["desc_used"], ms._pinfo["desc_cap"])
-        cut8 = ms._fixed["u8"] + raw_cap * n * 16
-        cut32 = ms._fixed["u32"] + desc_cap * n
+        cut8 = ms._fixed["u8"] + raw_cap * nv * 16
+        cut32 = ms._fixed["u32"] + desc_cap * nv
         return raw_cap, desc_cap, cut8, cut32
 
     step_bytes = []
@@ -110,10 +117,12 @@ def main() -> None:
         t0 = time.perf_counter()
         last = None
         for aren, raw_cap, desc_cap in staged:
-            step_fn = _arena_step(cfg, n, raw_cap, desc_cap)
-            frames, ms4.nest, ms4.ref_prev, ms4.ref_last = step_fn(
+            step_fn = (_arena_superstep(cfg, n, ms._k, raw_cap, desc_cap)
+                       if ms._k > 1 else
+                       _arena_step(cfg, n, raw_cap, desc_cap))
+            out_frames, ms4.nest, ms4.ref_prev, ms4.ref_last = step_fn(
                 aren, ms4.nest, ms4.ref_prev, ms4.ref_last)
-            last = frames
+            last = out_frames
         jax.block_until_ready(last)
         compute_s.append(time.perf_counter() - t0)
     compute = min(compute_s)
@@ -133,9 +142,9 @@ def main() -> None:
             upload_s.append(time.perf_counter() - t0)
         upload = min(upload_s)
 
-    frames = steps * n
     out = {
         "streams": n, "steps": steps, "frames": frames,
+        "steps_per_dispatch": ms._k,
         "mb_per_step": round(mb_per_step, 3),
         "full_ms_per_step": round(full / steps * 1e3, 3),
         "compute_ms_per_step": round(compute / steps * 1e3, 3),

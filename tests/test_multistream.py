@@ -41,6 +41,53 @@ def test_multistream_matches_single():
         assert got[si] == expected[si], f"stream {si}"
 
 
+def _pipelined_frames(cfg, clips, **kw):
+    ms = MultiStreamDecoder(cfg, clips, **kw)
+    per_stream = [[] for _ in clips]
+    for frames, _metas, valid in ms.run_pipelined():
+        fnp = [np.asarray(p) for p in frames]
+        for si, ok in enumerate(valid):
+            if ok:
+                per_stream[si].append(
+                    b"".join(fnp[pi][si].tobytes() for pi in range(3)))
+    return per_stream
+
+
+def test_fused_dispatch_matches_single():
+    """K-step fused dispatch (lax.scan superstep) decodes identically,
+    including a clip length that is not a multiple of K and a shorter
+    stream masking out mid-superstep."""
+    clips = [make_clip(CFG, ["IPBPB", "IPP"], seed=11) for _ in range(2)]
+    clips.append(make_clip(CFG, ["IPP"], seed=12))  # 3 frames: tail filler
+    expected = [_single_stream_frames(CFG, c) for c in clips]
+    for k in (2, 4):
+        got = _pipelined_frames(CFG, clips, steps_per_dispatch=k)
+        for si in range(len(clips)):
+            assert got[si] == expected[si], f"K={k} stream {si}"
+
+
+def test_fused_dispatch_native_planner():
+    from hvqm4_tpu.native import NativePlanner
+
+    clips = [make_clip(CFG, ["IBBPBP", "IPP"], seed=13) for _ in range(3)]
+    expected = [_single_stream_frames(CFG, c) for c in clips]
+    got = _pipelined_frames(CFG, clips, steps_per_dispatch=3,
+                            planner_factory=NativePlanner)
+    for si in range(len(clips)):
+        assert got[si] == expected[si], f"stream {si}"
+
+
+def test_fused_dispatch_poisons_failed_stream_only():
+    good = make_clip(CFG, ["IPPPP"], seed=14)
+    bad = bytearray(make_clip(CFG, ["IPPPP"], seed=15))
+    for i in range(len(bad) // 2, len(bad) // 2 + 40):
+        bad[i] ^= 0xA5
+    results = _pipelined_frames(CFG, [good, bytes(bad)],
+                                steps_per_dispatch=2)
+    assert results[0] == _single_stream_frames(CFG, good)
+    assert len(results[1]) <= 5
+
+
 def test_multistream_poisons_failed_stream_only():
     good = make_clip(CFG, ["IPP"], seed=4)
     bad = bytearray(make_clip(CFG, ["IPP"], seed=5))
