@@ -18,17 +18,23 @@ Host-side cost engineering:
 - the batch plan tensors live in typed host **arenas** per ping-pong slot;
   the native planner writes every stream's field slices and sparse pools in
   place via one batch C call per step — no per-frame allocation or copies;
-- each step uploads the arena as a single u8 transfer (one host→device
-  round-trip instead of ~20 — interconnect latency, not bandwidth, dominated
-  the per-field path) and the jitted step bitcasts field views out of it;
+- each step uploads the arenas as two dtype-homogeneous transfers (one
+  host→device round-trip each instead of ~20 — interconnect latency, not
+  bandwidth, dominated the per-field path) and the jitted step slices field
+  views out of them;
 - device state buffers are donated to the step so XLA updates them in place;
 - `run_pipelined` plans step k+1 on a worker thread (the C++ planner releases
   the GIL) while the device executes step k.
 
-Sharding: `shard_streams` lays the N axis over a mesh's 'dp' axis; in mesh
-mode plans upload per-field (each field is N-major and shardable), so each
-chip owns N/n_chips streams and no cross-chip communication exists on the
-decode path (the correct answer for this workload — SURVEY.md §2.6).
+Sharding (ONE code path with single-chip): the arenas are allocated as
+(S, arena_len) — one row per shard of the mesh axis carrying the stream
+dimension, each row laid out exactly like the single-chip arena for the
+shard's n/S streams. The jitted mesh step is `jax.shard_map` of the *same*
+step body over that axis, so every chip runs the identical arena unpack +
+decode the single-chip benchmark runs, and no cross-chip communication
+exists on the decode path (the correct answer for this workload —
+SURVEY.md §2.6: streams are independent; collectives only appear downstream,
+e.g. tensor-parallel ViT).
 """
 
 from __future__ import annotations
@@ -44,7 +50,7 @@ from ..config import MAX_BASES, SeqConfig
 from ..container import Demuxer
 from ..ops import device_core
 from ..planner import Planner, PlannerError
-from ..plans import FramePlan, PlanePlan
+from ..plans import FramePlan
 
 # Per-plane packed fields handed to the C planner (ABI order). `slot` is the
 # unified sparse-payload index: a raw-pool slot for raw blocks, a desc-pool
@@ -139,7 +145,8 @@ _ARENA_DTYPES = {"u8": np.uint8, "u32": np.uint32}
 
 
 def _arena_views(cfg: SeqConfig, n: int, arenas: dict):
-    """Writable numpy views into the arenas: (planes, extras, pools).
+    """Writable numpy views into one shard's 1-D arenas:
+    (planes, extras, pools).
 
     Also allocates the per-plane `slot` scratch arrays the C planner writes
     through — plain host memory, not part of any upload arena (the device
@@ -288,16 +295,53 @@ def multi_frame_step(plane_plans: list, nest, new_nest, is_i, is_ref,
                       ref_prev, ref_last)
 
 
+def _run_steps(cfg: SeqConfig, n: int, k_steps: int,
+               raw_cap: int, desc_cap: int,
+               arenas, nest, ref_prev, ref_last):
+    """The shared step body (single-chip jit AND per-shard under shard_map):
+    1-D typed arenas for n*k_steps virtual streams → K sequential lock-step
+    decodes of n streams.
+
+    With k_steps == 1 frames are [3 x (n, H, W)]; with fused dispatch they
+    are stacked per step [3 x (K, n, H, W)] (one upload + one executable
+    amortizes the per-dispatch and per-transfer fixed costs K-fold — on
+    tunnel- or PCIe-latency-bound hosts that fixed cost, not bandwidth,
+    dominates the device phase). Virtual slot k*n+j is stream j's k-th
+    frame ahead, so the host planner and the slot-derivation logic are
+    exactly the (n*K)-stream ones.
+    """
+    nv = n * k_steps
+    plane_plans, new_nest, is_i, is_ref = _unpack_arena(
+        cfg, nv, arenas, raw_cap, desc_cap)
+    if k_steps == 1:
+        return _step_body(plane_plans, nest, new_nest, is_i, is_ref,
+                          ref_prev, ref_last)
+
+    def resh(a):
+        return a.reshape((k_steps, n) + a.shape[1:])
+
+    xs = jax.tree.map(resh, (plane_plans, new_nest, is_i, is_ref))
+
+    def body(carry, x):
+        nest_c, rp, rl = carry
+        plans_k, nn_k, ii_k, ir_k = x
+        frames, nest_c, rp, rl = _step_body(
+            plans_k, nest_c, nn_k, ii_k, ir_k, rp, rl)
+        return (nest_c, rp, rl), frames
+
+    (nest, ref_prev, ref_last), frames = jax.lax.scan(
+        body, (nest, ref_prev, ref_last), xs)
+    return frames, nest, ref_prev, ref_last
+
+
 @functools.lru_cache(maxsize=None)
 def _arena_step(cfg: SeqConfig, n: int, raw_cap: int, desc_cap: int):
     """Jitted production step for one pool tier: (arenas, nest, refs) → ..."""
 
     @functools.partial(jax.jit, donate_argnums=(1, 2, 3))
     def step(arenas, nest, ref_prev, ref_last):
-        plane_plans, new_nest, is_i, is_ref = _unpack_arena(
-            cfg, n, arenas, raw_cap, desc_cap)
-        return _step_body(plane_plans, nest, new_nest, is_i, is_ref,
-                          ref_prev, ref_last)
+        return _run_steps(cfg, n, 1, raw_cap, desc_cap,
+                          arenas, nest, ref_prev, ref_last)
 
     return step
 
@@ -306,40 +350,38 @@ def _arena_step(cfg: SeqConfig, n: int, raw_cap: int, desc_cap: int):
 def _arena_superstep(cfg: SeqConfig, n: int, k_steps: int,
                      raw_cap: int, desc_cap: int):
     """Jitted K-step fused dispatch: one upload + one executable run K
-    sequential lock-step decodes via `lax.scan` (donated state carry).
-
-    The arena holds n*K *virtual streams*: step k occupies slots
-    [k*n, (k+1)*n), so the host planner and the slot-derivation logic are
-    exactly the n*K-stream ones. Fusing K steps amortizes the per-dispatch
-    and per-transfer fixed costs K-fold — on tunnel- or PCIe-latency-bound
-    hosts that fixed cost, not bandwidth, dominates the device phase.
-
-    Returns (frames [3 x (K, n, H, W)], nest', ref_prev', ref_last').
-    """
-    nv = n * k_steps
+    sequential lock-step decodes via `lax.scan` (donated state carry)."""
 
     @functools.partial(jax.jit, donate_argnums=(1, 2, 3))
     def step(arenas, nest, ref_prev, ref_last):
-        plane_plans, new_nest, is_i, is_ref = _unpack_arena(
-            cfg, nv, arenas, raw_cap, desc_cap)
-
-        def resh(a):
-            return a.reshape((k_steps, n) + a.shape[1:])
-
-        xs = jax.tree.map(resh, (plane_plans, new_nest, is_i, is_ref))
-
-        def body(carry, x):
-            nest_c, rp, rl = carry
-            plans_k, nn_k, ii_k, ir_k = x
-            frames, nest_c, rp, rl = _step_body(
-                plans_k, nest_c, nn_k, ii_k, ir_k, rp, rl)
-            return (nest_c, rp, rl), frames
-
-        (nest, ref_prev, ref_last), frames = jax.lax.scan(
-            body, (nest, ref_prev, ref_last), xs)
-        return frames, nest, ref_prev, ref_last
+        return _run_steps(cfg, n, k_steps, raw_cap, desc_cap,
+                          arenas, nest, ref_prev, ref_last)
 
     return step
+
+
+@functools.lru_cache(maxsize=None)
+def _arena_step_sharded(cfg: SeqConfig, n_local: int, k_steps: int,
+                        raw_cap: int, desc_cap: int, mesh, axis: str):
+    """Jitted mesh step: `jax.shard_map` of the SAME `_run_steps` body over
+    the stream-carrying mesh axis. Each shard sees one (1, arena_len) row —
+    its own single-chip-layout arenas for n_local streams — plus its
+    (n_local, ...) state blocks; there are no collectives (streams are
+    independent), so scaling rides pure ICI-free SPMD."""
+    from jax.sharding import PartitionSpec as P
+
+    def local_fn(arenas, nest, ref_prev, ref_last):
+        arenas = {g: a.reshape(-1) for g, a in arenas.items()}
+        return _run_steps(cfg, n_local, k_steps, raw_cap, desc_cap,
+                          arenas, nest, ref_prev, ref_last)
+
+    st = P(axis)
+    frames_spec = st if k_steps == 1 else P(None, axis)
+    fn = jax.shard_map(
+        local_fn, mesh=mesh,
+        in_specs=({"u8": P(axis, None), "u32": P(axis, None)}, st, st, st),
+        out_specs=(frames_spec, st, st, st))
+    return jax.jit(fn, donate_argnums=(1, 2, 3))
 
 
 @dataclasses.dataclass
@@ -356,7 +398,14 @@ class FrameMeta:
 
 
 class MultiStreamDecoder:
-    """Host orchestration for N parallel streams of one SeqConfig."""
+    """Host orchestration for N parallel streams of one SeqConfig.
+
+    With `sharding` (a NamedSharding whose spec leads with a mesh axis) the
+    stream axis is laid over that axis: shard s owns the contiguous streams
+    [s*n/S, (s+1)*n/S) and its own arena row, and `device_step` runs the
+    identical arena step under `shard_map` — one code path for single-chip
+    and mesh.
+    """
 
     def __init__(self, cfg: SeqConfig, clips: list[bytes],
                  planner_factory=Planner, sharding=None,
@@ -366,8 +415,6 @@ class MultiStreamDecoder:
         self.planner = planner_factory(cfg)
         self.sharding = sharding
         self._k = max(int(steps_per_dispatch), 1)
-        if self._k > 1 and sharding is not None:
-            raise ValueError("fused multi-step dispatch is single-chip only")
         self.streams = []
         if record_lists is not None:
             for recs in record_lists:
@@ -381,6 +428,18 @@ class MultiStreamDecoder:
                         for r in d.video_records()]
                 self.streams.append(_Stream(records=recs))
         self.n = len(self.streams)
+        if sharding is not None:
+            self._mesh = sharding.mesh
+            self._axis = sharding.spec[0]
+            self._shards = int(self._mesh.shape[self._axis])
+            if self.n % self._shards:
+                raise ValueError(
+                    f"{self.n} streams not divisible by mesh axis "
+                    f"{self._axis!r} size {self._shards}")
+        else:
+            self._mesh = self._axis = None
+            self._shards = 1
+        self._n_local = self.n // self._shards
         nh, nw = cfg.nest_shape
         dev = self._put
         self.nest = dev(np.zeros((self.n, nh, nw), np.uint8))
@@ -388,44 +447,55 @@ class MultiStreamDecoder:
                          for h, w in cfg.plane_shapes]
         self.ref_last = [dev(np.zeros((self.n, h, w), np.uint8))
                          for h, w in cfg.plane_shapes]
-        # ping-pong host arenas (avoid racing an in-flight transfer).
-        # Arenas are sized for n * K VIRTUAL streams: with fused K-step
-        # dispatch, step k's plans occupy virtual slots [k*n, (k+1)*n)
-        nv = self.n * self._k
-        self._nv = nv
-        _groups, totals, pinfo = _arena_entries(cfg, nv)
+        # ping-pong host arenas (avoid racing an in-flight transfer), one row
+        # per shard. Each row is sized for n_local * K VIRTUAL streams: with
+        # fused K-step dispatch, step k's plans occupy a shard's virtual
+        # slots [k*n_local, (k+1)*n_local) (see `_slot`)
+        nvl = self._n_local * self._k
+        self._nvl = nvl
+        _groups, totals, pinfo = _arena_entries(cfg, nvl)
         self._pinfo = pinfo
         arena_totals = {
-            "u8": totals["u8"] + pinfo["raw_cap"] * nv * 16,
-            "u32": totals["u32"] + pinfo["desc_cap"] * nv,
+            "u8": totals["u8"] + pinfo["raw_cap"] * nvl * 16,
+            "u32": totals["u32"] + pinfo["desc_cap"] * nvl,
         }
         self._fixed = totals
+        native = hasattr(self.planner, "prepare")
+        if native:
+            from ..native import StepPlanner, make_pool_struct
         self._bufs = []
         for _ in range(2):
-            arenas = {g: np.zeros(t, _ARENA_DTYPES[g])
+            arenas = {g: np.zeros((self._shards, t), _ARENA_DTYPES[g])
                       for g, t in arena_totals.items()}
-            planes, extras, pools = _arena_views(cfg, nv, arenas)
-            buf = {"arenas": arenas, "planes": planes, "pools": pools,
-                   **extras}
-            # per-slot view dicts are stable: precompute once so the
-            # planning hot loop is a bare ctypes call (GIL-released C++)
-            buf["stream_views"] = [
-                ([{k: pp[k][si] for k in _PLANE_KEYS} for pp in planes],
-                 extras["new_nest"][si], extras["mv"][si], extras["mv2"][si])
-                for si in range(nv)]
-            buf["raw_used"] = 0
-            buf["desc_used"] = 0
-            if hasattr(self.planner, "prepare"):
-                from ..native import StepPlanner, make_pool_struct
-
-                pool_structs = [
-                    make_pool_struct(
-                        pools["raw"][:, si, :], pools["desc"][:, si],
-                        raw_stride=nv * 16, desc_stride=nv,
-                        raw_cap=pinfo["raw_cap"], desc_cap=pinfo["desc_cap"])
-                    for si in range(nv)]
+            shards = []
+            stream_views = []
+            pool_structs = []
+            for s in range(self._shards):
+                planes, extras, pools = _arena_views(
+                    cfg, nvl, {g: a[s] for g, a in arenas.items()})
+                shards.append({"planes": planes, "pools": pools, **extras})
+                # per-slot view dicts are stable: precompute once so the
+                # planning hot loop is a bare ctypes call (GIL-released C++)
+                stream_views.extend(
+                    ([{k: pp[k][lv] for k in _PLANE_KEYS} for pp in planes],
+                     extras["new_nest"][lv], extras["mv"][lv],
+                     extras["mv2"][lv])
+                    for lv in range(nvl))
+                if native:
+                    pool_structs.extend(
+                        make_pool_struct(
+                            pools["raw"][:, lv, :], pools["desc"][:, lv],
+                            raw_stride=nvl * 16, desc_stride=nvl,
+                            raw_cap=pinfo["raw_cap"],
+                            desc_cap=pinfo["desc_cap"])
+                        for lv in range(nvl))
+            buf = {"arenas": arenas, "shards": shards,
+                   "stream_views": stream_views,
+                   "raw_used": 0, "desc_used": 0}
+            if native:
                 buf["step_planner"] = StepPlanner(
-                    self.planner, nv, buf["stream_views"], pool_structs)
+                    self.planner, self._shards * nvl, stream_views,
+                    pool_structs)
             self._bufs.append(buf)
         self._cur = 0
 
@@ -433,34 +503,58 @@ class MultiStreamDecoder:
         return (jax.device_put(x, self.sharding)
                 if self.sharding is not None else jnp.asarray(x))
 
+    # -- (stream, step) ↔ virtual arena slot ----------------------------------
+
+    def _slot(self, si: int, k: int = 0) -> int:
+        """Global virtual slot of stream si's k-th frame in this dispatch:
+        shard-major, then step-major within the shard (matches the
+        `stream_views` build order and `_run_steps`'s (K, n) reshape)."""
+        s, j = divmod(si, self._n_local)
+        return s * self._nvl + k * self._n_local + j
+
+    def _slot_inv(self, v: int) -> tuple[int, int]:
+        s, r = divmod(v, self._nvl)
+        k, j = divmod(r, self._n_local)
+        return s * self._n_local + j, k
+
+    def _shard_of(self, buf, v: int):
+        s, lv = divmod(v, self._nvl)
+        return buf["shards"][s], lv
+
     @property
     def active(self) -> list[bool]:
         return [s.pos < len(s.records) and not s.failed for s in self.streams]
 
     # -- host half -------------------------------------------------------------
 
-    def _fill_trivial(self, buf, si: int) -> None:
-        """Inactive-stream filler: all-intra weight blocks at DC 128 (the
+    def _fill_trivial(self, buf, v: int) -> None:
+        """Inactive-slot filler: all-intra weight blocks at DC 128 (the
         other fields are masked out by meta on device)."""
-        for pp in buf["planes"]:
-            pp["meta"][si] = 0
-            pp["dc"][si] = 128
-        buf["is_i"][si] = 0
-        buf["is_ref"][si] = 0
+        sh, lv = self._shard_of(buf, v)
+        for pp in sh["planes"]:
+            pp["meta"][lv] = 0
+            pp["dc"][lv] = 128
+        sh["is_i"][lv] = 0
+        sh["is_ref"][lv] = 0
 
-    @staticmethod
-    def _pack_sparse(buf, si: int, plan: FramePlan) -> tuple[int, int]:
+    def _set_flags(self, buf, v: int, fchar: str) -> None:
+        sh, lv = self._shard_of(buf, v)
+        sh["is_i"][lv] = 1 if fchar == "I" else 0
+        sh["is_ref"][lv] = 1 if fchar in ("I", "P") else 0
+
+    def _pack_sparse(self, buf, v: int, plan: FramePlan) -> tuple[int, int]:
         """Dense FramePlan → sparse batch views (python-planner fallback)."""
+        sh, lv = self._shard_of(buf, v)
         raw_slot = desc_slot = 0
-        for pp, p in zip(buf["planes"], plan.planes):
+        for pp, p in zip(sh["planes"], plan.planes):
             src = device_core.plane_plan_arrays(p)
             desc_blk = src["desc"].transpose(1, 2, 0)  # (bh, bw, 4) wire u32
-            pp["meta"][si] = src["meta"]
-            pp["dc"][si] = src["dc"]
+            pp["meta"][lv] = src["meta"]
+            pp["dc"][lv] = src["dc"]
             is_raw = (p.cls == 0) & (p.mode == 6)
             slot = np.zeros(p.mode.shape, np.uint32)
             for (by, bx) in zip(*np.nonzero(is_raw)):
-                buf["pools"]["raw"][raw_slot, si] = p.raw[by, bx]
+                sh["pools"]["raw"][raw_slot, lv] = p.raw[by, bx]
                 slot[by, bx] = raw_slot
                 raw_slot += 1
             counts = np.where(((p.cls == 0) & (p.mode >= 1) & (p.mode <= 4))
@@ -468,18 +562,18 @@ class MultiStreamDecoder:
             for (by, bx) in zip(*np.nonzero(counts)):
                 k = int(counts[by, bx])
                 slot[by, bx] = desc_slot
-                buf["pools"]["desc"][desc_slot:desc_slot + k, si] = \
+                sh["pools"]["desc"][desc_slot:desc_slot + k, lv] = \
                     desc_blk[by, bx, :k]
                 desc_slot += k
-            pp["slot"][si] = slot
+            pp["slot"][lv] = slot
         # per-MB vectors: the luma plan carries them unshifted, one MB = a
         # 2x2 luma block group, so its top-left block is the MB's vector;
         # packed (y16 << 16 | x16) into the u32 arena
         for key, mvs in (("mv", plan.planes[0].mv),
                          ("mv2", plan.planes[0].mv2)):
             mb = mvs[::2, ::2]
-            buf[key][si] = (((mb[..., 1].astype(np.uint32) & 0xFFFF) << 16)
-                            | (mb[..., 0].astype(np.uint32) & 0xFFFF))
+            sh[key][lv] = (((mb[..., 1].astype(np.uint32) & 0xFFFF) << 16)
+                           | (mb[..., 0].astype(np.uint32) & 0xFFFF))
         return raw_slot, desc_slot
 
     def plan_step(self):
@@ -498,30 +592,30 @@ class MultiStreamDecoder:
         metas: list[FrameMeta | None] = []
         valid: list[bool] = []
         for si, s in enumerate(self.streams):
+            v = self._slot(si)
             if s.failed or s.pos >= len(s.records):
-                self._fill_trivial(buf, si)
+                self._fill_trivial(buf, v)
                 metas.append(None)
                 valid.append(False)
                 continue
             _block, fchar, payload = s.records[s.pos]
             s.pos += 1
             try:
-                meta = self._plan_into(buf, si, fchar, payload)
+                meta = self._plan_into(buf, v, fchar, payload)
             except PlannerError:
                 s.failed = True  # poison one stream, not the batch
-                self._fill_trivial(buf, si)
+                self._fill_trivial(buf, v)
                 metas.append(None)
                 valid.append(False)
                 continue
-            buf["is_i"][si] = 1 if fchar == "I" else 0
-            buf["is_ref"][si] = 1 if fchar in ("I", "P") else 0
+            self._set_flags(buf, v, fchar)
             metas.append(meta)
             valid.append(True)
         return buf, metas, valid
 
     def _plan_super(self, buf):
         """Plan the next K lock-step steps of every stream into one fused
-        arena (virtual slot k*n + si = stream si's k-th frame ahead).
+        arena (virtual slot `_slot(si, k)` = stream si's k-th frame ahead).
 
         Returns (buf, metas[k][si], valid[k][si])."""
         n, K = self.n, self._k
@@ -530,7 +624,7 @@ class MultiStreamDecoder:
             for k in range(K):
                 if s.failed or s.pos >= len(s.records):
                     break
-                slot_jobs[k * n + si] = s.records[s.pos]
+                slot_jobs[self._slot(si, k)] = s.records[s.pos]
                 s.pos += 1
         metas = [[None] * n for _ in range(K)]
         valid = [[False] * n for _ in range(K)]
@@ -542,26 +636,25 @@ class MultiStreamDecoder:
                 rc = sp.plan(jobs)
                 if rc == 0:
                     break
-                si = (rc - 1) % n  # poison the failed stream, keep the rest
-                self.streams[si].failed = True
+                si, _k = self._slot_inv(rc - 1)
+                self.streams[si].failed = True  # poison it, keep the rest
                 for k in range(K):
-                    jobs[k * n + si] = None
+                    jobs[self._slot(si, k)] = None
             for v, job in enumerate(jobs):
-                k, si = divmod(v, n)
+                si, k = self._slot_inv(v)
                 if job is None:
                     self._fill_trivial(buf, v)
                     continue
                 fchar = job[0]
                 fout = sp.fouts[v]
-                buf["is_i"][v] = 1 if fchar == "I" else 0
-                buf["is_ref"][v] = 1 if fchar in ("I", "P") else 0
+                self._set_flags(buf, v, fchar)
                 buf["raw_used"] = max(buf["raw_used"], int(fout.raw_used))
                 buf["desc_used"] = max(buf["desc_used"], int(fout.desc_used))
                 metas[k][si] = FrameMeta(fchar, int(fout.display_id))
                 valid[k][si] = True
             return buf, metas, valid
         for v, job in enumerate(slot_jobs):
-            k, si = divmod(v, n)
+            si, k = self._slot_inv(v)
             if job is None or self.streams[si].failed:
                 self._fill_trivial(buf, v)
                 continue
@@ -573,8 +666,7 @@ class MultiStreamDecoder:
                 self.streams[si].failed = True
                 self._fill_trivial(buf, v)
                 continue
-            buf["is_i"][v] = 1 if fchar == "I" else 0
-            buf["is_ref"][v] = 1 if fchar in ("I", "P") else 0
+            self._set_flags(buf, v, fchar)
             metas[k][si] = meta
             valid[k][si] = True
         return buf, metas, valid
@@ -585,7 +677,7 @@ class MultiStreamDecoder:
         replanned without it (rare; replanning is deterministic)."""
         sp = buf["step_planner"]
         jobs: list = []
-        for s in self.streams:
+        for s in self.streams:  # K == 1: slot(si) == si, so job order == slot order
             if s.failed or s.pos >= len(s.records):
                 jobs.append(None)
                 continue
@@ -609,90 +701,58 @@ class MultiStreamDecoder:
                 continue
             fchar = job[0]
             fout = sp.fouts[si]
-            buf["is_i"][si] = 1 if fchar == "I" else 0
-            buf["is_ref"][si] = 1 if fchar in ("I", "P") else 0
+            self._set_flags(buf, si, fchar)
             buf["raw_used"] = max(buf["raw_used"], int(fout.raw_used))
             buf["desc_used"] = max(buf["desc_used"], int(fout.desc_used))
             metas.append(FrameMeta(fchar, int(fout.display_id)))
             valid.append(True)
         return buf, metas, valid
 
-    def _plan_into(self, buf, si: int, fchar: str, payload: bytes) -> FrameMeta:
-        if "prepared" in buf:
-            disp, raw_used, desc_used = self.planner.plan_frame_prepared(
-                fchar, payload, buf["prepared"][si])
-            buf["raw_used"] = max(buf["raw_used"], raw_used)
-            buf["desc_used"] = max(buf["desc_used"], desc_used)
-            return FrameMeta(fchar, disp)
+    def _plan_into(self, buf, v: int, fchar: str, payload: bytes) -> FrameMeta:
         plan: FramePlan = self.planner.plan_frame(fchar, payload)
-        raw_used, desc_used = self._pack_sparse(buf, si, plan)
+        raw_used, desc_used = self._pack_sparse(buf, v, plan)
         buf["raw_used"] = max(buf["raw_used"], raw_used)
         buf["desc_used"] = max(buf["desc_used"], desc_used)
         if plan.nest is not None:
-            buf["new_nest"][si] = plan.nest
+            sh, lv = self._shard_of(buf, v)
+            sh["new_nest"][lv] = plan.nest
         return FrameMeta(fchar, plan.display_id)
 
     # -- device half -----------------------------------------------------------
 
     def device_step(self, buf):
-        """Batched decode of one planned step + state rotation.
+        """Batched decode of one planned step + state rotation — ONE code
+        path: two typed-arena uploads (vs ~20 per-field ones) with the
+        sparse pool regions truncated to the used tier, then the jitted
+        arena step (wrapped in shard_map when a mesh sharding is set).
 
         With fused dispatch (K > 1) the returned frames are stacked
         per step: [3 x (K, n, H, W)]."""
+        raw_cap = _pick_tier(buf["raw_used"], self._pinfo["raw_cap"])
+        desc_cap = _pick_tier(buf["desc_used"], self._pinfo["desc_cap"])
+        cut8 = self._fixed["u8"] + raw_cap * self._nvl * 16
+        cut32 = self._fixed["u32"] + desc_cap * self._nvl
+        h8 = buf["arenas"]["u8"][:, :cut8]
+        h32 = buf["arenas"]["u32"][:, :cut32]
         if self.sharding is None:
-            # production path: 2 typed-arena uploads (vs ~20 per-field ones),
-            # with the sparse pool regions truncated to the used tier
-            raw_cap = _pick_tier(buf["raw_used"], self._pinfo["raw_cap"])
-            desc_cap = _pick_tier(buf["desc_used"], self._pinfo["desc_cap"])
-            cut8 = self._fixed["u8"] + raw_cap * self._nv * 16
-            cut32 = self._fixed["u32"] + desc_cap * self._nv
-            arenas = {
-                "u8": jnp.asarray(buf["arenas"]["u8"][:cut8]),
-                "u32": jnp.asarray(buf["arenas"]["u32"][:cut32]),
-            }
+            # single shard: rows are contiguous, upload 1-D views
+            arenas = {"u8": jnp.asarray(h8[0]), "u32": jnp.asarray(h32[0])}
             if self._k > 1:
                 step_fn = _arena_superstep(self.cfg, self.n, self._k,
                                            raw_cap, desc_cap)
             else:
                 step_fn = _arena_step(self.cfg, self.n, raw_cap, desc_cap)
-            frames, self.nest, self.ref_prev, self.ref_last = step_fn(
-                arenas, self.nest, self.ref_prev, self.ref_last)
-            return frames
-        # mesh path: per-field uploads (each field is N-major and shardable);
-        # dense raw/desc/mv are materialized on host from the pools/MB grid
-        put = self._put
-        plane_plans = []
-        pools = buf["pools"]
-        rc, dcp = self._pinfo["raw_cap"], self._pinfo["desc_cap"]
-        for pi, pp in enumerate(buf["planes"]):
-            bh, bw = self.cfg.block_grids[pi]
-            d = {k: put(np.ascontiguousarray(pp[k])) for k in ("meta", "dc")}
-            chroma_mb = pi > 0 and self.cfg.h_samp == 2
-            for key in ("mv", "mv2"):
-                v = buf[key].astype(np.int32)
-                mvx = (v << 16) >> 16
-                mvy = v >> 16
-                if chroma_mb:
-                    mvx, mvy = mvx >> 1, mvy >> 1
-                d[key] = put(np.ascontiguousarray(
-                    np.stack([mvx, mvy], axis=1).astype(np.int16)))
-            slot = pp["slot"].astype(np.int64)
-            idx = np.clip(slot, 0, rc - 1)
-            raw_dense = np.stack([
-                pools["raw"][idx[si], si].reshape(bh, bw, 4, 4)
-                .transpose(0, 2, 1, 3).reshape(bh * 4, bw * 4)
-                for si in range(self.n)])
-            didx = np.clip(slot[..., None] + np.arange(4), 0, dcp - 1)
-            desc_dense = np.stack([
-                pools["desc"][didx[si], si].transpose(2, 0, 1)
-                for si in range(self.n)])
-            d["raw"] = put(np.ascontiguousarray(raw_dense))
-            d["desc"] = put(np.ascontiguousarray(desc_dense))
-            plane_plans.append(d)
-        frames, self.nest, self.ref_prev, self.ref_last = multi_frame_step(
-            plane_plans, self.nest, put(np.ascontiguousarray(buf["new_nest"])),
-            put(buf["is_i"] != 0), put(buf["is_ref"] != 0),
-            self.ref_prev, self.ref_last)
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            ash = NamedSharding(self._mesh, P(self._axis, None))
+            arenas = {"u8": jax.device_put(h8, ash),
+                      "u32": jax.device_put(h32, ash)}
+            step_fn = _arena_step_sharded(
+                self.cfg, self._n_local, self._k, raw_cap, desc_cap,
+                self._mesh, self._axis)
+        frames, self.nest, self.ref_prev, self.ref_last = step_fn(
+            arenas, self.nest, self.ref_prev, self.ref_last)
         return frames
 
     def step(self):

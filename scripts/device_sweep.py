@@ -67,7 +67,7 @@ def main() -> None:
         frames += int(np.sum(valid))
     steps = len(bufs)
 
-    nv = ms._nv
+    nv = ms._nvl
 
     def cuts(buf):
         raw_cap = _pick_tier(buf["raw_used"], ms._pinfo["raw_cap"])
@@ -106,8 +106,8 @@ def main() -> None:
     for buf in bufs:
         raw_cap, desc_cap, cut8, cut32 = cuts(buf)
         aren = {
-            "u8": jnp.asarray(buf["arenas"]["u8"][:cut8]),
-            "u32": jnp.asarray(buf["arenas"]["u32"][:cut32]),
+            "u8": jnp.asarray(buf["arenas"]["u8"][0, :cut8]),
+            "u32": jnp.asarray(buf["arenas"]["u32"][0, :cut32]),
         }
         jax.block_until_ready(aren)
         staged.append((aren, raw_cap, desc_cap))
@@ -137,8 +137,8 @@ def main() -> None:
             for buf in bufs:
                 _rc, _dc, cut8, cut32 = cuts(buf)
                 jax.block_until_ready([
-                    jnp.asarray(buf["arenas"]["u8"][:cut8]),
-                    jnp.asarray(buf["arenas"]["u32"][:cut32])])
+                    jnp.asarray(buf["arenas"]["u8"][0, :cut8]),
+                    jnp.asarray(buf["arenas"]["u32"][0, :cut32])])
             upload_s.append(time.perf_counter() - t0)
         upload = min(upload_s)
 

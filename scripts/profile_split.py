@@ -45,14 +45,13 @@ while any(ms.active):
     t = time.perf_counter()
     raw_cap = _pick_tier(buf["raw_used"], ms._pinfo["raw_cap"])
     desc_cap = _pick_tier(buf["desc_used"], ms._pinfo["desc_cap"])
-    cut8 = ms._fixed["u8"] + raw_cap * ms.n * 16
-    cut32 = ms._fixed["u32"] + desc_cap * ms.n
+    cut8 = ms._fixed["u8"] + raw_cap * ms._nvl * 16
+    cut32 = ms._fixed["u32"] + desc_cap * ms._nvl
     arenas = {
-        "u8": jnp.asarray(buf["arenas"]["u8"][:cut8]),
-        "i16": jnp.asarray(buf["arenas"]["i16"]),
-        "u32": jnp.asarray(buf["arenas"]["u32"][:cut32]),
+        "u8": jnp.asarray(buf["arenas"]["u8"][0, :cut8]),
+        "u32": jnp.asarray(buf["arenas"]["u32"][0, :cut32]),
     }
-    bytes_up += cut8 + ms._fixed["i16"] * 2 + cut32 * 4
+    bytes_up += cut8 + cut32 * 4
     t_xfer += time.perf_counter() - t
 
     t = time.perf_counter()

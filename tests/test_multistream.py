@@ -114,6 +114,67 @@ def test_sharded_multistream_matches():
     assert got == expected
 
 
+def test_sharded_multigop_bitexact_native():
+    """dp=4 mesh, 8 streams (2 per shard), multi-GOP P/B clips through the
+    native planner + pipelined overlap: every stream, every frame identical
+    to single-stream decode. This is the unified arena path under shard_map —
+    the same code `bench.py` runs single-chip."""
+    from jax.sharding import Mesh
+
+    from hvqm4_tpu.native import NativePlanner
+
+    devs = np.array(jax.devices())[:4]
+    mesh = Mesh(devs, ("dp",))
+    clips = [make_clip(CFG, ["IPBPB", "IPP"], seed=20 + s) for s in range(8)]
+    expected = [_single_stream_frames(CFG, c) for c in clips]
+    got = _pipelined_frames(CFG, clips, sharding=shard_streams(mesh),
+                            planner_factory=NativePlanner)
+    assert got == expected
+
+
+def test_sharded_fused_dispatch():
+    """K=2 fused dispatch (lax.scan superstep) under a dp=2 mesh: state
+    rotation across fused steps is per-shard and must match single-stream."""
+    from jax.sharding import Mesh
+
+    devs = np.array(jax.devices())[:2]
+    mesh = Mesh(devs, ("dp",))
+    clips = [make_clip(CFG, ["IPBPB", "IPP"], seed=30 + s) for s in range(4)]
+    expected = [_single_stream_frames(CFG, c) for c in clips]
+    got = _pipelined_frames(CFG, clips, sharding=shard_streams(mesh),
+                            steps_per_dispatch=2)
+    assert got == expected
+
+
+def test_sharded_poisons_failed_stream_only():
+    """A corrupt stream on one shard must not disturb streams on any shard."""
+    from jax.sharding import Mesh
+
+    devs = np.array(jax.devices())[:2]
+    mesh = Mesh(devs, ("dp",))
+    clips = [make_clip(CFG, ["IPPPP"], seed=40 + s) for s in range(4)]
+    bad = bytearray(clips[2])
+    for i in range(len(bad) // 2, len(bad) // 2 + 40):
+        bad[i] ^= 0xA5
+    clips[2] = bytes(bad)
+    got = _pipelined_frames(CFG, clips, sharding=shard_streams(mesh))
+    for si in (0, 1, 3):
+        assert got[si] == _single_stream_frames(CFG, clips[si]), f"stream {si}"
+    assert len(got[2]) <= 5
+
+
+def test_sharded_stream_count_must_divide():
+    from jax.sharding import Mesh
+
+    import pytest
+
+    devs = np.array(jax.devices())[:4]
+    mesh = Mesh(devs, ("dp",))
+    clips = [make_clip(CFG, ["IP"], seed=50 + s) for s in range(6)]
+    with pytest.raises(ValueError, match="divisible"):
+        MultiStreamDecoder(CFG, clips, sharding=shard_streams(mesh))
+
+
 def test_gop_parallel_matches_sequential():
     from hvqm4_tpu.parallel.multistream import decode_clip_gop_parallel
     from hvqm4_tpu.planner import Planner
