@@ -91,7 +91,7 @@ class _CandidateSet:
 class VideoEncoder:
     def __init__(self, cfg: SeqConfig, lambda_bits: float = 4.0,
                  mv_range: int = 7, aot_bases: int = 2, seed: int = 0,
-                 use_tpu_search: bool = False):
+                 use_tpu_search: bool = False, nest_mu: float = 0.25):
         self.cfg = cfg
         self.lam = lambda_bits
         self.mv_range = mv_range
@@ -100,10 +100,21 @@ class VideoEncoder:
         self.planner = Planner(cfg)
         self.dec = GoldenDecoder(cfg)
         self.use_tpu_search = use_tpu_search
+        self.nest_mu = nest_mu
 
     # -- per-plane intra decision ---------------------------------------------
 
-    def _intra_plane(self, plane: np.ndarray, cand: _CandidateSet):
+    def _intra_plane(self, plane: np.ndarray, cand: _CandidateSet,
+                     raw_penalty: np.ndarray | None = None,
+                     raw_frozen: np.ndarray | None = None):
+        """Per-block mode decision (weight / AOT / raw) for one plane.
+
+        raw_penalty: extra DISTORTION charged to the raw escape per block
+        (the nest-poisoning term, see `_nest_penalty`). raw_frozen: when
+        given, each block's raw decision is fixed (True → raw, False → raw
+        banned) — used by the second I-frame pass so the nest the bases were
+        chosen against is exactly the decoder's.
+        """
         bh, bw = plane.shape[0] // 4, plane.shape[1] // 4
         blocks = _blockify(plane).astype(np.int32)       # (bh,bw,4,4)
         dcg = np.clip(np.round(blocks.reshape(bh, bw, 16).mean(2)),
@@ -119,6 +130,10 @@ class VideoEncoder:
         for by in range(bh):
             for bx in range(bw):
                 target = blocks[by, bx].reshape(16)
+                if raw_frozen is not None and raw_frozen[by, bx]:
+                    out[by][bx] = _BlockDecision(
+                        mode=6, raw=target.astype(np.uint8).copy())
+                    continue
                 dc = int(dcg[by, bx])
                 best_cost = wsse[by, bx] + lam * 10
                 best = _BlockDecision(mode=0, dc_target=dc)
@@ -141,17 +156,23 @@ class VideoEncoder:
                         best_cost = cost
                         best = _BlockDecision(mode=len(bases), dc_target=dc,
                                               bases=list(bases))
-                raw_cost = lam * 132
-                if raw_cost < best_cost:
-                    best = _BlockDecision(
-                        mode=6, raw=target.astype(np.uint8).copy())
+                if raw_frozen is None:
+                    raw_cost = lam * 132
+                    if raw_penalty is not None:
+                        raw_cost += float(raw_penalty[by, bx])
+                    if raw_cost < best_cost:
+                        best = _BlockDecision(
+                            mode=6, raw=target.astype(np.uint8).copy())
                 out[by][bx] = best
         return out, dcg
 
-    def _intra_plane_batched(self, plane: np.ndarray, search):
+    def _intra_plane_batched(self, plane: np.ndarray, search,
+                             raw_penalty: np.ndarray | None = None,
+                             raw_frozen: np.ndarray | None = None):
         """Vectorized mode decision using the full-nest device search
         (encode_tpu.NestSearch): one MXU-sized matmul per matching-pursuit
-        round instead of per-block scans."""
+        round instead of per-block scans. raw_penalty / raw_frozen as in
+        `_intra_plane`."""
         bh, bw = plane.shape[0] // 4, plane.shape[1] // 4
         blocks = _blockify(plane).astype(np.int32).reshape(bh, bw, 16)
         dcg = np.clip(np.round(blocks.mean(2)), 0, 255).astype(np.uint8)
@@ -171,11 +192,16 @@ class VideoEncoder:
         sse2 = ((rec2 - flat) ** 2).sum(1)
 
         lam = self.lam
+        raw_cost = np.full(len(flat), lam * 132)
+        if raw_penalty is not None:
+            raw_cost = raw_cost + raw_penalty.reshape(-1)
+        if raw_frozen is not None:
+            raw_cost = np.where(raw_frozen.reshape(-1), -np.inf, np.inf)
         costs = np.stack([
             wsse.reshape(-1) + lam * 10,                 # mode 0
             sse1 + lam * 44,                             # aot-1
             np.where(s2 != 0, sse2 + lam * 78, np.inf),  # aot-2
-            np.full(len(flat), lam * 132),               # raw
+            raw_cost,                                    # raw escape
         ])
         costs[1] = np.where(s1 != 0, costs[1], np.inf)
         choice = np.argmin(costs, axis=0)
@@ -200,6 +226,46 @@ class VideoEncoder:
                                              dc_target=int(dcs[bi]),
                                              bases=bases)
         return out, dcg
+
+    # -- decision plumbing ------------------------------------------------------
+
+    def _make_search(self, nest: np.ndarray):
+        """(search, cand) for a nest: the TPU full-nest search when enabled
+        and usable, else the sampled host candidate set."""
+        if self.use_tpu_search:
+            from .encode_tpu import NestSearch
+
+            search = NestSearch(nest)
+            if search.ok:
+                return search, None
+        return None, _CandidateSet(nest, self.rng)
+
+    def _decide_plane(self, plane, search, cand,
+                      raw_penalty=None, raw_frozen=None):
+        if search is not None:
+            return self._intra_plane_batched(plane, search,
+                                             raw_penalty, raw_frozen)
+        return self._intra_plane(plane, cand, raw_penalty, raw_frozen)
+
+    def _nest_penalty(self, dcg_y: np.ndarray) -> np.ndarray:
+        """Distortion the GOP inherits when a luma block goes raw.
+
+        A raw block's effective DC is pinned to 128, so every nest cell
+        sampled from it (FORMAT.md §6.1; the modular wrap may sample a cell
+        more than once) carries (dc-128)^2 error into the basis dictionary
+        that intra-AOT and inter-residual coding draw from for the whole
+        GOP. `nest_mu` is the empirical reuse weight (how many future basis
+        samples a poisoned cell is expected to serve), tuned on
+        tools/rd_sweep.py for a lambda-monotone RD curve.
+        """
+        bh, bw = dcg_y.shape
+        nh, nw = self.cfg.nest_shape
+        cnt = np.zeros((bh, bw), np.int64)
+        ys = np.arange(nh) % bh
+        xs = np.arange(nw) % bw
+        np.add.at(cnt, (ys[:, None], xs[None, :]), 1)
+        dc = dcg_y.astype(np.int64)
+        return self.nest_mu * cnt * (dc - 128) ** 2
 
     # -- motion search --------------------------------------------------------
 
@@ -301,39 +367,47 @@ class VideoEncoder:
                         ref_map[(my, mx)] = rs
 
         # intra decisions per plane (full grids; non-intra entries unused)
-        dcg_y_targets = None
         plane_decisions = []
-        nest = self.dec.nest if ftype != "I" else None
         if ftype == "I":
-            # the nest depends on the decoded DC grid, which (at shift 0)
-            # equals the target DC grid; build it first
+            # Two-pass I-frame intra decision. The decoder's nest is built
+            # from the EFFECTIVE luma DC grid, in which raw blocks are pinned
+            # to 128 (FORMAT.md §6.6): deciding against the target-DC nest
+            # would select AOT bases the decoder's dictionary can't
+            # reproduce, and letting cheap raw escapes pin cells to 128
+            # flattens the dictionary every AOT / inter-residual block of
+            # the GOP draws from (at low lambda this collapsed P/B quality —
+            # tools/rd_sweep.py regression). Pass 1 charges raw its nest
+            # distortion; pass 2 freezes the raw set (making the effective
+            # DC grid — hence the nest — exact) and re-selects every basis
+            # against the decoder's true nest.
             blocks = _blockify(y).astype(np.int32)
             bh, bw = blocks.shape[:2]
             dcg_y_targets = np.clip(
                 np.round(blocks.reshape(bh, bw, 16).mean(2)), 0, 255
             ).astype(np.uint8)
-            nest = build_nest(cfg, dcg_y_targets, 0, 0)
-        if self.use_tpu_search:
-            from .encode_tpu import NestSearch
-
-            search = NestSearch(nest)
+            nest0 = build_nest(cfg, dcg_y_targets, 0, 0)
+            search, cand = self._make_search(nest0)
+            dec_y, _ = self._decide_plane(
+                y, search, cand,
+                raw_penalty=self._nest_penalty(dcg_y_targets))
+            raw_y = np.array([[d.mode == 6 for d in row] for row in dec_y])
+            eff = np.where(raw_y, np.uint8(128), dcg_y_targets)
+            nest = build_nest(cfg, eff, 0, 0)    # == the decoder's nest
+            search, cand = self._make_search(nest)
+            dec_y, _ = self._decide_plane(y, search, cand, raw_frozen=raw_y)
+            plane_decisions.append(dec_y)
+            for plane in frame[1:]:
+                d, _ = self._decide_plane(plane, search, cand)
+                plane_decisions.append(d)
         else:
-            search = None
-        cand = None
-        if search is not None and search.ok:
+            nest = self.dec.nest
+            search, cand = self._make_search(nest)
             for plane in frame:
-                decisions, _dcg = self._intra_plane_batched(plane, search)
-                plane_decisions.append(decisions)
-        else:
-            cand = _CandidateSet(nest, self.rng)
-            for pi, plane in enumerate(frame):
-                decisions, _dcg = self._intra_plane(plane, cand)
-                plane_decisions.append(decisions)
+                d, _ = self._decide_plane(plane, search, cand)
+                plane_decisions.append(d)
 
         inter_bases = self._inter_residuals(
-            ftype, frame, refs, mb_map, mv_map, ref_map,
-            search if (search is not None and search.ok) else None,
-            cand, nest)
+            ftype, frame, refs, mb_map, mv_map, ref_map, search, cand, nest)
 
         return self._serialize(ftype, display_id, mb_map, mv_map, ref_map,
                                plane_decisions, inter_bases)
