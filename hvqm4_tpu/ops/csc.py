@@ -22,7 +22,7 @@ import os
 import jax
 import jax.numpy as jnp
 
-_PALLAS_MODE = os.environ.get("HVQM4_PALLAS", "off")
+_PALLAS_MODE = os.environ.get("HVQM4_PALLAS", "auto")
 
 
 def _sra(x, n):
@@ -55,7 +55,8 @@ def frame_to_rgb(planes, h_samp: int, v_samp: int) -> jnp.ndarray:
     y, u, v = planes
     uu = upsample_chroma(u, h_samp, v_samp)
     vv = upsample_chroma(v, h_samp, v_samp)
-    if _PALLAS_MODE != "off" and y.ndim == 2:
+    from .device_core import pallas_enabled
+    if pallas_enabled() and y.ndim == 2:
         from ..kernels.csc import yuv_to_rgb_pallas
 
         return yuv_to_rgb_pallas(y, uu, vv,

@@ -188,12 +188,19 @@ def _intra_pixels_plane(plan, nest):
     return intra, acc, meta_up
 
 
-# Pallas kernel routing, fixed at import: "off" (XLA, default), "on"
-# (compiled Pallas kernels), or "interpret" (Pallas interpreter — CI /
-# non-TPU backends). Import-time because the choice must be stable across
-# jit traces. NOTE: this environment's TPU tunnel cannot compile Mosaic
-# kernels (see .claude/skills/verify), so "on" is for real TPU-VMs.
-_PALLAS_MODE = os.environ.get("HVQM4_PALLAS", "off")
+# Pallas kernel routing, fixed at import: "auto" (default: compiled Pallas
+# kernels on TPU backends, XLA elsewhere), "on", "off" (XLA everywhere), or
+# "interpret" (Pallas interpreter — CI / non-TPU backends). Import-time env
+# read because the choice must be stable across jit traces; "auto" resolves
+# the backend lazily at first trace. Measured on a v5e (BASELINE.md): Pallas
+# matches XLA at 8 streams and beats it ~26% at 64 (1.05M fps compute).
+_PALLAS_MODE = os.environ.get("HVQM4_PALLAS", "auto")
+
+
+def pallas_enabled() -> bool:
+    if _PALLAS_MODE == "auto":
+        return jax.default_backend() == "tpu"
+    return _PALLAS_MODE != "off"
 
 
 def _blocks_to_plane(px):
@@ -258,7 +265,7 @@ def _mc_plane(ref, y, x, mvx, mvy):
 @functools.partial(jax.jit, donate_argnums=())
 def decode_plane_intra(plan, nest):
     """I-frame plane: all blocks intra."""
-    if _PALLAS_MODE != "off":
+    if pallas_enabled():
         from ..kernels.intra import intra_synth_pallas
 
         intra, _ = intra_synth_pallas(plan, nest,
@@ -276,7 +283,7 @@ def decode_plane_inter(plan, nest, ref0, ref1):
     bidirectional blend is (fwd + bwd + 1) >> 1 before the residual
     (FORMAT.md §7.5).
     """
-    if _PALLAS_MODE != "off":
+    if pallas_enabled():
         from ..kernels.inter import decode_plane_inter_pallas
 
         return decode_plane_inter_pallas(
