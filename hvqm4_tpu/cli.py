@@ -146,7 +146,7 @@ def cmd_encode(args) -> int:
             g = min(per, left)
             gops.append("I" + "P" * (g - 1))
             left -= g
-    enc = VideoEncoder(cfg, lambda_bits=args.quality)
+    enc = VideoEncoder(cfg, lambda_bits=args.quality, slices=args.slices)
     data = enc.encode(frames, gops)
     Path(args.output).write_bytes(data)
     print(f"encoded {n} frames -> {args.output} ({len(data)} bytes)",
@@ -241,6 +241,9 @@ def main(argv=None) -> int:
     p.add_argument("--gops", help="display-order patterns, e.g. IPPP,IBPBP")
     p.add_argument("--quality", type=float, default=4.0,
                    help="lambda (bits weight); lower = higher quality")
+    p.add_argument("--slices", type=int, default=1,
+                   help="entropy slices per frame (FORMAT.md §9; enables "
+                        "slice-parallel host planning on decode)")
     p.set_defaults(fn=cmd_encode)
 
     p = sub.add_parser("stats")

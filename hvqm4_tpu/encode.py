@@ -91,7 +91,8 @@ class _CandidateSet:
 class VideoEncoder:
     def __init__(self, cfg: SeqConfig, lambda_bits: float = 4.0,
                  mv_range: int = 7, aot_bases: int = 2, seed: int = 0,
-                 use_tpu_search: bool = False, nest_mu: float = 0.25):
+                 use_tpu_search: bool = False, nest_mu: float = 0.25,
+                 slices: int = 1):
         self.cfg = cfg
         self.lam = lambda_bits
         self.mv_range = mv_range
@@ -101,6 +102,10 @@ class VideoEncoder:
         self.dec = GoldenDecoder(cfg)
         self.use_tpu_search = use_tpu_search
         self.nest_mu = nest_mu
+        mh, _mw = cfg.mb_grid
+        if not (1 <= slices <= mh):
+            raise ValueError(f"slice count must be in [1, {mh}]")
+        self.slices = slices
 
     # -- per-plane intra decision ---------------------------------------------
 
@@ -507,82 +512,11 @@ class VideoEncoder:
             out.append(dec_p)
         return out
 
-    # -- serialization (FORMAT.md §3-§7, single slice) ------------------------
+    # -- serialization (FORMAT.md §3-§7; §9 sliced layout when slices >= 2) ----
 
-    def _serialize(self, ftype, display_id, mb_map, mv_map, ref_map,
-                   plane_decisions, inter_bases=None) -> bytes:
-        cfg = self.cfg
-        bn_syms: list[int] = []
-        dch = HuffWriter()
-        aux = BitWriter()
-        mbt = BitWriter()
-        mvh = HuffWriter()
-
-        def put_delta(hw, v):
-            if -127 <= v <= 127:
-                hw.put_symbol(v + 127)
-            else:
-                hw.put_symbol(255)
-                hw.put_raw(v & 0xFFFF, 16)
-
-        if mb_map is not None:
-            pred = [0, 0]
-            mh, mw = cfg.mb_grid
-            for my in range(mh):
-                for mx in range(mw):
-                    t = int(mb_map[my, mx])
-                    mbt.write_bits(t, 2)
-                    if t == 2:
-                        rs = ref_map[(my, mx)]
-                        if ftype == "B":
-                            mbt.write_bits(rs, 2)
-                        mv = mv_map[(my, mx)]
-                        vecs = [mv] if rs != 2 else [mv[0], mv[1]]
-                        for v in vecs:
-                            put_delta(mvh, v[0] - pred[0])
-                            put_delta(mvh, v[1] - pred[1])
-                            pred = [v[0], v[1]]
-
-        for pi, (bh, bw) in enumerate(cfg.block_grids):
-            chroma = pi > 0
-            shift = 0 if (chroma and cfg.h_samp == 2) else 1
-            decisions = plane_decisions[pi]
-            eff_dc = np.full((bh, bw), 128, np.int32)
-            for by in range(bh):
-                for bx in range(bw):
-                    if mb_map is not None:
-                        t = mb_map[by >> shift, bx >> shift]
-                        if t == 0:
-                            continue
-                        if t == 2:  # MC block: k residual bases (maybe 0)
-                            bases = (inter_bases[pi].get((by, bx), ())
-                                     if inter_bases is not None else ())
-                            bn_syms.append(len(bases))
-                            for (nx, ny, sxb, syb, off, scale) in bases:
-                                v = ((nx << 25) | (ny << 18) | (sxb << 17)
-                                     | (syb << 16) | (off << 8)
-                                     | (scale & 0xFF))
-                                aux.write_bits(v, 32)
-                            continue
-                    d = decisions[by][bx]
-                    bn_syms.append(d.mode)
-                    if d.mode == 6:
-                        for v in d.raw:
-                            aux.write_bits(int(v), 8)
-                        continue
-                    pred = (int(eff_dc[by, bx - 1]) if bx > 0
-                            else int(eff_dc[by - 1, bx]) if by > 0 else 128)
-                    delta = (d.dc_target - pred) % 256
-                    if delta > 127:
-                        delta -= 256  # shortest signed representative
-                    put_delta(dch, delta)
-                    eff_dc[by, bx] = d.dc_target
-                    for (nx, ny, sxb, syb, off, scale) in d.bases:
-                        v = (nx << 25) | (ny << 18) | (sxb << 17) | (syb << 16) \
-                            | (off << 8) | (scale & 0xFF)
-                        aux.write_bits(v, 32)
-
-        # run-length code the basisnum zero runs
+    @staticmethod
+    def _encode_basisnum(bn_syms: list[int]) -> bytes:
+        """Run-length code the basisnum zero runs, then Huffman."""
         hw = HuffWriter()
         i = 0
         while i < len(bn_syms):
@@ -600,11 +534,106 @@ class VideoEncoder:
             else:
                 hw.put_symbol(bn_syms[i])
                 i += 1
+        return hw.encode()
 
-        streams = [hw.encode(), dch.encode(), aux.getvalue(),
-                   mbt.getvalue(), mvh.encode(), b""]
-        head = struct.pack(">IHHBBH", display_id, 0, 0, 0, 0, 0)
-        head += struct.pack(f">{N_STREAMS}I", *[len(s) for s in streams])
+    def _serialize(self, ftype, display_id, mb_map, mv_map, ref_map,
+                   plane_decisions, inter_bases=None) -> bytes:
+        cfg = self.cfg
+        S = self.slices
+        mh, mw = cfg.mb_grid
+
+        def put_delta(hw, v):
+            if -127 <= v <= 127:
+                hw.put_symbol(v + 127)
+            else:
+                hw.put_symbol(255)
+                hw.put_raw(v & 0xFFFF, 16)
+
+        # effective-DC grids persist across slices (values are per block),
+        # but the *prediction chain* resets at each slice (FORMAT.md §9):
+        # left, else up-within-slice, else 128
+        eff_dc = [np.full((bh, bw), 128, np.int32)
+                  for bh, bw in cfg.block_grids]
+        segs: list[list[bytes]] = []  # segs[slice][stream]
+        for s in range(S):
+            ms0, ms1 = s * mh // S, (s + 1) * mh // S
+            bn_syms: list[int] = []
+            dch = HuffWriter()
+            aux = BitWriter()
+            mbt = BitWriter()
+            mvh = HuffWriter()
+
+            if mb_map is not None:
+                pred = [0, 0]  # MV chain resets at slice start
+                for my in range(ms0, ms1):
+                    for mx in range(mw):
+                        t = int(mb_map[my, mx])
+                        mbt.write_bits(t, 2)
+                        if t == 2:
+                            rs = ref_map[(my, mx)]
+                            if ftype == "B":
+                                mbt.write_bits(rs, 2)
+                            mv = mv_map[(my, mx)]
+                            vecs = [mv] if rs != 2 else [mv[0], mv[1]]
+                            for v in vecs:
+                                put_delta(mvh, v[0] - pred[0])
+                                put_delta(mvh, v[1] - pred[1])
+                                pred = [v[0], v[1]]
+
+            for pi, (bh, bw) in enumerate(cfg.block_grids):
+                chroma = pi > 0
+                shift = 0 if (chroma and cfg.h_samp == 2) else 1
+                rpm = 1 if (chroma and cfg.h_samp == 2) else 2
+                row0, row1 = ms0 * rpm, ms1 * rpm
+                decisions = plane_decisions[pi]
+                ed = eff_dc[pi]
+                for by in range(row0, row1):
+                    for bx in range(bw):
+                        if mb_map is not None:
+                            t = mb_map[by >> shift, bx >> shift]
+                            if t == 0:
+                                continue
+                            if t == 2:  # MC block: k residual bases (maybe 0)
+                                bases = (inter_bases[pi].get((by, bx), ())
+                                         if inter_bases is not None else ())
+                                bn_syms.append(len(bases))
+                                for (nx, ny, sxb, syb, off, scale) in bases:
+                                    v = ((nx << 25) | (ny << 18) | (sxb << 17)
+                                         | (syb << 16) | (off << 8)
+                                         | (scale & 0xFF))
+                                    aux.write_bits(v, 32)
+                                continue
+                        d = decisions[by][bx]
+                        bn_syms.append(d.mode)
+                        if d.mode == 6:
+                            for v in d.raw:
+                                aux.write_bits(int(v), 8)
+                            continue
+                        pred_dc = (int(ed[by, bx - 1]) if bx > 0
+                                   else int(ed[by - 1, bx]) if by > row0
+                                   else 128)
+                        delta = (d.dc_target - pred_dc) % 256
+                        if delta > 127:
+                            delta -= 256  # shortest signed representative
+                        put_delta(dch, delta)
+                        ed[by, bx] = d.dc_target
+                        for (nx, ny, sxb, syb, off, scale) in d.bases:
+                            v = (nx << 25) | (ny << 18) | (sxb << 17) \
+                                | (syb << 16) | (off << 8) | (scale & 0xFF)
+                            aux.write_bits(v, 32)
+
+            segs.append([self._encode_basisnum(bn_syms), dch.encode(),
+                         aux.getvalue(), mbt.getvalue(), mvh.encode(), b""])
+
+        streams = [b"".join(segs[s][k] for s in range(S))
+                   for k in range(N_STREAMS)]
+        head = struct.pack(">IHHBBH", display_id, 0, 0, 0,
+                           S if S >= 2 else 0, 0)
+        head += struct.pack(f">{N_STREAMS}I", *[len(st) for st in streams])
+        if S >= 2:
+            head += b"".join(
+                struct.pack(f">{S}I", *[len(segs[s][k]) for s in range(S)])
+                for k in range(N_STREAMS))
         return head + b"".join(streams)
 
     # -- top level ------------------------------------------------------------
@@ -649,3 +678,40 @@ class VideoEncoder:
             usec_per_frame, max_frame, 0, 0,
             cfg.width, cfg.height, cfg.h_samp, cfg.v_samp, 0, 0, 0, 0, 0, 0)
         return header + body
+
+
+def encode_to_size(cfg: SeqConfig, frames: list, gops: list[str],
+                   target_bytes: int, tolerance: float = 0.05,
+                   iters: int = 6, lam_lo: float = 0.25,
+                   lam_hi: float = 64.0, **enc_kwargs):
+    """Rate control: encode to a target clip size by bisecting lambda.
+
+    Clip size is monotone decreasing in lambda (tools/rd_sweep.py), so a
+    log-scale bisection converges in a handful of re-encodes — the classic
+    two-pass structure (probe passes establish the rate curve, the final
+    pass emits the clip). Returns (clip_bytes, lambda_used). If the target
+    lies outside [size(lam_hi), size(lam_lo)], the closest endpoint is
+    returned (the encoder cannot spend bits it has no tools for, nor go
+    below the format's fixed per-block floor).
+    """
+    import math
+
+    def enc_at(lam: float) -> bytes:
+        return VideoEncoder(cfg, lambda_bits=lam, **enc_kwargs).encode(
+            frames, gops)
+
+    lo, hi = math.log(lam_lo), math.log(lam_hi)
+    best = None
+    for _ in range(iters):
+        lam = math.exp((lo + hi) / 2)
+        clip = enc_at(lam)
+        if best is None or (abs(len(clip) - target_bytes)
+                            < abs(len(best[0]) - target_bytes)):
+            best = (clip, lam)
+        if abs(len(clip) - target_bytes) <= tolerance * target_bytes:
+            return clip, lam
+        if len(clip) > target_bytes:
+            lo = math.log(lam)   # too big → raise lambda
+        else:
+            hi = math.log(lam)
+    return best

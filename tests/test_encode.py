@@ -74,6 +74,38 @@ def test_encoder_closed_loop_matches_decoder():
     assert np.array_equal(enc_last, last)
 
 
+def test_sliced_encoding_identical_pixels(oracle_bin, tmp_path):
+    """slices >= 2 changes only the entropy layout (FORMAT.md §9): the
+    decoded pixels must equal the single-slice encode of the same frames,
+    and the sliced stream must decode identically on the C oracle."""
+    cfg = SeqConfig(64, 48)
+    frames = _synthetic_video(cfg, 5, seed=7)
+    c1 = VideoEncoder(cfg, seed=0).encode(frames, ["IPBPB"])
+    c3 = VideoEncoder(cfg, seed=0, slices=3).encode(frames, ["IPBPB"])
+    assert c1 != c3  # different layout...
+    d1 = golden_decode(cfg, c1)
+    d3 = golden_decode(cfg, c3)
+    assert [f.tobytes() for f in d1] == [f.tobytes() for f in d3]  # ...same pixels
+    assert b"".join(f.tobytes() for f in d3) == run_oracle(
+        oracle_bin, c3, tmp_path)
+
+
+def test_rate_control_hits_target():
+    """encode_to_size bisects lambda to a byte target within tolerance."""
+    from hvqm4_tpu.encode import encode_to_size
+
+    cfg = SeqConfig(64, 48)
+    frames = _synthetic_video(cfg, 5, seed=9)
+    gops = ["IPBPB"]
+    big = len(VideoEncoder(cfg, lambda_bits=0.25).encode(frames, gops))
+    small = len(VideoEncoder(cfg, lambda_bits=64.0).encode(frames, gops))
+    assert small < big
+    target = (big + small) // 2
+    clip, lam = encode_to_size(cfg, frames, gops, target, tolerance=0.08)
+    assert abs(len(clip) - target) <= 0.08 * target, (len(clip), target, lam)
+    assert 0.25 <= lam <= 64.0
+
+
 def test_inter_residuals_emitted_and_bitexact(oracle_bin, tmp_path):
     """The encoder spends AOT bases on MC residuals (FORMAT.md §7.4) where
     they pay, and the result still decodes bit-exactly vs the oracle."""
