@@ -8,6 +8,14 @@ persistent cache). Hardening: optional shared-token auth, bounded
 admission (busy rejection instead of unbounded queueing — the device is a
 serial resource), structured metrics, graceful SIGTERM shutdown.
 
+Continuous batching (`--batch-window-ms W`): single-stream decode wastes
+the chip (BASELINE config 4), so concurrent same-shape requests are
+coalesced — a dispatcher waits up to W ms, gathers up to `--max-batch`
+requests with the same SeqConfig, and decodes them as ONE MultiStreamDecoder
+batch (the decode analogue of continuous batching in LLM serving). A
+malformed clip poisons only its own stream; the other requests in the
+batch still succeed.
+
 Protocol (all integers little-endian u32):
     request:  [4: magic 'H4MQ'][4: mode][4: clip_len][clip bytes]
     authed:   [4: magic 'H4MA'][4: token_len][token]
@@ -113,7 +121,10 @@ class _Handler(socketserver.BaseRequestHandler):
                 srv.count("busy_rejections")
                 self._reply(STATUS_BUSY, [b"server busy, retry later"])
                 return
-            chunks = srv.decode(clip, mode)
+            if srv.batching:
+                chunks = srv.decode_batched(clip, mode)
+            else:
+                chunks = srv.decode(clip, mode)
             # record before replying: a client that sees the reply must see
             # its own request in a subsequent metrics snapshot
             srv.record_success(mode, len(clip), sum(map(len, chunks)),
@@ -141,7 +152,8 @@ class DecodeServer(socketserver.ThreadingTCPServer):
                  max_clip_bytes: int = 256 << 20, vit_cfg=None,
                  auth_token: bytes | str = b"", max_pending: int = 8,
                  max_pixels: int = 4096 * 4096, max_sessions: int = 16,
-                 socket_timeout_s: float = 120.0):
+                 socket_timeout_s: float = 120.0,
+                 batch_window_s: float = 0.0, max_batch: int = 8):
         super().__init__(addr, _Handler)
         self.backend = backend
         self.max_clip_bytes = max_clip_bytes
@@ -149,10 +161,17 @@ class DecodeServer(socketserver.ThreadingTCPServer):
         self.socket_timeout_s = socket_timeout_s
         self.auth_token = (auth_token.encode()
                            if isinstance(auth_token, str) else auth_token)
-        self.admission = threading.BoundedSemaphore(1 + max(max_pending, 0))
+        self.batching = batch_window_s > 0 and backend == "jax"
+        self.batch_window_s = batch_window_s
+        self.max_batch = max(max_batch, 1)
+        # with batching, at least max_batch requests must be admissible at
+        # once or batches can never fill
+        slots = max(1 + max(max_pending, 0),
+                    self.max_batch if self.batching else 1)
+        self.admission = threading.BoundedSemaphore(slots)
         # ingress bound: active + pending + a small recv margin; each slot
         # can buffer up to max_clip_bytes, so total ingress RAM is bounded
-        self.ingress = threading.BoundedSemaphore(1 + max(max_pending, 0) + 4)
+        self.ingress = threading.BoundedSemaphore(slots + 4)
         self._sessions: OrderedDict = OrderedDict()
         self._max_sessions = max(max_sessions, 1)
         self._vit = None
@@ -164,8 +183,21 @@ class DecodeServer(socketserver.ThreadingTCPServer):
             "requests_total": 0, "errors": 0, "busy_rejections": 0,
             "auth_failures": 0, "frames_served": 0, "bytes_in": 0,
             "bytes_out": 0, "latency_last_s": 0.0, "latency_sum_s": 0.0,
+            "batches": 0, "batched_requests": 0, "batch_size_last": 0,
             "by_mode": {"yuv": 0, "rgb": 0, "embed": 0},
         }
+        self._bq: list = []
+        self._bq_cond = threading.Condition()
+        self._shutdown_flag = False
+        if self.batching:
+            threading.Thread(target=self._dispatch_loop, daemon=True,
+                             name="batch-dispatcher").start()
+
+    def shutdown(self):
+        self._shutdown_flag = True
+        with self._bq_cond:
+            self._bq_cond.notify_all()
+        super().shutdown()
 
     # -- metrics ---------------------------------------------------------------
 
@@ -210,7 +242,36 @@ class DecodeServer(socketserver.ThreadingTCPServer):
             self._sessions[key] = DecoderSession(cfg, backend=self.backend)
         return self._sessions[key]
 
-    def decode(self, clip: bytes, mode: int) -> list[bytes]:
+    def _chunks(self, frames, cfg, mode) -> list[bytes]:
+        """Per-frame plane lists (decode order) → mode-specific wire chunks."""
+        if mode == MODE_YUV:
+            return [b"".join(np.asarray(p).tobytes() for p in planes)
+                    for planes in frames]
+        from .ops.csc import frame_to_rgb
+
+        if mode == MODE_RGB:
+            return [np.asarray(frame_to_rgb(
+                planes, cfg.h_samp, cfg.v_samp)).tobytes()
+                for planes in frames]
+        # MODE_EMBED
+        import jax
+
+        from .models.vit import ViTConfig, init_vit, vit_encode
+        from .ops.csc import resize_bilinear
+
+        if self._vit is None:
+            vcfg = self._vit_cfg or ViTConfig()
+            self._vit = (vcfg, init_vit(vcfg, jax.random.key(0)))
+        vcfg, params = self._vit
+        out = []
+        for planes in frames:
+            rgb = frame_to_rgb(planes, cfg.h_samp, cfg.v_samp)
+            img = resize_bilinear(rgb, vcfg.image_size, vcfg.image_size)
+            emb = vit_encode(params, vcfg, img[None])
+            out.append(np.asarray(emb)[0].astype("<f4").tobytes())
+        return out
+
+    def _checked_cfg(self, clip: bytes):
         from .container import Demuxer
 
         cfg = Demuxer(clip).info.cfg
@@ -219,34 +280,108 @@ class DecodeServer(socketserver.ThreadingTCPServer):
         if cfg.width * cfg.height > self.max_pixels:
             raise ValueError(
                 f"frame {cfg.width}x{cfg.height} exceeds server pixel cap")
+        return cfg
+
+    def decode(self, clip: bytes, mode: int) -> list[bytes]:
+        cfg = self._checked_cfg(clip)
         with self._lock:
             sess = self._session(cfg)
-            frames = list(sess.decode_clip(clip))
-            if mode == MODE_YUV:
-                return [f.yuv_bytes() for f in frames]
-            from .ops.csc import frame_to_rgb
+            frames = [f.planes for f in sess.decode_clip(clip)]
+            return self._chunks(frames, cfg, mode)
 
-            if mode == MODE_RGB:
-                return [np.asarray(frame_to_rgb(
-                    f.planes, cfg.h_samp, cfg.v_samp)).tobytes()
-                    for f in frames]
-            # MODE_EMBED
-            import jax
+    # -- continuous batching -----------------------------------------------------
 
-            from .models.vit import ViTConfig, init_vit, vit_encode
-            from .ops.csc import resize_bilinear
+    def decode_batched(self, clip: bytes, mode: int) -> list[bytes]:
+        """Enqueue for the dispatcher; block until this request's batch ran."""
+        from .container import Demuxer
 
-            if self._vit is None:
-                vcfg = self._vit_cfg or ViTConfig()
-                self._vit = (vcfg, init_vit(vcfg, jax.random.key(0)))
-            vcfg, params = self._vit
-            out = []
-            for f in frames:
-                rgb = frame_to_rgb(f.planes, cfg.h_samp, cfg.v_samp)
-                img = resize_bilinear(rgb, vcfg.image_size, vcfg.image_size)
-                emb = vit_encode(params, vcfg, img[None])
-                out.append(np.asarray(emb)[0].astype("<f4").tobytes())
-            return out
+        cfg = self._checked_cfg(clip)
+        # demux per request so a malformed clip fails HERE (or poisons only
+        # its own stream later), never the whole batch
+        records = [(r.block_index, r.frame_char, r.payload)
+                   for r in Demuxer(clip).video_records()]
+        job = _BatchJob(cfg, records)
+        with self._bq_cond:
+            self._bq.append(job)
+            self._bq_cond.notify_all()
+        if not job.event.wait(timeout=max(self.socket_timeout_s, 600.0)):
+            raise RuntimeError("batched decode timed out")
+        if job.error is not None:
+            raise RuntimeError(job.error)
+        with self._lock:
+            return self._chunks(job.frames, cfg, mode)
+
+    def _dispatch_loop(self) -> None:
+        while not self._shutdown_flag:
+            with self._bq_cond:
+                while not self._bq and not self._shutdown_flag:
+                    self._bq_cond.wait(timeout=0.5)
+                if self._shutdown_flag:
+                    return
+                first = self._bq.pop(0)
+            batch = [first]
+            deadline = time.monotonic() + self.batch_window_s
+            while len(batch) < self.max_batch:
+                rem = deadline - time.monotonic()
+                if rem <= 0:
+                    break
+                with self._bq_cond:
+                    if not self._bq:
+                        self._bq_cond.wait(timeout=rem)
+                    more = [j for j in self._bq if j.cfg == first.cfg]
+                    for j in more[:self.max_batch - len(batch)]:
+                        self._bq.remove(j)
+                        batch.append(j)
+                if len(batch) < self.max_batch:
+                    time.sleep(min(max(rem, 0.0), 0.001))
+            self._run_batch(batch)
+
+    def _run_batch(self, batch: list) -> None:
+        from .parallel.multistream import MultiStreamDecoder
+
+        try:
+            from .native import NativePlanner as planner_factory
+        except Exception:
+            from .planner import Planner as planner_factory
+        cfg = batch[0].cfg
+        try:
+            with self._lock:
+                ms = MultiStreamDecoder(
+                    cfg, [], planner_factory=planner_factory,
+                    record_lists=[j.records for j in batch])
+                out: list[list] = [[] for _ in batch]
+                for frames, _metas, valid in ms.run_pipelined():
+                    fnp = [np.asarray(p) for p in frames]
+                    for si, ok in enumerate(valid):
+                        if ok:
+                            out[si].append([fnp[pi][si] for pi in range(3)])
+            for j, s, res in zip(batch, ms.streams, out):
+                if s.failed:
+                    j.error = "clip failed to decode (stream poisoned)"
+                else:
+                    j.frames = res
+                j.event.set()
+            with self._mlock:
+                self._metrics["batches"] += 1
+                self._metrics["batched_requests"] += len(batch)
+                self._metrics["batch_size_last"] = len(batch)
+        except Exception as e:  # batch-level failure: fail every waiter
+            for j in batch:
+                j.error = str(e)
+                j.event.set()
+
+
+class _BatchJob:
+    """One batched request: demuxed records in, per-frame planes out."""
+
+    __slots__ = ("cfg", "records", "event", "frames", "error")
+
+    def __init__(self, cfg, records):
+        self.cfg = cfg
+        self.records = records
+        self.event = threading.Event()
+        self.frames = None
+        self.error = None
 
 
 def decode_remote(host: str, port: int, clip: bytes,
@@ -307,13 +442,20 @@ def main(argv=None) -> int:
                     help="LRU cap on cached per-shape decoder sessions")
     ap.add_argument("--socket-timeout", type=float, default=120.0,
                     help="per-connection socket timeout in seconds")
+    ap.add_argument("--batch-window-ms", type=float, default=0.0,
+                    help="coalesce same-shape requests arriving within this "
+                         "window into one multi-stream batch (0 = off)")
+    ap.add_argument("--max-batch", type=int, default=8,
+                    help="max requests per coalesced batch")
     args = ap.parse_args(argv)
     srv = DecodeServer((args.host, args.port), backend=args.backend,
                        auth_token=args.auth_token,
                        max_pending=args.max_pending,
                        max_pixels=args.max_pixels,
                        max_sessions=args.max_sessions,
-                       socket_timeout_s=args.socket_timeout)
+                       socket_timeout_s=args.socket_timeout,
+                       batch_window_s=args.batch_window_ms / 1000.0,
+                       max_batch=args.max_batch)
     signal.signal(signal.SIGTERM, lambda *_: srv.shutdown())
     print(f"hvqm4_tpu decode service on {args.host}:{args.port} "
           f"(backend={args.backend}, auth={'on' if args.auth_token else 'off'})",

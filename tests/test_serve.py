@@ -87,6 +87,42 @@ def test_serve_embeddings_mode():
         srv.shutdown()
 
 
+def test_serve_continuous_batching():
+    """Concurrent same-shape requests coalesce into ONE multi-stream batch;
+    a corrupt clip fails alone without harming its batchmates."""
+    cfg = SeqConfig(64, 48)
+    clips = [make_clip(cfg, ["IPB"], seed=95 + i) for i in range(3)]
+    bad = make_clip(cfg, ["IPB"], seed=99)[:-30]  # truncated container
+    srv = serve.DecodeServer(("127.0.0.1", 0), backend="jax",
+                             batch_window_s=0.25, max_batch=4)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    host, port = srv.server_address
+    try:
+        results, errs = {}, {}
+
+        def req(i, clip):
+            try:
+                results[i] = serve.decode_remote(host, port, clip)
+            except Exception as e:  # noqa: BLE001 - assert on it below
+                errs[i] = str(e)
+
+        threads = [threading.Thread(target=req, args=(i, c))
+                   for i, c in enumerate(clips + [bad])]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=180)
+        for i, c in enumerate(clips):
+            assert results[i] == [f.tobytes() for f in golden_decode(cfg, c)], i
+        assert 3 in errs  # the corrupt clip failed...
+        m = serve.fetch_metrics(host, port)
+        assert m["batched_requests"] >= 3  # ...while the rest shared batches
+        assert m["batches"] >= 1
+    finally:
+        srv.shutdown()
+
+
 def test_serve_metrics(server):
     host, port = server
     cfg = SeqConfig(64, 48)
