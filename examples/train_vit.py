@@ -112,15 +112,24 @@ def main() -> int:
         if len(jax.devices()) < n:
             # single real chip (or a site override): fall back to virtual
             # CPU devices for the sharding demo
+            import os
+
             from jax.extend.backend import clear_backends
 
+            flags = os.environ.get("XLA_FLAGS", "")
+            if "xla_force_host_platform_device_count" not in flags:
+                os.environ["XLA_FLAGS"] = (
+                    flags + f" --xla_force_host_platform_device_count={n}"
+                ).strip()
             jax.config.update("jax_platforms", "cpu")
             clear_backends()
         assert len(jax.devices()) >= n, (
             f"need {n} devices, have {len(jax.devices())}")
         devs = np.array(jax.devices()[:n]).reshape(args.dp, args.tp)
         mesh = Mesh(devs, ("dp", "tp"))
-    ctx = mesh if mesh is not None else _nullcontext()
+    import contextlib
+
+    ctx = mesh if mesh is not None else contextlib.nullcontext()
     with ctx:
         losses = train(cfg, clips, vcfg, epochs=args.epochs, mesh=mesh)
     print(f"steps={len(losses)} first_loss={losses[0]:.5f} "
@@ -128,14 +137,6 @@ def main() -> int:
           f"({'mesh ' + str(dict(zip(('dp', 'tp'), (args.dp, args.tp))))
               if mesh else 'single device'})")
     return 0 if losses[-1] < losses[0] else 1
-
-
-class _nullcontext:
-    def __enter__(self):
-        return None
-
-    def __exit__(self, *a):
-        return False
 
 
 if __name__ == "__main__":

@@ -696,22 +696,34 @@ def encode_to_size(cfg: SeqConfig, frames: list, gops: list[str],
     """
     import math
 
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+
     def enc_at(lam: float) -> bytes:
         return VideoEncoder(cfg, lambda_bits=lam, **enc_kwargs).encode(
             frames, gops)
 
     lo, hi = math.log(lam_lo), math.log(lam_hi)
     best = None
-    for _ in range(iters):
-        lam = math.exp((lo + hi) / 2)
+
+    def consider(lam: float):
+        nonlocal best
         clip = enc_at(lam)
         if best is None or (abs(len(clip) - target_bytes)
                             < abs(len(best[0]) - target_bytes)):
             best = (clip, lam)
+        return clip
+
+    for _ in range(iters):
+        lam = math.exp((lo + hi) / 2)
+        clip = consider(lam)
         if abs(len(clip) - target_bytes) <= tolerance * target_bytes:
             return clip, lam
         if len(clip) > target_bytes:
             lo = math.log(lam)   # too big → raise lambda
         else:
             hi = math.log(lam)
+    # out of iterations: the target may lie outside the bisected interior,
+    # so evaluate the endpoint the search was converging toward
+    consider(lam_hi if len(best[0]) > target_bytes else lam_lo)
     return best

@@ -17,12 +17,10 @@ codec's blocky aesthetic and keeping the op integer-exact.
 
 from __future__ import annotations
 
-import os
 
 import jax
 import jax.numpy as jnp
 
-_PALLAS_MODE = os.environ.get("HVQM4_PALLAS", "auto")
 
 
 def _sra(x, n):
@@ -55,12 +53,12 @@ def frame_to_rgb(planes, h_samp: int, v_samp: int) -> jnp.ndarray:
     y, u, v = planes
     uu = upsample_chroma(u, h_samp, v_samp)
     vv = upsample_chroma(v, h_samp, v_samp)
-    from .device_core import pallas_enabled
-    if pallas_enabled() and y.ndim == 2:
+    from . import device_core
+    if device_core.pallas_enabled() and y.ndim == 2:
         from ..kernels.csc import yuv_to_rgb_pallas
 
-        return yuv_to_rgb_pallas(y, uu, vv,
-                                 interpret=_PALLAS_MODE == "interpret")
+        return yuv_to_rgb_pallas(
+            y, uu, vv, interpret=device_core._PALLAS_MODE == "interpret")
     return yuv_to_rgb(y, uu, vv)
 
 

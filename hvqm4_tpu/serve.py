@@ -196,6 +196,12 @@ class DecodeServer(socketserver.ThreadingTCPServer):
     def shutdown(self):
         self._shutdown_flag = True
         with self._bq_cond:
+            # fail queued batch waiters instead of orphaning them: their
+            # handler threads hold admission/ingress slots while waiting
+            for job in self._bq:
+                job.error = "server shutting down"
+                job.event.set()
+            self._bq.clear()
             self._bq_cond.notify_all()
         super().shutdown()
 
@@ -295,16 +301,25 @@ class DecodeServer(socketserver.ThreadingTCPServer):
         """Enqueue for the dispatcher; block until this request's batch ran."""
         from .container import Demuxer
 
-        cfg = self._checked_cfg(clip)
-        # demux per request so a malformed clip fails HERE (or poisons only
-        # its own stream later), never the whole batch
+        # demux ONCE per request so a malformed clip fails HERE (or poisons
+        # only its own stream later), never the whole batch
+        d = Demuxer(clip)
+        cfg = d.info.cfg
+        if cfg.width * cfg.height > self.max_pixels:
+            raise ValueError(
+                f"frame {cfg.width}x{cfg.height} exceeds server pixel cap")
         records = [(r.block_index, r.frame_char, r.payload)
-                   for r in Demuxer(clip).video_records()]
+                   for r in d.video_records()]
         job = _BatchJob(cfg, records)
         with self._bq_cond:
             self._bq.append(job)
             self._bq_cond.notify_all()
         if not job.event.wait(timeout=max(self.socket_timeout_s, 600.0)):
+            # withdraw an abandoned job so the dispatcher never decodes for
+            # a client that already gave up
+            with self._bq_cond:
+                if job in self._bq:
+                    self._bq.remove(job)
             raise RuntimeError("batched decode timed out")
         if job.error is not None:
             raise RuntimeError(job.error)
@@ -345,10 +360,18 @@ class DecodeServer(socketserver.ThreadingTCPServer):
             from .planner import Planner as planner_factory
         cfg = batch[0].cfg
         try:
+            # pad the stream count to the next power of two (filler lanes
+            # are empty record lists -> trivially masked): one compiled
+            # executable per {1,2,4,...,max_batch}, not per arrival count
+            n_pad = 1
+            while n_pad < len(batch):
+                n_pad *= 2
+            lanes = [j.records for j in batch] + [[] for _ in
+                                                  range(n_pad - len(batch))]
             with self._lock:
                 ms = MultiStreamDecoder(
                     cfg, [], planner_factory=planner_factory,
-                    record_lists=[j.records for j in batch])
+                    record_lists=lanes)
                 out: list[list] = [[] for _ in batch]
                 for frames, _metas, valid in ms.run_pipelined():
                     fnp = [np.asarray(p) for p in frames]
@@ -456,7 +479,11 @@ def main(argv=None) -> int:
                        socket_timeout_s=args.socket_timeout,
                        batch_window_s=args.batch_window_ms / 1000.0,
                        max_batch=args.max_batch)
-    signal.signal(signal.SIGTERM, lambda *_: srv.shutdown())
+    # shutdown() must not run on the thread blocked in serve_forever() (it
+    # waits for that loop to exit -> deadlock), and signal handlers run on
+    # the main thread; hand it to a helper thread instead
+    signal.signal(signal.SIGTERM, lambda *_: threading.Thread(
+        target=srv.shutdown, daemon=True).start())
     print(f"hvqm4_tpu decode service on {args.host}:{args.port} "
           f"(backend={args.backend}, auth={'on' if args.auth_token else 'off'})",
           file=sys.stderr)

@@ -117,8 +117,10 @@ def test_serve_continuous_batching():
             assert results[i] == [f.tobytes() for f in golden_decode(cfg, c)], i
         assert 3 in errs  # the corrupt clip failed...
         m = serve.fetch_metrics(host, port)
-        assert m["batched_requests"] >= 3  # ...while the rest shared batches
-        assert m["batches"] >= 1
+        assert m["batched_requests"] == 3  # ...while the rest decoded fine
+        # coalescing must actually happen: 3 requests in fewer batches
+        # (the first may dispatch alone; the rest arrive while it decodes)
+        assert 1 <= m["batches"] <= 2, m
     finally:
         srv.shutdown()
 
