@@ -147,7 +147,21 @@ def cmd_encode(args) -> int:
             gops.append("I" + "P" * (g - 1))
             left -= g
     enc = VideoEncoder(cfg, lambda_bits=args.quality, slices=args.slices)
-    data = enc.encode(frames, gops)
+    audio = None
+    audio_rate = 32000
+    if args.audio:
+        import wave
+
+        with wave.open(args.audio, "rb") as w:
+            if w.getsampwidth() != 2:
+                print("hvqm4_tpu: error: audio must be 16-bit PCM WAV",
+                      file=sys.stderr)
+                return 1
+            audio_rate = w.getframerate()
+            audio = np.frombuffer(
+                w.readframes(w.getnframes()), np.int16
+            ).reshape(-1, w.getnchannels())
+    data = enc.encode(frames, gops, audio=audio, audio_rate=audio_rate)
     Path(args.output).write_bytes(data)
     print(f"encoded {n} frames -> {args.output} ({len(data)} bytes)",
           file=sys.stderr)
@@ -244,6 +258,8 @@ def main(argv=None) -> int:
     p.add_argument("--slices", type=int, default=1,
                    help="entropy slices per frame (FORMAT.md §9; enables "
                         "slice-parallel host planning on decode)")
+    p.add_argument("--audio", help="16-bit PCM WAV to mux as IMA-ADPCM "
+                                   "records (one per GOP block)")
     p.set_defaults(fn=cmd_encode)
 
     p = sub.add_parser("stats")

@@ -25,8 +25,8 @@ import struct
 import numpy as np
 
 from .bitio import BitWriter, HuffWriter
-from .config import (FRAME_B, FRAME_I, FRAME_P, HEADER_SIZE, MEDIA_VIDEO,
-                     N_STREAMS, SeqConfig)
+from .config import (FRAME_B, FRAME_I, FRAME_P, HEADER_SIZE, MEDIA_AUDIO,
+                     MEDIA_VIDEO, N_STREAMS, SeqConfig)
 from .planner import Planner
 from .plans import build_nest
 from .refdec import GoldenDecoder
@@ -639,21 +639,42 @@ class VideoEncoder:
     # -- top level ------------------------------------------------------------
 
     def encode(self, frames: list, gops: list[str],
-               usec_per_frame: int = 33366) -> bytes:
+               usec_per_frame: int = 33366,
+               audio: np.ndarray | None = None,
+               audio_rate: int = 32000) -> bytes:
         """frames: display-ordered [ [Y,U,V] u8 planes ]; gops: display-order
-        patterns whose lengths sum to len(frames). Returns a `.h4m` file."""
+        patterns whose lengths sum to len(frames). `audio` is optional
+        (n_samples, channels) i16 PCM encoded as IMA-ADPCM, one record per
+        GOP block covering that block's display duration. Returns a `.h4m`
+        file."""
+        from .audio import encode_record
         from .gop import reorder_display_to_decode
 
         cfg = self.cfg
         if sum(len(g) for g in gops) != len(frames):
             raise ValueError("gop pattern length != frame count")
+        if audio is not None and audio.ndim != 2:
+            raise ValueError("audio must be (n_samples, channels) i16")
         blocks = []
         disp_base = 0
-        n_video = 0
-        max_frame = 0
-        for gop in gops:
+        n_video = n_audio = 0
+        max_frame = max_audio = 0
+        audio_pos = 0
+        for gi, gop in enumerate(gops):
             self.dec.reset()
             recs = []
+            if audio is not None:
+                # this block's share of samples = its display duration
+                end = (min(round((disp_base + len(gop)) * usec_per_frame
+                                 * 1e-6 * audio_rate), len(audio))
+                       if gi < len(gops) - 1 else len(audio))
+                chunk = audio[audio_pos:end]
+                audio_pos = end
+                if len(chunk):
+                    payload = encode_record(np.ascontiguousarray(chunk))
+                    recs.append((MEDIA_AUDIO, 0, payload))
+                    max_audio = max(max_audio, len(payload))
+                    n_audio += 1
             for ftype, disp in reorder_display_to_decode(gop):
                 frame = frames[disp_base + disp]
                 refs = (self.dec.ref_prev, self.dec.ref_last)
@@ -669,14 +690,19 @@ class VideoEncoder:
             disp_base += len(gop)
             body = b"".join(struct.pack(">HHI", m, s, len(p)) + p
                             for m, s, p in recs)
-            blocks.append(struct.pack(">IHH", len(body), 0, len(recs)) + body)
+            na = sum(1 for m, _s, _p in recs if m == MEDIA_AUDIO)
+            blocks.append(struct.pack(">IHH", len(body), na,
+                                      len(recs) - na) + body)
 
+        channels = audio.shape[1] if audio is not None else 0
         body = b"".join(blocks)
         header = struct.pack(
             ">16sIIIIIIIIIHHBBBBBBHI",
-            cfg.magic, HEADER_SIZE, len(body), len(blocks), n_video, 0,
-            usec_per_frame, max_frame, 0, 0,
-            cfg.width, cfg.height, cfg.h_samp, cfg.v_samp, 0, 0, 0, 0, 0, 0)
+            cfg.magic, HEADER_SIZE, len(body), len(blocks), n_video, n_audio,
+            usec_per_frame, max_frame, 0, max_audio,
+            cfg.width, cfg.height, cfg.h_samp, cfg.v_samp, 0, 0,
+            channels, 4 if channels else 0, 0,
+            audio_rate if channels else 0)
         return header + body
 
 

@@ -90,6 +90,37 @@ def test_sliced_encoding_identical_pixels(oracle_bin, tmp_path):
         oracle_bin, c3, tmp_path)
 
 
+def test_encode_with_audio_roundtrip(oracle_bin, tmp_path):
+    """WAV audio muxes as per-block ADPCM records; the full clip (video +
+    audio) still decodes bit-exact on the oracle and the audio tracks the
+    source signal."""
+    from hvqm4_tpu.audio import decode_record
+    from hvqm4_tpu.container import Demuxer
+
+    cfg = SeqConfig(64, 48)
+    gops = ["IPP", "IPP"]
+    frames = _synthetic_video(cfg, 6, seed=5)
+    rate = 32000
+    n = round(6 * 33366e-6 * rate)
+    t = np.arange(n)[:, None]
+    pcm = (7000 * np.sin(0.02 * t + np.arange(2)[None, :])).astype(np.int16)
+    clip = VideoEncoder(cfg, seed=0).encode(frames, gops, audio=pcm,
+                                            audio_rate=rate)
+    d = Demuxer(clip)
+    assert d.info.audio_channels == 2
+    assert d.info.audio_sample_rate == rate
+    recs = [decode_record(r.payload, 2) for r in d.audio_records()]
+    assert len(recs) == 2  # one per GOP block
+    got = np.concatenate(recs)
+    assert got.shape == pcm.shape
+    # ADPCM is lossy: require strong correlation, not equality
+    c = np.corrcoef(got[:, 0].astype(np.float64), pcm[:, 0])[0, 1]
+    assert c > 0.99, c
+    # video path is untouched by the interleaved audio records
+    want = run_oracle(oracle_bin, clip, tmp_path)
+    assert b"".join(f.tobytes() for f in golden_decode(cfg, clip)) == want
+
+
 def test_rate_control_hits_target():
     """encode_to_size bisects lambda to a byte target within tolerance."""
     from hvqm4_tpu.encode import encode_to_size
