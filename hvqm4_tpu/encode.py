@@ -252,6 +252,28 @@ class VideoEncoder:
                                              raw_penalty, raw_frozen)
         return self._intra_plane(plane, cand, raw_penalty, raw_frozen)
 
+    def _pick_nest_origin(self, eff: np.ndarray) -> tuple[int, int]:
+        """Choose (nest_x, nest_y) maximizing dictionary diversity.
+
+        The nest window is a free parameter of the bitstream (FORMAT.md
+        §6.1); a window over a flat or raw-pinned region yields near-
+        constant atoms that matching pursuit can't use. Sample variance of
+        the candidate window is the proxy: raw cells (pinned to 128) and
+        flat areas depress it, structured areas raise it. A coarse 8x8
+        origin grid is enough — the modular wrap makes nearby origins
+        nearly equivalent."""
+        bh, bw = eff.shape
+        nh, nw = self.cfg.nest_shape
+        best, best_score = (0, 0), -1.0
+        for ny in range(0, bh, max(bh // 8, 1)):
+            for nx in range(0, bw, max(bw // 8, 1)):
+                ys = (ny + np.arange(nh)) % bh
+                xs = (nx + np.arange(nw)) % bw
+                score = float(eff[np.ix_(ys, xs)].astype(np.float64).var())
+                if score > best_score:
+                    best_score, best = score, (nx, ny)
+        return best
+
     def _nest_penalty(self, dcg_y: np.ndarray) -> np.ndarray:
         """Distortion the GOP inherits when a luma block goes raw.
 
@@ -373,6 +395,7 @@ class VideoEncoder:
 
         # intra decisions per plane (full grids; non-intra entries unused)
         plane_decisions = []
+        nest_x = nest_y = 0
         if ftype == "I":
             # Two-pass I-frame intra decision. The decoder's nest is built
             # from the EFFECTIVE luma DC grid, in which raw blocks are pinned
@@ -397,7 +420,8 @@ class VideoEncoder:
                 raw_penalty=self._nest_penalty(dcg_y_targets))
             raw_y = np.array([[d.mode == 6 for d in row] for row in dec_y])
             eff = np.where(raw_y, np.uint8(128), dcg_y_targets)
-            nest = build_nest(cfg, eff, 0, 0)    # == the decoder's nest
+            nest_x, nest_y = self._pick_nest_origin(eff)
+            nest = build_nest(cfg, eff, nest_x, nest_y)  # the decoder's nest
             search, cand = self._make_search(nest)
             dec_y, _ = self._decide_plane(y, search, cand, raw_frozen=raw_y)
             plane_decisions.append(dec_y)
@@ -415,7 +439,8 @@ class VideoEncoder:
             ftype, frame, refs, mb_map, mv_map, ref_map, search, cand, nest)
 
         return self._serialize(ftype, display_id, mb_map, mv_map, ref_map,
-                               plane_decisions, inter_bases)
+                               plane_decisions, inter_bases,
+                               nest_x=nest_x, nest_y=nest_y)
 
     def _inter_residuals(self, ftype, frame, refs, mb_map, mv_map, ref_map,
                          search, cand, nest):
@@ -537,7 +562,8 @@ class VideoEncoder:
         return hw.encode()
 
     def _serialize(self, ftype, display_id, mb_map, mv_map, ref_map,
-                   plane_decisions, inter_bases=None) -> bytes:
+                   plane_decisions, inter_bases=None,
+                   nest_x: int = 0, nest_y: int = 0) -> bytes:
         cfg = self.cfg
         S = self.slices
         mh, mw = cfg.mb_grid
@@ -627,7 +653,7 @@ class VideoEncoder:
 
         streams = [b"".join(segs[s][k] for s in range(S))
                    for k in range(N_STREAMS)]
-        head = struct.pack(">IHHBBH", display_id, 0, 0, 0,
+        head = struct.pack(">IHHBBH", display_id, nest_x, nest_y, 0,
                            S if S >= 2 else 0, 0)
         head += struct.pack(f">{N_STREAMS}I", *[len(st) for st in streams])
         if S >= 2:
