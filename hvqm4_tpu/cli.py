@@ -161,7 +161,19 @@ def cmd_encode(args) -> int:
             audio = np.frombuffer(
                 w.readframes(w.getnframes()), np.int16
             ).reshape(-1, w.getnchannels())
-    data = enc.encode(frames, gops, audio=audio, audio_rate=audio_rate)
+    if args.target_kb is not None:
+        from .encode import encode_to_size
+
+        if audio is not None:
+            print("hvqm4_tpu: error: --target-kb does not support --audio "
+                  "yet (video-only rate control)", file=sys.stderr)
+            return 1
+        data, lam = encode_to_size(cfg, frames, gops,
+                                   int(args.target_kb * 1024),
+                                   slices=args.slices)
+        print(f"rate control: lambda={lam:.3f}", file=sys.stderr)
+    else:
+        data = enc.encode(frames, gops, audio=audio, audio_rate=audio_rate)
     Path(args.output).write_bytes(data)
     print(f"encoded {n} frames -> {args.output} ({len(data)} bytes)",
           file=sys.stderr)
@@ -260,6 +272,9 @@ def main(argv=None) -> int:
                         "slice-parallel host planning on decode)")
     p.add_argument("--audio", help="16-bit PCM WAV to mux as IMA-ADPCM "
                                    "records (one per GOP block)")
+    p.add_argument("--target-kb", type=float, default=None,
+                   help="rate control: bisect lambda to hit this clip size "
+                        "(overrides --quality)")
     p.set_defaults(fn=cmd_encode)
 
     p = sub.add_parser("stats")
