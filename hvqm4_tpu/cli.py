@@ -146,7 +146,8 @@ def cmd_encode(args) -> int:
             g = min(per, left)
             gops.append("I" + "P" * (g - 1))
             left -= g
-    enc = VideoEncoder(cfg, lambda_bits=args.quality, slices=args.slices)
+    enc = VideoEncoder(cfg, lambda_bits=args.quality, slices=args.slices,
+                       dc_shift=args.dc_shift)
     audio = None
     audio_rate = 32000
     if args.audio:
@@ -275,6 +276,9 @@ def main(argv=None) -> int:
     p.add_argument("--target-kb", type=float, default=None,
                    help="rate control: bisect lambda to hit this clip size "
                         "(overrides --quality)")
+    p.add_argument("--dc-shift", type=int, default=0,
+                   help="DC delta quantization shift 0..7 (coarser DCs, "
+                        "fewer bits)")
     p.set_defaults(fn=cmd_encode)
 
     p = sub.add_parser("stats")

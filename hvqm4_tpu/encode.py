@@ -92,8 +92,11 @@ class VideoEncoder:
     def __init__(self, cfg: SeqConfig, lambda_bits: float = 4.0,
                  mv_range: int = 7, aot_bases: int = 2, seed: int = 0,
                  use_tpu_search: bool = False, nest_mu: float = 0.25,
-                 slices: int = 1):
+                 slices: int = 1, dc_shift: int = 0):
         self.cfg = cfg
+        if not (0 <= dc_shift <= 7):
+            raise ValueError("dc_shift must be in [0, 7]")
+        self.dc_shift = dc_shift
         self.lam = lambda_bits
         self.mv_range = mv_range
         self.aot_bases = aot_bases
@@ -251,6 +254,35 @@ class VideoEncoder:
             return self._intra_plane_batched(plane, search,
                                              raw_penalty, raw_frozen)
         return self._intra_plane(plane, cand, raw_penalty, raw_frozen)
+
+    def _effective_dcg(self, dec_y: list, bh: int, bw: int) -> np.ndarray:
+        """The DECODER's effective luma DC grid for these decisions.
+
+        Simulates the serializer's per-slice prediction chain including the
+        dc_shift quantization, so the nest the bases are selected against is
+        exactly the one the decoder will build (FORMAT.md §5.4/§6.1). With
+        dc_shift == 0 this reduces to target DCs with raw blocks at 128."""
+        sh = self.dc_shift
+        mh, _mw = self.cfg.mb_grid
+        S = self.slices
+        ed = np.full((bh, bw), 128, np.int32)
+        for sl in range(S):
+            row0 = (sl * mh // S) * 2       # luma: 2 block rows per MB row
+            row1 = ((sl + 1) * mh // S) * 2
+            for by in range(row0, row1):
+                for bx in range(bw):
+                    d = dec_y[by][bx]
+                    if d.mode == 6:
+                        ed[by, bx] = 128
+                        continue
+                    pred = (int(ed[by, bx - 1]) if bx > 0
+                            else int(ed[by - 1, bx]) if by > row0 else 128)
+                    delta = (d.dc_target - pred) % 256
+                    if delta > 127:
+                        delta -= 256
+                    v = int(round(delta / (1 << sh))) if sh else delta
+                    ed[by, bx] = (pred + (v << sh)) & 0xFF
+        return ed.astype(np.uint8)
 
     def _pick_nest_origin(self, eff: np.ndarray) -> tuple[int, int]:
         """Choose (nest_x, nest_y) maximizing dictionary diversity.
@@ -419,7 +451,7 @@ class VideoEncoder:
                 y, search, cand,
                 raw_penalty=self._nest_penalty(dcg_y_targets))
             raw_y = np.array([[d.mode == 6 for d in row] for row in dec_y])
-            eff = np.where(raw_y, np.uint8(128), dcg_y_targets)
+            eff = self._effective_dcg(dec_y, bh, bw)
             nest_x, nest_y = self._pick_nest_origin(eff)
             nest = build_nest(cfg, eff, nest_x, nest_y)  # the decoder's nest
             search, cand = self._make_search(nest)
@@ -641,8 +673,11 @@ class VideoEncoder:
                         delta = (d.dc_target - pred_dc) % 256
                         if delta > 127:
                             delta -= 256  # shortest signed representative
-                        put_delta(dch, delta)
-                        ed[by, bx] = d.dc_target
+                        sh = self.dc_shift
+                        v = int(round(delta / (1 << sh))) if sh else delta
+                        put_delta(dch, v)
+                        # track the DECODER's dc: quantized by the shift
+                        ed[by, bx] = (pred_dc + (v << sh)) & 0xFF
                         for (nx, ny, sxb, syb, off, scale) in d.bases:
                             v = (nx << 25) | (ny << 18) | (sxb << 17) \
                                 | (syb << 16) | (off << 8) | (scale & 0xFF)
@@ -653,8 +688,8 @@ class VideoEncoder:
 
         streams = [b"".join(segs[s][k] for s in range(S))
                    for k in range(N_STREAMS)]
-        head = struct.pack(">IHHBBH", display_id, nest_x, nest_y, 0,
-                           S if S >= 2 else 0, 0)
+        head = struct.pack(">IHHBBH", display_id, nest_x, nest_y,
+                           self.dc_shift, S if S >= 2 else 0, 0)
         head += struct.pack(f">{N_STREAMS}I", *[len(st) for st in streams])
         if S >= 2:
             head += b"".join(

@@ -121,6 +121,29 @@ def test_encode_with_audio_roundtrip(oracle_bin, tmp_path):
     assert b"".join(f.tobytes() for f in golden_decode(cfg, clip)) == want
 
 
+def test_dc_shift_encoding_bitexact(oracle_bin, tmp_path):
+    """dc_shift > 0 quantizes DC deltas (FORMAT.md §5.4); the encoder's
+    chain simulation keeps its nest identical to the decoder's and the
+    stream decodes bit-exact everywhere."""
+    cfg = SeqConfig(64, 48)
+    frames = _synthetic_video(cfg, 5, seed=21)
+    clip = VideoEncoder(cfg, seed=0, dc_shift=3).encode(frames, ["IPBPB"])
+    want = run_oracle(oracle_bin, clip, tmp_path)
+    got = b"".join(f.tobytes() for f in golden_decode(cfg, clip))
+    assert got == want
+    # quality must stay in the same ballpark as shift 0 (coarse DCs only)
+    from hvqm4_tpu.container import Demuxer
+    from hvqm4_tpu.planner import Planner
+
+    order = [Planner(cfg).plan_frame(r.frame_char, r.payload).display_id
+             for r in Demuxer(clip).video_records()]
+    decoded = golden_decode(cfg, clip)
+    ylen = cfg.plane_shapes[0][0] * cfg.plane_shapes[0][1]
+    psnrs = [_psnr(decoded[i][:ylen].reshape(cfg.plane_shapes[0]),
+                   frames[disp][0]) for i, disp in enumerate(order)]
+    assert min(psnrs) > 24.0, psnrs
+
+
 def test_rate_control_hits_target():
     """encode_to_size bisects lambda to a byte target within tolerance."""
     from hvqm4_tpu.encode import encode_to_size
