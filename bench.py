@@ -42,14 +42,17 @@ def ensure_oracle() -> pathlib.Path:
 
 def ensure_clip(path: pathlib.Path):
     from hvqm4_tpu.config import SeqConfig
+    from hvqm4_tpu.container import Demuxer
     from tools.encoder import make_clip
 
-    cfg = SeqConfig(640, 480)
     if not path.exists():
         path.parent.mkdir(parents=True, exist_ok=True)
         path.write_bytes(make_clip(
-            cfg, ["IBBPBP" + "BP" * 8, "IPPPPP"], seed=7, audio_channels=2))
-    return cfg, path.read_bytes()
+            SeqConfig(640, 480), ["IBBPBP" + "BP" * 8, "IPPPPP"], seed=7,
+            audio_channels=2))
+    data = path.read_bytes()
+    # the cfg comes from the clip itself (HVQM4_BENCH_CLIP may be any shape)
+    return Demuxer(data).info.cfg, data
 
 
 def _fnv1a(data: bytes) -> str:
@@ -208,9 +211,13 @@ def main() -> None:
         merged.update(json.loads(r.stdout.strip().splitlines()[-1]))
         time.sleep(15)  # let the tunnel remote side settle between clients
 
+    from hvqm4_tpu.container import Demuxer
+
+    cfg = Demuxer(clip_path.read_bytes()).info.cfg
     pipeline_fps = merged["pipeline_fps"]
     print(json.dumps({
         "metric": "fps_per_chip_640x480_full_pipeline",
+        "clip": f"{cfg.width}x{cfg.height}",
         "value": pipeline_fps,
         "unit": "frames/s",
         "vs_baseline": round(pipeline_fps / base_fps, 3),
