@@ -45,8 +45,6 @@ import numpy as np
 from ..config import MAX_BASES
 from ..plans import PlanePlan
 
-_W = np.array([4, 1, 0, 0], np.int32)
-
 
 def plane_plan_arrays(p: PlanePlan) -> dict[str, np.ndarray]:
     """PlanePlan → the dense per-plane device plan arrays (host-side).
@@ -305,14 +303,3 @@ def decode_plane_inter(plan, nest, ref0, ref1):
     return jnp.clip(px, 0, 255).astype(jnp.uint8)
 
 
-def build_nest_device(dc_grid_y, nest_x, nest_y, nest_shape):
-    """Device-side nest rebuild from the luma DC grid (FORMAT.md §6.1).
-
-    Used when the DC grid is already on device (multi-stream path); the
-    single-stream session uses the host-built nest from the plan.
-    """
-    nh, nw = nest_shape
-    bh, bw = dc_grid_y.shape
-    ys = (nest_y + jnp.arange(nh)) % bh
-    xs = (nest_x + jnp.arange(nw)) % bw
-    return dc_grid_y[ys][:, xs].astype(jnp.uint8)

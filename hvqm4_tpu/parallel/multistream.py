@@ -335,22 +335,9 @@ def _run_steps(cfg: SeqConfig, n: int, k_steps: int,
 
 
 @functools.lru_cache(maxsize=None)
-def _arena_step(cfg: SeqConfig, n: int, raw_cap: int, desc_cap: int):
-    """Jitted production step for one pool tier: (arenas, nest, refs) → ..."""
-
-    @functools.partial(jax.jit, donate_argnums=(1, 2, 3))
-    def step(arenas, nest, ref_prev, ref_last):
-        return _run_steps(cfg, n, 1, raw_cap, desc_cap,
-                          arenas, nest, ref_prev, ref_last)
-
-    return step
-
-
-@functools.lru_cache(maxsize=None)
-def _arena_superstep(cfg: SeqConfig, n: int, k_steps: int,
-                     raw_cap: int, desc_cap: int):
-    """Jitted K-step fused dispatch: one upload + one executable run K
-    sequential lock-step decodes via `lax.scan` (donated state carry)."""
+def _arena_step(cfg: SeqConfig, n: int, k_steps: int,
+                raw_cap: int, desc_cap: int):
+    """Jitted production step for one (pool tier, fused-K) shape."""
 
     @functools.partial(jax.jit, donate_argnums=(1, 2, 3))
     def step(arenas, nest, ref_prev, ref_last):
@@ -581,43 +568,25 @@ class MultiStreamDecoder:
 
         Returns (buf, metas, valid). With fused dispatch (K > 1) a call
         plans the next K lock-step frames of every stream and metas/valid
-        are nested per step: metas[k][si]."""
+        are nested per step: metas[k][si]. K == 1 is the same machinery
+        with the step axis flattened away."""
         buf = self._bufs[self._cur]
         buf["raw_used"] = 0
         buf["desc_used"] = 0
-        if self._k > 1:
-            return self._plan_super(buf)
-        if "step_planner" in buf:
-            return self._plan_step_batch(buf)
-        metas: list[FrameMeta | None] = []
-        valid: list[bool] = []
-        for si, s in enumerate(self.streams):
-            v = self._slot(si)
-            if s.failed or s.pos >= len(s.records):
-                self._fill_trivial(buf, v)
-                metas.append(None)
-                valid.append(False)
-                continue
-            _block, fchar, payload = s.records[s.pos]
-            s.pos += 1
-            try:
-                meta = self._plan_into(buf, v, fchar, payload)
-            except PlannerError:
-                s.failed = True  # poison one stream, not the batch
-                self._fill_trivial(buf, v)
-                metas.append(None)
-                valid.append(False)
-                continue
-            self._set_flags(buf, v, fchar)
-            metas.append(meta)
-            valid.append(True)
+        buf, metas, valid = self._plan_super(buf)
+        if self._k == 1:
+            return buf, metas[0], valid[0]
         return buf, metas, valid
 
     def _plan_super(self, buf):
         """Plan the next K lock-step steps of every stream into one fused
         arena (virtual slot `_slot(si, k)` = stream si's k-th frame ahead).
 
-        Returns (buf, metas[k][si], valid[k][si])."""
+        With the native planner, one GIL-released C call plans every slot
+        (threaded); a failing slot poisons its stream FROM THAT FRAME ON —
+        frames planned before the failure stay valid — and the step is
+        replanned without the dropped slots (rare; replanning is
+        deterministic). Returns (buf, metas[k][si], valid[k][si])."""
         n, K = self.n, self._k
         slot_jobs: list = [None] * (K * n)
         for si, s in enumerate(self.streams):
@@ -636,9 +605,9 @@ class MultiStreamDecoder:
                 rc = sp.plan(jobs)
                 if rc == 0:
                     break
-                si, _k = self._slot_inv(rc - 1)
-                self.streams[si].failed = True  # poison it, keep the rest
-                for k in range(K):
+                si, kf = self._slot_inv(rc - 1)
+                self.streams[si].failed = True
+                for k in range(kf, K):  # earlier frames stay valid
                     jobs[self._slot(si, k)] = None
             for v, job in enumerate(jobs):
                 si, k = self._slot_inv(v)
@@ -653,9 +622,10 @@ class MultiStreamDecoder:
                 metas[k][si] = FrameMeta(fchar, int(fout.display_id))
                 valid[k][si] = True
             return buf, metas, valid
+        poisoned_at = [K] * n  # first dropped step per stream
         for v, job in enumerate(slot_jobs):
             si, k = self._slot_inv(v)
-            if job is None or self.streams[si].failed:
+            if job is None or k >= poisoned_at[si]:
                 self._fill_trivial(buf, v)
                 continue
             _block, fchar, payload = job
@@ -664,48 +634,12 @@ class MultiStreamDecoder:
             except PlannerError:
                 # poison from this slot on; earlier slots stay valid
                 self.streams[si].failed = True
+                poisoned_at[si] = k
                 self._fill_trivial(buf, v)
                 continue
             self._set_flags(buf, v, fchar)
             metas[k][si] = meta
             valid[k][si] = True
-        return buf, metas, valid
-
-    def _plan_step_batch(self, buf):
-        """One GIL-released C call plans the whole step (all active streams,
-        optionally threaded). A failing stream is poisoned and the step is
-        replanned without it (rare; replanning is deterministic)."""
-        sp = buf["step_planner"]
-        jobs: list = []
-        for s in self.streams:  # K == 1: slot(si) == si, so job order == slot order
-            if s.failed or s.pos >= len(s.records):
-                jobs.append(None)
-                continue
-            _block, fchar, payload = s.records[s.pos]
-            s.pos += 1
-            jobs.append((fchar, payload))
-        while True:
-            rc = sp.plan(jobs)
-            if rc == 0:
-                break
-            si = rc - 1  # poison the failed stream, keep the rest
-            self.streams[si].failed = True
-            jobs[si] = None
-        metas: list[FrameMeta | None] = []
-        valid: list[bool] = []
-        for si, job in enumerate(jobs):
-            if job is None:
-                self._fill_trivial(buf, si)
-                metas.append(None)
-                valid.append(False)
-                continue
-            fchar = job[0]
-            fout = sp.fouts[si]
-            self._set_flags(buf, si, fchar)
-            buf["raw_used"] = max(buf["raw_used"], int(fout.raw_used))
-            buf["desc_used"] = max(buf["desc_used"], int(fout.desc_used))
-            metas.append(FrameMeta(fchar, int(fout.display_id)))
-            valid.append(True)
         return buf, metas, valid
 
     def _plan_into(self, buf, v: int, fchar: str, payload: bytes) -> FrameMeta:
@@ -736,12 +670,15 @@ class MultiStreamDecoder:
         h32 = buf["arenas"]["u32"][:, :cut32]
         if self.sharding is None:
             # single shard: rows are contiguous, upload 1-D views
-            arenas = {"u8": jnp.asarray(h8[0]), "u32": jnp.asarray(h32[0])}
-            if self._k > 1:
-                step_fn = _arena_superstep(self.cfg, self.n, self._k,
-                                           raw_cap, desc_cap)
-            else:
-                step_fn = _arena_step(self.cfg, self.n, raw_cap, desc_cap)
+            h8r, h32r = h8[0], h32[0]
+            if jax.default_backend() == "cpu":
+                # the CPU backend may zero-copy-alias aligned numpy buffers;
+                # the ping-pong arena is rewritten two steps later, so hand
+                # the device a private copy (TPU always transfers)
+                h8r, h32r = h8r.copy(), h32r.copy()
+            arenas = {"u8": jnp.asarray(h8r), "u32": jnp.asarray(h32r)}
+            step_fn = _arena_step(self.cfg, self.n, self._k,
+                                  raw_cap, desc_cap)
         else:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -813,10 +750,16 @@ def decode_clip_gop_parallel(clip: bytes, max_streams: int = 8,
     blocks are dealt round-robin onto up to `max_streams` lanes and each
     lane's frames are re-assembled into decode order at the end.
 
-    Yields (block_index, yuv_bytes) per frame, in the clip's decode order.
+    Yields (block_index, yuv_bytes) per frame, in the clip's decode order,
+    STREAMING: a frame is yielded as soon as every earlier frame of the
+    clip has been (memory is bounded by cross-lane skew, not clip length).
+    A corrupt GOP block poisons only its lane; its frames (and that lane's
+    later blocks) are skipped while every other lane's frames still arrive.
     Frames round-trip to the host here (this is the export/CLI path — the
     training/serving paths keep frames on device).
     """
+    import collections
+
     d = Demuxer(clip)
     cfg = d.info.cfg
     blocks: list[list] = [[] for _ in d.block_offsets]
@@ -824,10 +767,10 @@ def decode_clip_gop_parallel(clip: bytes, max_streams: int = 8,
         blocks[r.block_index].append((r.block_index, r.frame_char, r.payload))
     n = min(max_streams, len(blocks)) or 1
     lanes: list[list] = [[] for _ in range(n)]
-    lane_of_block = {}
+    order: list[tuple[int, int]] = []   # decode order: (block, lane)
     for bi, recs in enumerate(blocks):
         lanes[bi % n].extend(recs)
-        lane_of_block[bi] = bi % n
+        order.extend((bi, bi % n) for _ in recs)
     if planner_factory is None:
         try:
             from ..native import NativePlanner as planner_factory
@@ -835,16 +778,30 @@ def decode_clip_gop_parallel(clip: bytes, max_streams: int = 8,
             planner_factory = Planner
     ms = MultiStreamDecoder(cfg, [], planner_factory=planner_factory,
                             record_lists=lanes)
-    per_lane: list[list] = [[] for _ in range(n)]
-    for frames, metas, valid in ms.run_pipelined():
-        fnp = [np.asarray(p) for p in frames]
+    per_lane = [collections.deque() for _ in range(n)]
+    pos = 0
+    done = False
+
+    def drain():
+        nonlocal pos
+        while pos < len(order):
+            bi, lane = order[pos]
+            if per_lane[lane]:
+                yield bi, per_lane[lane].popleft()
+                pos += 1
+            elif done or ms.streams[lane].failed:
+                pos += 1    # lost to poisoning/end: skip, keep lanes flowing
+            else:
+                return      # wait for the lane to catch up
+
+    for frames, _metas, valid in ms.run_pipelined():
+        fnp = None
         for si, ok in enumerate(valid):
             if ok:
+                if fnp is None:
+                    fnp = [np.asarray(p) for p in frames]
                 per_lane[si].append(b"".join(
                     fnp[pi][si].tobytes() for pi in range(3)))
-    cursors = [0] * n
-    for bi, recs in enumerate(blocks):
-        lane = lane_of_block[bi]
-        for _ in recs:
-            yield bi, per_lane[lane][cursors[lane]]
-            cursors[lane] += 1
+        yield from drain()
+    done = True
+    yield from drain()

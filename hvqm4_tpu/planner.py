@@ -227,10 +227,8 @@ class Planner:
                 if cls_ == CLS_INTRA:
                     self._intra_block(p, by, bx, dc_shift, bn, dch, aux, row0)
                 else:
+                    # only reachable for P/B: my/mx/t from the lookup above
                     p.cls[by, bx] = CLS_INTER
-                    my, mx = (by >> shift_idx, bx >> shift_idx) \
-                        if ftype != "I" else (0, 0)
-                    t = mb_map[my, mx]
                     p.refsel[by, bx] = ref_map[my, mx]
                     if t == MB_INTER:
                         p.mv[by, bx, 0] = mv_map[my, mx, 0] >> mv_shift

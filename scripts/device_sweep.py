@@ -47,8 +47,7 @@ def main() -> None:
     import jax.numpy as jnp
 
     from bench import _setup
-    from hvqm4_tpu.parallel.multistream import (_arena_step, _arena_superstep,
-                                                _pick_tier)
+    from hvqm4_tpu.parallel.multistream import _arena_step, _pick_tier
 
     cfg, _clip_path, make_ms, _pn = _setup(n)
 
@@ -117,9 +116,7 @@ def main() -> None:
         t0 = time.perf_counter()
         last = None
         for aren, raw_cap, desc_cap in staged:
-            step_fn = (_arena_superstep(cfg, n, ms._k, raw_cap, desc_cap)
-                       if ms._k > 1 else
-                       _arena_step(cfg, n, raw_cap, desc_cap))
+            step_fn = _arena_step(cfg, n, ms._k, raw_cap, desc_cap)
             out_frames, ms4.nest, ms4.ref_prev, ms4.ref_last = step_fn(
                 aren, ms4.nest, ms4.ref_prev, ms4.ref_last)
             last = out_frames

@@ -55,7 +55,7 @@ while any(ms.active):
     t_xfer += time.perf_counter() - t
 
     t = time.perf_counter()
-    step_fn = _arena_step(ms.cfg, ms.n, raw_cap, desc_cap)
+    step_fn = _arena_step(ms.cfg, ms.n, 1, raw_cap, desc_cap)
     frames, ms.nest, ms.ref_prev, ms.ref_last = step_fn(
         arenas, ms.nest, ms.ref_prev, ms.ref_last)
     t_step += time.perf_counter() - t

@@ -175,6 +175,59 @@ def test_sharded_stream_count_must_divide():
         MultiStreamDecoder(CFG, clips, sharding=shard_streams(mesh))
 
 
+def _corrupt_second_block_stream_table(clip: bytes) -> bytes:
+    """Deterministic poison: overwrite the second GOP block's first video
+    frame's stream-size table entry with 0xFFFFFFFF ('stream overruns
+    payload', FORMAT.md §4) — every planner rejects it."""
+    import struct
+
+    body = 0x44
+    (len0,) = struct.unpack_from(">I", clip, body)
+    blk1 = body + 8 + len0            # second block header
+    rec = blk1 + 8                    # first record header (">HHI")
+    payload = rec + 8
+    sizes_off = payload + 12          # frame-local header is 12 bytes
+    out = bytearray(clip)
+    struct.pack_into(">I", out, sizes_off, 0xFFFFFFFF)
+    return bytes(out)
+
+
+def test_fused_dispatch_native_keeps_prefailure_frames():
+    """Native fused dispatch must keep the frames a failing stream planned
+    BEFORE the corrupt one (same contract as the Python fallback)."""
+    from hvqm4_tpu.native import NativePlanner
+
+    good = make_clip(CFG, ["IPP", "IPP"], seed=45)
+    bad = _corrupt_second_block_stream_table(good)
+    got = _pipelined_frames(CFG, [good, bad], steps_per_dispatch=3,
+                            planner_factory=NativePlanner)
+    want = _single_stream_frames(CFG, good)
+    assert got[0] == want
+    # the corrupt stream still yields its first GOP (3 frames), decoded
+    # identically, before the poison lands at frame 4
+    assert got[1] == want[:3], (len(got[1]), "expected the intact prefix")
+
+
+def test_gop_parallel_skips_poisoned_lane():
+    """A corrupt GOP block drops only its lane's frames; every other
+    block's frames still stream out in decode order."""
+    clip = make_clip(CFG, ["IPP", "IPP", "IPP"], seed=46)
+    bad = _corrupt_second_block_stream_table(clip)
+    from hvqm4_tpu.parallel.multistream import decode_clip_gop_parallel
+    from hvqm4_tpu.planner import Planner
+
+    want = _single_stream_frames(CFG, clip)
+    got = list(decode_clip_gop_parallel(bad, max_streams=3,
+                                        planner_factory=Planner))
+    got_blocks = [bi for bi, _ in got]
+    assert 1 not in got_blocks            # the poisoned block is skipped
+    assert got_blocks.count(0) == 3 and got_blocks.count(2) == 3
+    by_block = {0: want[0:3], 2: want[6:9]}
+    for bi in (0, 2):
+        frames = [yuv for b, yuv in got if b == bi]
+        assert frames == by_block[bi], f"block {bi}"
+
+
 def test_gop_parallel_matches_sequential():
     from hvqm4_tpu.parallel.multistream import decode_clip_gop_parallel
     from hvqm4_tpu.planner import Planner
