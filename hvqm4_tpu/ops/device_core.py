@@ -46,6 +46,22 @@ from ..config import MAX_BASES
 from ..plans import PlanePlan
 
 
+def pack_meta(p: PlanePlan) -> np.ndarray:
+    """PlanePlan → the packed per-block meta byte (mode | refsel | cls)."""
+    return (p.mode | (p.refsel << 3) | (p.cls << 5)).astype(np.uint8)
+
+
+def pack_desc(p: PlanePlan) -> np.ndarray:
+    """PlanePlan → basis descriptors in wire u32 form, block-major
+    (bh, bw, MAX_BASES) — the exact 32-bit layout of FORMAT.md §6.4."""
+    return ((p.basis_nx.astype(np.uint32) << 25)
+            | (p.basis_ny.astype(np.uint32) << 18)
+            | ((np.maximum(p.basis_sx.astype(np.uint32), 1) - 1) << 17)
+            | ((np.maximum(p.basis_sy.astype(np.uint32), 1) - 1) << 16)
+            | ((p.basis_off.astype(np.int64) & 0xFF).astype(np.uint32) << 8)
+            | (p.basis_scale.astype(np.int64) & 0xFF).astype(np.uint32))
+
+
 def plane_plan_arrays(p: PlanePlan) -> dict[str, np.ndarray]:
     """PlanePlan → the dense per-plane device plan arrays (host-side).
 
@@ -56,20 +72,13 @@ def plane_plan_arrays(p: PlanePlan) -> dict[str, np.ndarray]:
     step.
     """
     bh, bw = p.mode.shape
-    meta = (p.mode | (p.refsel << 3) | (p.cls << 5)).astype(np.uint8)
-    desc = ((p.basis_nx.astype(np.uint32) << 25)
-            | (p.basis_ny.astype(np.uint32) << 18)
-            | ((np.maximum(p.basis_sx.astype(np.uint32), 1) - 1) << 17)
-            | ((np.maximum(p.basis_sy.astype(np.uint32), 1) - 1) << 16)
-            | ((p.basis_off.astype(np.int64) & 0xFF).astype(np.uint32) << 8)
-            | (p.basis_scale.astype(np.int64) & 0xFF).astype(np.uint32))
     raw_plane = (p.raw.reshape(bh, bw, 4, 4).transpose(0, 2, 1, 3)
                  .reshape(bh * 4, bw * 4))
     return {
-        "meta": meta,
+        "meta": pack_meta(p),
         "dc": p.dc,
         "raw": np.ascontiguousarray(raw_plane),
-        "desc": np.ascontiguousarray(desc.transpose(2, 0, 1)),
+        "desc": np.ascontiguousarray(pack_desc(p).transpose(2, 0, 1)),
         "mv": np.ascontiguousarray(p.mv.transpose(2, 0, 1)),
         "mv2": np.ascontiguousarray(p.mv2.transpose(2, 0, 1)),
     }

@@ -534,10 +534,9 @@ class MultiStreamDecoder:
         sh, lv = self._shard_of(buf, v)
         raw_slot = desc_slot = 0
         for pp, p in zip(sh["planes"], plan.planes):
-            src = device_core.plane_plan_arrays(p)
-            desc_blk = src["desc"].transpose(1, 2, 0)  # (bh, bw, 4) wire u32
-            pp["meta"][lv] = src["meta"]
-            pp["dc"][lv] = src["dc"]
+            desc_blk = device_core.pack_desc(p)        # (bh, bw, 4) wire u32
+            pp["meta"][lv] = device_core.pack_meta(p)
+            pp["dc"][lv] = p.dc
             is_raw = (p.cls == 0) & (p.mode == 6)
             slot = np.zeros(p.mode.shape, np.uint32)
             for (by, bx) in zip(*np.nonzero(is_raw)):
