@@ -79,7 +79,7 @@ def _arena_entries(cfg: SeqConfig, n: int):
     reinterpreting it on device — whether via bitcast_convert_type or
     byte-lane shifts — reliably hangs the TPU compiler at this size, so
     fields are grouped by dtype instead: plain slices, no reinterpretation,
-    still only 3 h2d round-trips per step.
+    still only 2 h2d round-trips per step.
 
     Sparse payload pools (raw bytes, basis descriptors) sit at the *end* of
     their arenas in stream-minor layout (slot, stream, ...), so a step can
