@@ -39,7 +39,15 @@ def _step(nibble: int, pred: int, idx: int) -> tuple[int, int]:
 
 
 def decode_record(payload: bytes, channels: int) -> np.ndarray:
-    """One audio record → interleaved s16 samples, shape (n_samples, channels)."""
+    """One audio record → interleaved s16 samples, shape (n_samples, channels).
+
+    Bounds-validated like the C oracle: a corrupt record raises
+    ContainerError (never IndexError/struct.error, never a huge allocation
+    driven by an untrusted count)."""
+    from .container import ContainerError
+
+    if len(payload) < 4 + 4 * channels:
+        raise ContainerError("audio record too short")
     (n_samples,) = struct.unpack_from(">I", payload, 0)
     off = 4
     pred = []
@@ -47,10 +55,13 @@ def decode_record(payload: bytes, channels: int) -> np.ndarray:
     for _ in range(channels):
         p, i, _pad = struct.unpack_from(">hBB", payload, off)
         if i > 88:
-            raise ValueError("step_index out of range")
+            raise ContainerError("audio step_index out of range")
         pred.append(p)
         idx.append(i)
         off += 4
+    need = (n_samples * channels + 1) // 2
+    if len(payload) - off < need:
+        raise ContainerError("audio record nibble data truncated")
     out = np.zeros((n_samples, channels), np.int16)
     nib_i = 0
     data = payload[off:]

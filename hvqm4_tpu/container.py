@@ -49,7 +49,11 @@ class Record:
 
     @property
     def frame_char(self) -> str:
-        return {FRAME_I: "I", FRAME_P: "P", FRAME_B: "B"}[self.subtype]
+        ch = {FRAME_I: "I", FRAME_P: "P", FRAME_B: "B"}.get(self.subtype)
+        if ch is None:
+            raise ContainerError(
+                f"frame_char on non-video record (subtype {self.subtype})")
+        return ch
 
 
 _HDR = struct.Struct(">16sIIIIIIIIIHHBBBBBBHI")

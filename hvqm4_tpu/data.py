@@ -1,19 +1,26 @@
 """Training-data loader: `.h4m` corpora → on-device RGB batches.
 
-The consumer-facing face of BASELINE config 5 for ML jobs: iterate fixed-size
-batches of decoded RGB frames (optionally resized, display-ordered per
-stream) without the pixels ever visiting the host. Built on the multi-stream
-decoder, so N clips decode in lock-step on one chip and shard across chips
-via a mesh.
+The consumer-facing face of BASELINE config 5 for ML jobs: iterate batches
+of decoded RGB frames (optionally resized) without the pixels ever visiting
+the host. Built on the multi-stream decoder, so N clips decode in lock-step
+on one chip and shard across chips via a mesh.
 
-    loader = FrameBatchLoader(cfg, clips, image_size=224)
-    for batch in loader:           # (N, image_size, image_size, 3) f32 [0,1]
-        loss = train_step(params, batch)
+Two iteration modes with DIFFERENT yield types:
 
-Frames arrive in decode order per stream (B-frames slightly out of display
-order); for training-batch purposes this ordering jitter is usually
-irrelevant, and `display_order=True` buffers per-stream to presentation
-order when it matters (costs one GOP of device memory per stream).
+- default (`display_order=False`) — lock-step batches in decode order:
+  every item is `(rgb, valid)` where rgb is `(N, H', W', 3)` f32 [0,1] and
+  valid is the per-stream liveness list (mask finished/poisoned streams,
+  e.g. as loss weights — see examples/train_vit.py):
+
+      loader = FrameBatchLoader(cfg, clips, image_size=224)
+      for rgb, valid in loader:
+          loss = train_step(params, rgb, valid)
+
+- `display_order=True` — presentation-ordered frames, which are ragged by
+  nature (B-frames decode ahead of their display slot): every item is a
+  non-empty list of `(stream_idx, frame)` pairs, where frame is one
+  stream's `(H', W', 3)` image; buffering costs up to one GOP of device
+  memory per stream.
 """
 
 from __future__ import annotations
@@ -32,10 +39,9 @@ class FrameBatchLoader:
                  mesh=None, display_order: bool = False):
         self.cfg = cfg
         if planner_factory is None:
-            try:
-                from .native import NativePlanner as planner_factory
-            except Exception:
-                from .planner import Planner as planner_factory
+            from .planner import default_planner_factory
+
+            planner_factory = default_planner_factory()
         sharding = shard_streams(mesh, "dp") if mesh is not None else None
         self.decoder = MultiStreamDecoder(cfg, clips,
                                           planner_factory=planner_factory,

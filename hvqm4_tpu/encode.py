@@ -75,7 +75,10 @@ class _CandidateSet:
 
     def best(self, residual: np.ndarray):
         """Greedy step: best candidate + integer scale for one residual,
-        or None when the candidate set is empty."""
+        or None when the candidate set is empty. The returned term is the
+        UNSHIFTED (sample − off)·scale vector: the decoder shifts the SUM
+        over a block's bases once (FORMAT.md §6.2), so callers accumulate
+        terms and apply a single >> 4."""
         if not len(self.C):
             return None
         r = residual.astype(np.float32)
@@ -84,8 +87,7 @@ class _CandidateSet:
         k = int(np.argmax(gains))
         scale = int(np.clip(round(16.0 * dots[k] / self.cc[k]), -128, 127))
         nx, ny, sxb, syb, off = self.desc[k]
-        term = ((self.C[k].astype(np.int32) * scale) >> 4)
-        return (nx, ny, sxb, syb, off, scale), term
+        return (nx, ny, sxb, syb, off, scale), self.C[k].astype(np.int32) * scale
 
 
 class VideoEncoder:
@@ -145,11 +147,12 @@ class VideoEncoder:
                 dc = int(dcg[by, bx])
                 best_cost = wsse[by, bx] + lam * 10
                 best = _BlockDecision(mode=0, dc_target=dc)
-                # greedy AOT
+                # greedy AOT (acc holds UNSHIFTED terms; decoder semantics
+                # apply one >> 4 to the sum)
                 resid = target - dc
                 bases, acc = [], np.zeros(16, np.int32)
                 for _k in range(self.aot_bases):
-                    hit = cand.best(resid - acc)
+                    hit = cand.best(resid - (acc >> 4))
                     if hit is None:
                         break
                     b, term = hit
@@ -157,7 +160,7 @@ class VideoEncoder:
                         break
                     bases.append(b)
                     acc = acc + term
-                    rec = np.clip(dc + acc, 0, 255)
+                    rec = np.clip(dc + (acc >> 4), 0, 255)
                     sse = int(((rec - target) ** 2).sum())
                     cost = sse + lam * (10 + 34 * len(bases))
                     if cost < best_cost:
@@ -192,11 +195,12 @@ class VideoEncoder:
         flat = blocks.reshape(-1, 16)
         dcs = dcg.reshape(-1).astype(np.int32)
         resid0 = flat - dcs[:, None]
+        # terms are UNSHIFTED; the decoder applies one >> 4 to the SUM
         d1, t1, s1 = search.best(resid0)
-        rec1 = np.clip(dcs[:, None] + t1, 0, 255)
+        rec1 = np.clip(dcs[:, None] + (t1 >> 4), 0, 255)
         sse1 = ((rec1 - flat) ** 2).sum(1)
-        d2, t2, s2 = search.best(resid0 - t1)
-        rec2 = np.clip(dcs[:, None] + t1 + t2, 0, 255)
+        d2, t2, s2 = search.best(resid0 - (t1 >> 4))
+        rec2 = np.clip(dcs[:, None] + ((t1 + t2) >> 4), 0, 255)
         sse2 = ((rec2 - flat) ** 2).sum(1)
 
         lam = self.lam
@@ -541,7 +545,7 @@ class VideoEncoder:
             acc = np.zeros((nblk, 16), np.int32)
             for rnd in range(self.aot_bases):
                 if search is not None:
-                    d, terms, s = search.best(resid - acc)
+                    d, terms, s = search.best(resid - (acc >> 4))
                     hits = [(None if int(s[i]) == 0 else
                              ((int(d[i][0]), int(d[i][1]), int(d[i][2]),
                                int(d[i][3]), int(d[i][4]), int(s[i])),
@@ -549,7 +553,7 @@ class VideoEncoder:
                 else:
                     hits = []
                     for i in range(nblk):
-                        h = cand.best(resid[i] - acc[i])
+                        h = cand.best(resid[i] - (acc[i] >> 4))
                         hits.append(None if (h is None or h[0][5] == 0)
                                     else h)
                 for i, hit in enumerate(hits):
@@ -557,8 +561,8 @@ class VideoEncoder:
                         continue  # this block stopped in an earlier round
                     b, term = hit
                     round_bases[i].append(b)
-                    acc[i] += term  # terms carry the decoder's >>4
-                    rec = np.clip(preds[i] + acc[i], 0, 255)
+                    acc[i] += term  # UNSHIFTED terms; decoder shifts the sum
+                    rec = np.clip(preds[i] + (acc[i] >> 4), 0, 255)
                     sse = int(((rec - targets[i]) ** 2).sum())
                     cost = sse + lam * (3 + 34 * len(round_bases[i]))
                     if cost < best_cost[i]:

@@ -13,9 +13,11 @@ the winning candidates with exact integer semantics before committing, so
 encoded streams remain spec-exact (the decode side never sees floats).
 
 Usage (see `encode.VideoEncoder(use_tpu_search=True)`):
-    search = NestSearch(nest)                  # per I-frame / GOP
-    idx, scale = search.best(residuals)       # (B,16) -> (B,), (B,)
-    nx, ny, sxb, syb, off, vec = search.candidate(idx)
+    search = NestSearch(nest)                   # per I-frame / GOP
+    descs, terms, scales = search.best(resids)  # (B,16) -> (B,5),(B,16),(B,)
+    # descs = (nx, ny, sxb, syb, off) rows; terms = UNSHIFTED (sample-off)*
+    # scale per pixel — callers sum terms across bases and apply the
+    # decoder's single >>4 (FORMAT.md §6.2)
 """
 
 from __future__ import annotations
@@ -100,8 +102,13 @@ class NestSearch:
         self._search = search
 
     def best(self, residuals: np.ndarray):
-        """(B, 16) residuals → (desc rows (B,5), exact int terms (B,16),
-        scales (B,)). Scale quantized exactly as the decoder computes."""
+        """(B, 16) residuals → (desc rows (B,5), UNSHIFTED integer terms
+        (B,16) = (sample − off)·scale, scales (B,)).
+
+        The decoder sums terms across a block's bases and arithmetic-shifts
+        the SUM once (`(Σ terms) >> 4`, FORMAT.md §6.2) — returning
+        unshifted terms lets callers reproduce that exactly (per-term
+        shifting loses up to 1 LSB/pixel per extra basis)."""
         import jax.numpy as jnp
 
         idx, dot, cc = self._search(jnp.asarray(residuals, jnp.float32))
@@ -109,5 +116,4 @@ class NestSearch:
         scale = np.clip(np.round(16.0 * np.asarray(dot) / np.asarray(cc)),
                         -128, 127).astype(np.int32)
         C = self.C[idx]                              # (B, 16) int32
-        terms = (C * scale[:, None]) >> 4            # exact decoder integer math
-        return self.desc[idx], terms, scale
+        return self.desc[idx], C * scale[:, None], scale

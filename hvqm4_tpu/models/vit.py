@@ -103,7 +103,11 @@ def vit_encode(params: dict, cfg: ViTConfig, images: jnp.ndarray) -> jnp.ndarray
                         preferred_element_type=jnp.float32)
         v = jnp.einsum("bpd,dnh->bpnh", h, blk["wv"],
                        preferred_element_type=jnp.float32)
-        att = jnp.einsum("bqnh,bknh->bnqk", q, kk) * scale
+        # QK^T in bf16 inputs / f32 accumulate, like every other einsum —
+        # q/kk come out of their projections as f32
+        att = jnp.einsum("bqnh,bknh->bnqk",
+                         q.astype(jnp.bfloat16), kk.astype(jnp.bfloat16),
+                         preferred_element_type=jnp.float32) * scale
         att = jax.nn.softmax(att, axis=-1).astype(jnp.bfloat16)
         o = jnp.einsum("bnqk,bknh->bqnh", att, v.astype(jnp.bfloat16),
                        preferred_element_type=jnp.float32).astype(jnp.bfloat16)

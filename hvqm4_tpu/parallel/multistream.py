@@ -771,10 +771,9 @@ def decode_clip_gop_parallel(clip: bytes, max_streams: int = 8,
         lanes[bi % n].extend(recs)
         order.extend((bi, bi % n) for _ in recs)
     if planner_factory is None:
-        try:
-            from ..native import NativePlanner as planner_factory
-        except Exception:
-            planner_factory = Planner
+        from ..planner import default_planner_factory
+
+        planner_factory = default_planner_factory()
     ms = MultiStreamDecoder(cfg, [], planner_factory=planner_factory,
                             record_lists=lanes)
     per_lane = [collections.deque() for _ in range(n)]

@@ -31,10 +31,9 @@ class VideoEmbedPipeline:
         self.cfg = cfg
         self.vit_cfg = vit_cfg or ViTConfig()
         if planner_factory is None:
-            try:
-                from .native import NativePlanner as planner_factory
-            except Exception:
-                from .planner import Planner as planner_factory
+            from .planner import default_planner_factory
+
+            planner_factory = default_planner_factory()
         sharding = shard_streams(mesh, "dp") if mesh is not None else None
         self.decoder = MultiStreamDecoder(cfg, clips,
                                           planner_factory=planner_factory,

@@ -39,6 +39,17 @@ MB_INTER = 2
 
 REF_PAST = 0
 REF_LAST = 1
+
+
+def default_planner_factory():
+    """The production planner class: native C++ when its module builds on
+    this host, else the readable Python Planner (identical plans — the
+    suite differential-tests them)."""
+    try:
+        from .native import NativePlanner
+        return NativePlanner
+    except Exception:
+        return Planner
 REF_BI = 2
 
 

@@ -354,10 +354,9 @@ class DecodeServer(socketserver.ThreadingTCPServer):
     def _run_batch(self, batch: list) -> None:
         from .parallel.multistream import MultiStreamDecoder
 
-        try:
-            from .native import NativePlanner as planner_factory
-        except Exception:
-            from .planner import Planner as planner_factory
+        from .planner import default_planner_factory
+
+        planner_factory = default_planner_factory()
         cfg = batch[0].cfg
         try:
             # pad the stream count to the next power of two (filler lanes

@@ -17,12 +17,13 @@ def test_full_search_at_least_as_good_as_sampled():
     sampled = _CandidateSet(nest, np.random.default_rng(1))
     residuals = rng.integers(-120, 120, (64, 16)).astype(np.int32)
     _desc, terms, _scales = search.best(residuals)
-    full_sse = ((residuals - terms) ** 2).sum(1)
+    # terms are unshifted; the decoder applies >> 4 to the (single-basis) sum
+    full_sse = ((residuals - (terms >> 4)) ** 2).sum(1)
     for i in range(len(residuals)):
         hit = sampled.best(residuals[i])
         assert hit is not None
         _b, term = hit
-        samp_sse = int(((residuals[i] - term) ** 2).sum())
+        samp_sse = int(((residuals[i] - (term >> 4)) ** 2).sum())
         # full search scores every candidate; float scoring ties resolve to
         # within one quantization step of the sampled pick
         assert full_sse[i] <= samp_sse + 16, (i, full_sse[i], samp_sse)
@@ -40,7 +41,9 @@ def test_full_search_terms_are_exact_decoder_integers():
         rows = (ny + np.arange(4) * (syb + 1)) % nh
         cols = (nx + np.arange(4) * (sxb + 1)) % nw
         v = nest[np.ix_(rows, cols)].astype(np.int32).reshape(16)
-        want = ((v - off) * int(scales[i])) >> 4
+        # unshifted (sample - off) * scale: the decoder shifts the SUM over
+        # a block's bases once (FORMAT.md §6.2)
+        want = (v - off) * int(scales[i])
         assert np.array_equal(terms[i], want)
 
 
