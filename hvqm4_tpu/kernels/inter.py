@@ -11,7 +11,9 @@ Inputs per 4x4 block, flattened blocks on lanes (pixel index on sublanes):
     corners  (3*4*16, N)  a,b,c,d corner samples for fwd/last/bwd predictions
     intra    (16, N)      clipped intra pixels (from kernels.intra)
     acc      (16, N)      AOT residual accumulator
-    meta     (4, N)       cls, refsel, hx, hy (phases are per-block: mv & 1)
+    meta     (6, N)       cls, refsel, hx, hy, hx2, hy2 — the half-pel
+                          phases of mv (rows 2-3) and of mv2 for the
+                          backward prediction (rows 4-5); per block = mv & 1
 
 Bit-exact vs `ops.device_core.decode_plane_inter`'s XLA tail
 (tests/test_kernels.py); routed by HVQM4_PALLAS like the intra kernel.
@@ -27,8 +29,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..ops.device_core import _i32, _sra
-
-TILE_N = 2048
+from .intra import TILE_N, _lane_pad_to, _pad_lanes
 
 
 def _phase_combine(cref, base, hx, hy):
@@ -57,13 +58,6 @@ def _kernel(corners_ref, intra_ref, acc_ref, meta_ref, out_ref):
     inter = pred + _sra(acc_ref[:], 4)
     px = jnp.where(cls_ == 0, intra_ref[:], jnp.clip(inter, 0, 255))
     out_ref[:] = px
-
-
-def _pad(x, n_pad):
-    n = x.shape[-1]
-    if n == n_pad:
-        return x
-    return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, n_pad - n)])
 
 
 def _mv_blocks(mv, bh, bw):
@@ -109,7 +103,7 @@ def decode_plane_inter_pallas(plan, nest, ref0, ref1, interpret: bool = False):
     cls_, refsel, _mode = unpack_meta(plan["meta"])
     bh, bw = plan["meta"].shape
     n = bh * bw
-    n_pad = -(-n // TILE_N) * TILE_N if n > TILE_N else -(-n // 128) * 128
+    n_pad = _lane_pad_to(n)
 
     mv = _mv_blocks(plan["mv"], bh, bw)
     mv2 = _mv_blocks(plan["mv2"], bh, bw)
@@ -128,7 +122,7 @@ def decode_plane_inter_pallas(plan, nest, ref0, ref1, interpret: bool = False):
     intra_t = intra_px.reshape(n, 16).T
     acc_t = acc.reshape(n, 16).T
 
-    args = [_pad(a, n_pad) for a in (corners, intra_t, acc_t, meta)]
+    args = [_pad_lanes(a, n_pad) for a in (corners, intra_t, acc_t, meta)]
     tile = min(TILE_N, n_pad)
 
     def spec(rows):

@@ -19,8 +19,8 @@ does not support arbitrary 2D gathers); everything after it is fused. The
 kernel tiles the lane dimension with a 1-D grid, so arbitrarily large planes
 stream through VMEM.
 
-Bit-exact vs `ops.device_core._intra_pixels` (tests/test_kernels.py); used on
-TPU backends, interpreter mode elsewhere.
+Bit-exact vs `ops.device_core._intra_pixels_plane` (tests/test_kernels.py);
+used on TPU backends, interpreter mode elsewhere.
 """
 
 from __future__ import annotations
@@ -29,25 +29,17 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import MAX_BASES
-from ..ops.device_core import _i32, _sra
-
-_W = np.array([4, 1, 0, 0], np.int32)
-# per-pixel weight constants: pixel p = 4*i + j
-_WU = np.repeat(_W, 4).reshape(16, 1)          # W[i]
-_WD = np.repeat(_W[::-1], 4).reshape(16, 1)    # W[3-i]
-_WL = np.tile(_W, 4).reshape(16, 1)            # W[j]
-_WR = np.tile(_W[::-1], 4).reshape(16, 1)      # W[3-j]
+from ..ops.device_core import _i32, _sra, basis_count
 
 TILE_N = 2048
 
 
-def _kernel(samples_ref, raw_ref, dcn_ref, meta_ref, boff_ref, bscale_ref,
-            out_ref, acc_ref):
+def _compute(samples_ref, raw_ref, dcn_ref, meta_ref, boff_ref, bscale_ref):
+    """Shared body: (clipped intra pixels, unshifted AOT accumulator)."""
     mode = meta_ref[0:1, :]
     count = meta_ref[1:2, :]
     dc = dcn_ref[0:1, :]
@@ -78,8 +70,22 @@ def _kernel(samples_ref, raw_ref, dcn_ref, meta_ref, boff_ref, bscale_ref,
     wpx = dc + _sra(wacc + 8, 4)
 
     px = jnp.where(mode == 0, wpx, jnp.where(mode == 6, raw_ref[:], apx))
-    out_ref[:] = jnp.clip(px, 0, 255)
+    return jnp.clip(px, 0, 255), acc
+
+
+def _kernel(samples_ref, raw_ref, dcn_ref, meta_ref, boff_ref, bscale_ref,
+            out_ref, acc_ref):
+    px, acc = _compute(samples_ref, raw_ref, dcn_ref, meta_ref,
+                       boff_ref, bscale_ref)
+    out_ref[:] = px
     acc_ref[:] = acc  # inter blocks reuse the residual accumulator
+
+
+def _kernel_noacc(samples_ref, raw_ref, dcn_ref, meta_ref, boff_ref,
+                  bscale_ref, out_ref):
+    px, _acc = _compute(samples_ref, raw_ref, dcn_ref, meta_ref,
+                        boff_ref, bscale_ref)
+    out_ref[:] = px  # I-frames don't need the accumulator: skip its store
 
 
 def _pad_lanes(x, n_pad):
@@ -89,18 +95,27 @@ def _pad_lanes(x, n_pad):
     return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, n_pad - n)])
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def intra_synth_pallas(plan, nest, interpret: bool = False):
-    """Intra pixels for a whole plane → (bh, bw, 4, 4) i32 (pre-merge).
+def _lane_pad_to(n: int) -> int:
+    """Padded lane count: a multiple of TILE_N for multi-tile planes, else
+    the next multiple of the 128-lane register width."""
+    return -(-n // TILE_N) * TILE_N if n > TILE_N else -(-n // 128) * 128
 
-    Drop-in replacement for the XLA `_intra_pixels` intra half; the caller
-    merges with inter blocks and packs to the plane.
+
+@functools.partial(jax.jit, static_argnames=("interpret", "want_acc"))
+def intra_synth_pallas(plan, nest, interpret: bool = False,
+                       want_acc: bool = True):
+    """Intra pixels for a whole plane → (bh, bw, 4, 4) i32 (pre-merge),
+    plus the unshifted AOT accumulator (or None with want_acc=False — the
+    I-frame path, which saves the accumulator's HBM store).
+
+    Drop-in replacement for the XLA `_intra_pixels_plane` intra half; the
+    caller merges with inter blocks and packs to the plane.
     """
     from ..ops.device_core import unpack_desc, unpack_meta
 
     bh, bw = plan["meta"].shape
     n = bh * bw
-    n_pad = -(-n // TILE_N) * TILE_N if n > TILE_N else -(-n // 128) * 128
+    n_pad = _lane_pad_to(n)
 
     # --- XLA prologue: nest gather + neighbor grids + lane-major layout ---
     # (plan["desc"] is component-major (4, bh, bw) per the device-core
@@ -123,8 +138,7 @@ def intra_synth_pallas(plan, nest, interpret: bool = False):
     dcR = jnp.concatenate([dc[:, 1:], dc[:, -1:]], axis=1)
     dcn = jnp.stack([dc, dcU, dcD, dcL, dcR]).reshape(5, n)
 
-    count = jnp.where((cls_ == 0) & (mode >= 1) & (mode <= 4), mode,
-                      jnp.where(cls_ != 0, mode, 0))
+    count = basis_count(cls_, mode)
     meta = jnp.stack([mode.reshape(-1), count.reshape(-1),
                       jnp.zeros((n,), jnp.int32)])
     # raw arrives in plane layout (H, W); regroup to (blocks, 16) lanes
@@ -143,13 +157,20 @@ def intra_synth_pallas(plan, nest, interpret: bool = False):
         return pl.BlockSpec((rows, tile), lambda j: (0, j),
                             memory_space=pltpu.VMEM)
 
+    in_specs = [spec(64), spec(16), spec(5), spec(3), spec(4), spec(4)]
+    if not want_acc:
+        out = pl.pallas_call(
+            _kernel_noacc,
+            out_shape=jax.ShapeDtypeStruct((16, n_pad), jnp.int32),
+            grid=grid, in_specs=in_specs, out_specs=spec(16),
+            interpret=interpret,
+        )(*args)
+        return out[:, :n].T.reshape(bh, bw, 4, 4), None
     out, acc = pl.pallas_call(
         _kernel,
         out_shape=(jax.ShapeDtypeStruct((16, n_pad), jnp.int32),
                    jax.ShapeDtypeStruct((16, n_pad), jnp.int32)),
-        grid=grid,
-        in_specs=[spec(64), spec(16), spec(5), spec(3), spec(4), spec(4)],
-        out_specs=(spec(16), spec(16)),
+        grid=grid, in_specs=in_specs, out_specs=(spec(16), spec(16)),
         interpret=interpret,
     )(*args)
 

@@ -23,8 +23,7 @@ import jax.numpy as jnp
 
 
 
-def _sra(x, n):
-    return jax.lax.shift_right_arithmetic(x, jnp.int32(n))
+from .device_core import _sra  # one shared sign-propagating shift
 
 
 def upsample_chroma(c: jnp.ndarray, h_samp: int, v_samp: int) -> jnp.ndarray:

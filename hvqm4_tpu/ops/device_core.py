@@ -84,6 +84,15 @@ def plane_plan_arrays(p: PlanePlan) -> dict[str, np.ndarray]:
     }
 
 
+def basis_count(cls_, mode):
+    """Per-block AOT basis count from (cls, mode): intra modes 1..4 carry
+    `mode` bases, every inter block carries `mode` residual bases, all
+    other blocks none (FORMAT.md §5.3). The ONE definition of this rule —
+    shared by the XLA core, the Pallas intra prologue, and the
+    multi-stream slot derivation, so the three can never diverge."""
+    return jnp.where((cls_ != 0) | ((mode >= 1) & (mode <= 4)), mode, 0)
+
+
 def unpack_meta(meta):
     """meta u8 → (cls, refsel, mode) i32."""
     m = _i32(meta)
@@ -158,8 +167,7 @@ def _intra_pixels_plane(plan, nest):
     cls_u = _sra(meta_up, 5) & 1
     mode_u = meta_up & 7
     # basis count: intra AOT modes 1..4 or inter residual count (cls 1)
-    count_u = jnp.where((cls_u == 0) & (mode_u >= 1) & (mode_u <= 4), mode_u,
-                        jnp.where(cls_u != 0, mode_u, 0))
+    count_u = basis_count(cls_u, mode_u)
 
     # --- WeightImBlock: DC smoothing against the 4 neighbour DCs ---------
     # (FORMAT.md §6.3). Border rule = edge replication: clamp the
@@ -276,7 +284,8 @@ def decode_plane_intra(plan, nest):
         from ..kernels.intra import intra_synth_pallas
 
         intra, _ = intra_synth_pallas(plan, nest,
-                                      interpret=_PALLAS_MODE == "interpret")
+                                      interpret=_PALLAS_MODE == "interpret",
+                                      want_acc=False)
         return _blocks_to_plane(intra)
     intra, _acc, _meta = _intra_pixels_plane(plan, nest)
     return jnp.clip(intra, 0, 255).astype(jnp.uint8)

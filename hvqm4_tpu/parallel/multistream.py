@@ -249,7 +249,7 @@ def _derive_slots(cfg: SeqConfig, n: int, metas: list):
         [m.reshape(n, -1).astype(jnp.int32) for m in metas], axis=1)
     cls_ = (flat >> 5) & 1
     mode = flat & 7
-    counts = jnp.where((cls_ == 1) | ((mode >= 1) & (mode <= 4)), mode, 0)
+    counts = device_core.basis_count(cls_, mode)
     is_raw = ((cls_ == 0) & (mode == 6)).astype(jnp.int32)
     slot_flat = jnp.where(
         is_raw != 0,
