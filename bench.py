@@ -56,10 +56,9 @@ def ensure_clip(path: pathlib.Path):
 
 
 def _fnv1a(data: bytes) -> str:
-    h = 2166136261
-    for b in data:
-        h = ((h ^ b) * 16777619) & 0xFFFFFFFF
-    return f"{h:08x}"
+    from hvqm4_tpu.utils.hashing import fnv1a_hex
+
+    return fnv1a_hex(data)
 
 
 def _setup(n_streams: int):

@@ -67,9 +67,27 @@ def main() -> None:
 
     oracle = REPO / "oracle" / "hvqm4_oracle"
     if oracle.exists():
+        from hvqm4_tpu.container import Demuxer
+        from hvqm4_tpu.planner import Planner
+        from hvqm4_tpu.refdec import GoldenDecoder
+        from hvqm4_tpu.utils.hashing import fnv1a_hex
+
         r = subprocess.run([str(oracle), "--hash", args.out, "/dev/null"],
                            capture_output=True, text=True)
-        print(f"  C oracle decoded {len(r.stdout.splitlines())} frames OK")
+        if r.returncode != 0:
+            raise SystemExit(f"C oracle failed: {r.stderr.strip()[:200]}")
+        got = [ln.split("hash=")[1] for ln in r.stdout.splitlines()
+               if "hash=" in ln]
+        dec = GoldenDecoder(cfg)
+        pl = Planner(cfg)
+        want = [fnv1a_hex(b"".join(p.tobytes() for p in dec.decode(
+            pl.plan_frame(rec.frame_char, rec.payload))))
+            for rec in Demuxer(clip).video_records()]
+        if got != want:
+            raise SystemExit("C oracle output DIVERGES from the golden "
+                             "decoder on this clip")
+        print(f"  C oracle decoded {len(got)} frames, hashes match the "
+              f"golden decoder")
 
     print("decoding + embedding on device ...")
     pipe = VideoEmbedPipeline(
@@ -77,13 +95,16 @@ def main() -> None:
                                depth=4, heads=6))
     t0 = time.time()
     embs = [np.asarray(e)[0] for e, _m, v in pipe.run() if v[0]]
+    if not embs:
+        raise SystemExit("no frames decoded")
     print(f"  {len(embs)} embeddings of dim {embs[0].shape[0]} "
           f"in {time.time() - t0:.1f}s on "
           f"{__import__('jax').devices()[0].platform}")
     sims = [float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9))
             for a, b in zip(embs, embs[1:])]
-    print(f"  adjacent-frame cosine similarity: "
-          f"min {min(sims):.3f} max {max(sims):.3f}")
+    if sims:
+        print(f"  adjacent-frame cosine similarity: "
+              f"min {min(sims):.3f} max {max(sims):.3f}")
 
 
 if __name__ == "__main__":

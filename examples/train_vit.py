@@ -132,10 +132,10 @@ def main() -> int:
     ctx = mesh if mesh is not None else contextlib.nullcontext()
     with ctx:
         losses = train(cfg, clips, vcfg, epochs=args.epochs, mesh=mesh)
+    where = (f"mesh dp={args.dp} tp={args.tp}" if mesh
+             else "single device")
     print(f"steps={len(losses)} first_loss={losses[0]:.5f} "
-          f"last_loss={losses[-1]:.5f} "
-          f"({'mesh ' + str(dict(zip(('dp', 'tp'), (args.dp, args.tp))))
-              if mesh else 'single device'})")
+          f"last_loss={losses[-1]:.5f} ({where})")
     return 0 if losses[-1] < losses[0] else 1
 
 

@@ -24,11 +24,7 @@ from .session import DecoderSession
 from .utils.stats import clip_stats
 
 
-def _fnv1a(data: bytes) -> int:
-    h = 2166136261
-    for b in data:
-        h = ((h ^ b) * 16777619) & 0xFFFFFFFF
-    return h
+from .utils.hashing import fnv1a as _fnv1a  # noqa: E402 (shared hash)
 
 
 def cmd_info(args) -> int:
@@ -52,6 +48,18 @@ def cmd_decode(args) -> int:
     if args.gop_parallel:
         from .parallel.multistream import decode_clip_gop_parallel
 
+        # the lane-parallel path has its own fixed semantics (JAX backend,
+        # decode order, whole clip, no PPM dump); reject flags it would
+        # otherwise silently ignore
+        for flag, name in ((args.ppm, "--ppm"),
+                           (args.start_block, "--start-block"),
+                           (args.display_order, "--display-order"),
+                           (args.profile, "--profile"),
+                           (args.backend != "jax", "--backend")):
+            if flag:
+                print(f"hvqm4_tpu: error: {name} is not supported with "
+                      f"--gop-parallel", file=sys.stderr)
+                return 1
         out = open(args.output, "wb") if args.output else None
         n = 0
         for _bi, yuv in decode_clip_gop_parallel(data):
@@ -171,7 +179,8 @@ def cmd_encode(args) -> int:
             return 1
         data, lam = encode_to_size(cfg, frames, gops,
                                    int(args.target_kb * 1024),
-                                   slices=args.slices)
+                                   slices=args.slices,
+                                   dc_shift=args.dc_shift)
         print(f"rate control: lambda={lam:.3f}", file=sys.stderr)
     else:
         data = enc.encode(frames, gops, audio=audio, audio_rate=audio_rate)
@@ -293,7 +302,9 @@ def main(argv=None) -> int:
     _select_platform(args.platform)
     try:
         return args.fn(args)
-    except (ContainerError, PlannerError) as e:
+    # user-input errors print one clean line (tracebacks are for bugs):
+    # malformed clips, missing/unreadable files, bad argument combinations
+    except (ContainerError, PlannerError, OSError, ValueError) as e:
         print(f"hvqm4_tpu: error: {e}", file=sys.stderr)
         return 1
 

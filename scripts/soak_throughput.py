@@ -103,10 +103,17 @@ def main() -> None:
     window = 0
     results = []
     while time.monotonic() < t_end:
-        r = subprocess.run(
-            [sys.executable, __file__, "--child",
-             str(args.passes_per_window), "--streams", str(args.streams)],
-            capture_output=True, text=True, timeout=900)
+        try:
+            r = subprocess.run(
+                [sys.executable, __file__, "--child",
+                 str(args.passes_per_window), "--streams", str(args.streams)],
+                capture_output=True, text=True, timeout=900)
+        except subprocess.TimeoutExpired:
+            # a hung window (e.g. wedged tunnel) is a RESULT: record it and
+            # still emit the summary over the passes that did complete
+            print(json.dumps({"window": window, "error": "window timed out"}),
+                  flush=True)
+            break
         if r.returncode != 0:
             print(json.dumps({"window": window, "error": r.stderr[-500:]}),
                   flush=True)

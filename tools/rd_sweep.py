@@ -6,9 +6,10 @@ vs source), plus mode histograms — the tool you reach for when tuning the
 encoder's RD tradeoff on new content.
 
 Usage:
-    python tools/rd_sweep.py [--width W] [--height H] [--frames N]
+    python tools/rd_sweep.py [--width W] [--height H]
                              [--gops IPBPB,IPP] [--seed S]
                              [--lambdas 1,2,4,8,16]
+The frame count is the total length of the --gops patterns.
 Synthesizes moving-texture content by default; pass --yuv FILE (planar
 I420, W*H*1.5 bytes/frame) to sweep real frames instead.
 """
@@ -32,7 +33,9 @@ def synth_frames(cfg: SeqConfig, n: int, seed: int):
     """Blocky-DC base translating with additive texture evolution."""
     rng = np.random.default_rng(seed)
     h, w = cfg.plane_shapes[0]
-    dcs = rng.integers(30, 230, (h // 4 + 6, w // 4 + 6)).astype(np.uint8)
+    # base must cover the full pan: frame t slices at (2t, 3t)
+    dcs = rng.integers(30, 230, ((h + 2 * n) // 4 + 2,
+                                 (w + 3 * n) // 4 + 2)).astype(np.uint8)
     base = np.kron(dcs, np.ones((4, 4), np.uint8))
     frames = []
     for t in range(n):
@@ -91,7 +94,6 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--width", type=int, default=128)
     ap.add_argument("--height", type=int, default=96)
-    ap.add_argument("--frames", type=int, default=8)
     ap.add_argument("--gops", default="IPBPB,IPP")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--lambdas", default="1,2,4,8,16")
