@@ -99,7 +99,10 @@ def decode_plane_inter_pallas(plan, nest, ref0, ref1, interpret: bool = False):
     from ..ops.device_core import _blocks_to_plane, unpack_meta
     from .intra import intra_synth_pallas
 
-    intra_px, acc = intra_synth_pallas(plan, nest, interpret=interpret)
+    # lane-major: the intra kernel's (16, n_pad) outputs feed this kernel
+    # directly (no block-layout round-trip per plane)
+    intra_t, acc_t = intra_synth_pallas(plan, nest, interpret=interpret,
+                                        lane_major=True)
     cls_, refsel, _mode = unpack_meta(plan["meta"])
     bh, bw = plan["meta"].shape
     n = bh * bw
@@ -119,9 +122,6 @@ def decode_plane_inter_pallas(plan, nest, ref0, ref1, interpret: bool = False):
         _i32(mv2[0]).reshape(-1) & 1,
         _i32(mv2[1]).reshape(-1) & 1,
     ])                                                    # (6, n)
-    intra_t = intra_px.reshape(n, 16).T
-    acc_t = acc.reshape(n, 16).T
-
     args = [_pad_lanes(a, n_pad) for a in (corners, intra_t, acc_t, meta)]
     tile = min(TILE_N, n_pad)
 

@@ -101,12 +101,17 @@ def _lane_pad_to(n: int) -> int:
     return -(-n // TILE_N) * TILE_N if n > TILE_N else -(-n // 128) * 128
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "want_acc"))
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "want_acc", "lane_major"))
 def intra_synth_pallas(plan, nest, interpret: bool = False,
-                       want_acc: bool = True):
+                       want_acc: bool = True, lane_major: bool = False):
     """Intra pixels for a whole plane → (bh, bw, 4, 4) i32 (pre-merge),
     plus the unshifted AOT accumulator (or None with want_acc=False — the
     I-frame path, which saves the accumulator's HBM store).
+
+    With lane_major=True both outputs stay in the kernels' native
+    (16, n_pad) layout — the inter-combine kernel consumes them directly,
+    skipping a block-layout round-trip per P/B plane.
 
     Drop-in replacement for the XLA `_intra_pixels_plane` intra half; the
     caller merges with inter blocks and packs to the plane.
@@ -158,6 +163,10 @@ def intra_synth_pallas(plan, nest, interpret: bool = False,
                             memory_space=pltpu.VMEM)
 
     in_specs = [spec(64), spec(16), spec(5), spec(3), spec(4), spec(4)]
+
+    def unlane(a):
+        return a if lane_major else a[:, :n].T.reshape(bh, bw, 4, 4)
+
     if not want_acc:
         out = pl.pallas_call(
             _kernel_noacc,
@@ -165,7 +174,7 @@ def intra_synth_pallas(plan, nest, interpret: bool = False,
             grid=grid, in_specs=in_specs, out_specs=spec(16),
             interpret=interpret,
         )(*args)
-        return out[:, :n].T.reshape(bh, bw, 4, 4), None
+        return unlane(out), None
     out, acc = pl.pallas_call(
         _kernel,
         out_shape=(jax.ShapeDtypeStruct((16, n_pad), jnp.int32),
@@ -174,6 +183,5 @@ def intra_synth_pallas(plan, nest, interpret: bool = False,
         interpret=interpret,
     )(*args)
 
-    return (out[:, :n].T.reshape(bh, bw, 4, 4),
-            acc[:, :n].T.reshape(bh, bw, 4, 4))
+    return unlane(out), unlane(acc)
 
