@@ -87,13 +87,20 @@ class BitWriter:
 Tree = "int | tuple"  # documentation alias
 
 
-def read_tree(r: BitReader, depth: int = 0):
-    """`readTree` equivalent: 1 = internal (child0 then child1), 0 = leaf + 8b."""
+def read_tree(r: BitReader, depth: int = 0, _internal=None):
+    """`readTree` equivalent: 1 = internal (child0 then child1), 0 = leaf + 8b.
+
+    Normative caps (FORMAT.md §4.2): depth ≤ 64, ≤ 1024 internal nodes."""
+    if _internal is None:
+        _internal = [0]
     if depth > 64:
         raise ValueError("Huffman tree too deep (corrupt stream)")
     if r.read_bit():
-        c0 = read_tree(r, depth + 1)
-        c1 = read_tree(r, depth + 1)
+        _internal[0] += 1
+        if _internal[0] > 1024:
+            raise ValueError("Huffman tree too large (corrupt stream)")
+        c0 = read_tree(r, depth + 1, _internal)
+        c1 = read_tree(r, depth + 1, _internal)
         return (c0, c1)
     return r.read_bits(8)
 

@@ -138,6 +138,8 @@ struct Huff {
     int read_tree(int depth, uint32_t code, int len) {
         if (depth > 64) throw Error("huffman tree too deep");
         if (br.bit()) {
+            // normative cap: > 1024 INTERNAL nodes is invalid (FORMAT.md 4.2)
+            if (nodes.size() >= 1024) throw Error("huffman tree too large");
             int idx = (int)nodes.size();
             nodes.push_back({0, 0});
             int c0 = read_tree(depth + 1, code << 1, len + 1);
@@ -321,13 +323,15 @@ struct SliceDec {
                     } else {
                         mb.refsel = 1;
                     }
-                    px += mvh.delta();
-                    py += mvh.delta();
+                    // the chain wraps to signed 16-bit after every delta
+                    // (FORMAT.md 7.2): defined for hostile long chains
+                    px = (int16_t)(px + mvh.delta());
+                    py = (int16_t)(py + mvh.delta());
                     mb.mvx = px;
                     mb.mvy = py;
                     if (ftype == 2 && mb.refsel == 2) {
-                        px += mvh.delta();
-                        py += mvh.delta();
+                        px = (int16_t)(px + mvh.delta());
+                        py = (int16_t)(py + mvh.delta());
                         mb.mv2x = px;
                         mb.mv2y = py;
                     }
@@ -497,6 +501,8 @@ extern "C" int hvqm4_plan_frame(const uint8_t* payload, size_t n, int ftype,
         const int S = payload[9] > 1 ? payload[9] : 1;
         if (fout->dc_shift > 7) throw Error("dc_shift out of range");
         if (S > g.mh) throw Error("slice count exceeds MB rows");
+        if (rd16(payload + 10) != 0)
+            throw Error("reserved frame-header field must be zero");
 
         size_t off = FRAME_HDR;
         const uint8_t* seg = nullptr;  // 6 x S u32 sub-table (FORMAT.md §9)
@@ -508,6 +514,8 @@ extern "C" int hvqm4_plan_frame(const uint8_t* payload, size_t n, int ftype,
         }
         const uint8_t* sp[6];
         size_t sn[6];
+        if (rd32(payload + 12 + 4 * 5) != 0)
+            throw Error("reserved stream 5 must be empty");
         for (int i = 0; i < 6; i++) {
             sn[i] = rd32(payload + 12 + 4 * i);
             if (off + sn[i] > n) throw Error("stream overruns payload");

@@ -41,6 +41,11 @@ REF_PAST = 0
 REF_LAST = 1
 
 
+def _wrap16(v: int) -> int:
+    """Wrap to signed 16-bit (the MV prediction-chain width, FORMAT.md §7.2)."""
+    return ((v + 0x8000) & 0xFFFF) - 0x8000
+
+
 def default_planner_factory():
     """The production planner class: native C++ when its module builds on
     this host, else the readable Python Planner (identical plans — the
@@ -116,6 +121,10 @@ class Planner:
         sizes = struct.unpack_from(f">{N_STREAMS}I", payload, 12)
         if dc_shift > 7:
             raise PlannerError(f"dc_shift {dc_shift} out of range")
+        if _r2 != 0:
+            raise PlannerError("reserved frame-header field must be zero")
+        if sizes[5] != 0:
+            raise PlannerError("reserved stream 5 must be empty")
         mh, _mw = cfg.mb_grid
         S = max(n_slices, 1)
         if S > mh:
@@ -190,8 +199,10 @@ class Planner:
         pred = [0, 0]
 
         def read_mv():
-            pred[0] += _delta(mvh)
-            pred[1] += _delta(mvh)
+            # the chain value wraps to signed 16-bit after every delta
+            # (FORMAT.md §7.2): defined for arbitrarily long hostile chains
+            pred[0] = _wrap16(pred[0] + _delta(mvh))
+            pred[1] = _wrap16(pred[1] + _delta(mvh))
             return (pred[0], pred[1])
 
         for my in range(ms0, ms1):

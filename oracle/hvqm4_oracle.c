@@ -182,6 +182,7 @@ static void dec_init(Dec *s, int w, int h, int hs, int vs) {
     s->nest_h = (w >= h) ? 38 : 70;
     s->nest_w = (w >= h) ? 70 : 38;
     s->nest = calloc((size_t)s->nest_h * s->nest_w, 1);
+    if (!s->nest) die("oom");
     for (int i = 0; i < 4; i++) {
         s->buf[i] = calloc(frame_bytes(s), 1);
         if (!s->buf[i]) die("oom");
@@ -437,13 +438,16 @@ static void mb_rows(char ftype, Streams *st, MB *mbs, int mw,
                 } else {
                     mb->refsel = 1;
                 }
-                px += huff_delta(&st->mv);
-                py += huff_delta(&st->mv);
+                /* the chain value wraps to signed 16-bit after every
+                 * delta (FORMAT.md 7.2) -- keeps the accumulator defined
+                 * for arbitrarily long hostile chains */
+                px = (int16_t)(px + huff_delta(&st->mv));
+                py = (int16_t)(py + huff_delta(&st->mv));
                 mb->mvx = (int16_t)px;
                 mb->mvy = (int16_t)py;
                 if (ftype == 'B' && mb->refsel == 2) {
-                    px += huff_delta(&st->mv);
-                    py += huff_delta(&st->mv);
+                    px = (int16_t)(px + huff_delta(&st->mv));
+                    py = (int16_t)(py + huff_delta(&st->mv));
                     mb->mv2x = (int16_t)px;
                     mb->mv2y = (int16_t)py;
                 }
@@ -486,6 +490,7 @@ static uint8_t *decode_frame(Dec *s, char ftype, const uint8_t *p, size_t n,
     int n_slices = p[9] > 1 ? p[9] : 1;
     if (dc_shift > 7) die("dc_shift out of range");
     if (n_slices > s->mh) die("slice count exceeds MB rows");
+    if (be16(p + 10) != 0) die("reserved frame-header field must be zero");
     const uint8_t *sp[N_STREAMS];
     size_t sn[N_STREAMS];
     size_t off = FRAME_HDR;
@@ -496,6 +501,7 @@ static uint8_t *decode_frame(Dec *s, char ftype, const uint8_t *p, size_t n,
         seg = p + off;
         off += sub;
     }
+    if (be32(p + 12 + 4 * 5) != 0) die("reserved stream 5 must be empty");
     for (int i = 0; i < N_STREAMS; i++) {
         sn[i] = be32(p + 12 + 4 * i);
         if (off + sn[i] > n) die("stream overruns payload");
@@ -641,7 +647,9 @@ typedef struct {
 
 static int decode_file(const uint8_t *f, size_t n, Opts *o) {
     if (n < 0x44) die("file shorter than header");
-    if (memcmp(f, "HVQM4 1.3", 9) != 0 && memcmp(f, "HVQM4 1.5", 9) != 0)
+    /* the magic is NUL-padded to 16 bytes (FORMAT.md 1): check all of it */
+    if (memcmp(f, "HVQM4 1.3\0\0\0\0\0\0", 16) != 0 &&
+        memcmp(f, "HVQM4 1.5\0\0\0\0\0\0", 16) != 0)
         die("bad magic");
     if (be32(f + 0x10) != 0x44) die("bad header_size");
     if (be32(f + 0x14) != n - 0x44) die("body_size mismatch");

@@ -54,7 +54,7 @@ class FrameEncoder:
     """
 
     def __init__(self, cfg: SeqConfig, rng: np.random.Generator,
-                 dc_shift: int, slices: int = 1):
+                 dc_shift: int, slices: int = 1, mv_extreme: bool = False):
         self.cfg = cfg
         self.rng = rng
         self.dc_shift = dc_shift
@@ -62,6 +62,7 @@ class FrameEncoder:
         if not (1 <= slices <= mh):
             raise ValueError(f"slice count must be in [1, {mh}]")
         self.slices = slices
+        self.mv_extreme = mv_extreme   # drive the s16 chain-wrap edge
         self.sw: _SliceWriters | None = None   # current slice's writers
 
     # -- stream helpers -------------------------------------------------------
@@ -160,14 +161,24 @@ class FrameEncoder:
         _mh, mw = self.cfg.mb_grid
         pred = [0, 0]  # MV chain resets at slice start (FORMAT.md §9)
 
+        def wrap16(v: int) -> int:
+            return ((v + 0x8000) & 0xFFFF) - 0x8000
+
         def put_mv() -> None:
             # bounded targets so cumulative deltas stay small; decoder clamps
-            # out-of-bounds reads anyway (FORMAT.md §7.4)
-            tx = int(self.rng.integers(-24, 25))
-            ty = int(self.rng.integers(-24, 25))
+            # out-of-bounds reads anyway (FORMAT.md §7.4). mv_extreme drives
+            # huge targets through 16-bit escapes so the decoder's s16
+            # prediction-chain wrap (§7.2) is exercised — the chain value
+            # after applying a delta is wrap16(target)
+            if self.mv_extreme and self.rng.random() < 0.5:
+                tx = int(self.rng.integers(-40000, 40001))
+                ty = int(self.rng.integers(-40000, 40001))
+            else:
+                tx = int(self.rng.integers(-24, 25))
+                ty = int(self.rng.integers(-24, 25))
             self._put_delta(self.sw.mv, tx - pred[0])
             self._put_delta(self.sw.mv, ty - pred[1])
-            pred[0], pred[1] = tx, ty
+            pred[0], pred[1] = wrap16(tx), wrap16(ty)
 
         for my in range(ms0, ms1):
             for mx in range(mw):
@@ -218,7 +229,8 @@ from hvqm4_tpu.gop import reorder_display_to_decode  # noqa: E402,F401
 def make_clip(cfg: SeqConfig, gops: list[str], seed: int = 0,
               dc_shift: int | None = None, audio_channels: int = 0,
               audio_rate: int = 32000, audio_samples_per_record: int = 1024,
-              usec_per_frame: int = 33366, slices: int = 1) -> bytes:
+              usec_per_frame: int = 33366, slices: int = 1,
+              mv_extreme: bool = False) -> bytes:
     """Build a complete `.h4m` file; `gops` are display-order patterns, each
     starting with 'I' (one GOP block per pattern)."""
     rng = np.random.default_rng(seed)
@@ -244,7 +256,8 @@ def make_clip(cfg: SeqConfig, gops: list[str], seed: int = 0,
             n_audio += 1
         for ftype, disp in reorder_display_to_decode(gop):
             shift = dc_shift if dc_shift is not None else int(rng.integers(0, 3))
-            fe = FrameEncoder(cfg, rng, shift, slices=slices)
+            fe = FrameEncoder(cfg, rng, shift, slices=slices,
+                              mv_extreme=mv_extreme)
             payload = fe.encode(ftype, display_base + disp)
             subtype = {"I": FRAME_I, "P": FRAME_P, "B": FRAME_B}[ftype]
             recs.append((MEDIA_VIDEO, subtype, payload))
