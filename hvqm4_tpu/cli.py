@@ -124,6 +124,58 @@ def cmd_audio(args) -> int:
     return 0
 
 
+def _default_gops(n: int) -> list[str]:
+    """12-frame I+P GOP blocks covering n frames."""
+    gops = []
+    left = n
+    while left > 0:
+        g = min(12, left)
+        gops.append("I" + "P" * (g - 1))
+        left -= g
+    return gops
+
+
+def cmd_transcode(args) -> int:
+    """Decode a clip and re-encode it at a new quality / size (audio
+    remuxed through IMA-ADPCM when present)."""
+    from .audio import decode_record
+    from .encode import VideoEncoder, encode_to_size
+
+    data = Path(args.clip).read_bytes()
+    d = Demuxer(data)
+    cfg = d.info.cfg
+    sess = DecoderSession(cfg, backend=args.backend)
+    # the encoder takes display-ordered frames
+    frames = [f.to_numpy() for f in sess.decode_clip_display_order(data)]
+    gops = args.gops.split(",") if args.gops else _default_gops(len(frames))
+    audio = None
+    audio_rate = 32000
+    if d.info.audio_channels:
+        recs = [decode_record(r.payload, d.info.audio_channels)
+                for r in d.audio_records()]
+        if recs:
+            audio = np.concatenate(recs)
+            audio_rate = d.info.audio_sample_rate
+    if args.target_kb is not None:
+        if audio is not None:
+            print("hvqm4_tpu: error: --target-kb transcode is video-only "
+                  "(source has audio; use --quality)", file=sys.stderr)
+            return 1
+        out, lam = encode_to_size(cfg, frames, gops,
+                                  int(args.target_kb * 1024),
+                                  slices=args.slices,
+                                  dc_shift=args.dc_shift)
+        print(f"rate control: lambda={lam:.3f}", file=sys.stderr)
+    else:
+        out = VideoEncoder(cfg, lambda_bits=args.quality, slices=args.slices,
+                           dc_shift=args.dc_shift).encode(
+            frames, gops, audio=audio, audio_rate=audio_rate)
+    Path(args.output).write_bytes(out)
+    print(f"transcoded {len(frames)} frames: {len(data)} -> {len(out)} bytes"
+          f" ({len(out) / max(len(data), 1):.2f}x)", file=sys.stderr)
+    return 0
+
+
 def cmd_encode(args) -> int:
     from .encode import VideoEncoder
 
@@ -145,15 +197,7 @@ def cmd_encode(args) -> int:
             planes.append(np.frombuffer(raw, np.uint8, h * w, off).reshape(h, w))
             off += h * w
         frames.append(planes)
-    gops = args.gops.split(",") if args.gops else None
-    if gops is None:
-        per = 12
-        gops = []
-        left = n
-        while left > 0:
-            g = min(per, left)
-            gops.append("I" + "P" * (g - 1))
-            left -= g
+    gops = args.gops.split(",") if args.gops else _default_gops(n)
     enc = VideoEncoder(cfg, lambda_bits=args.quality, slices=args.slices,
                        dc_shift=args.dc_shift)
     audio = None
@@ -289,6 +333,20 @@ def main(argv=None) -> int:
                    help="DC delta quantization shift 0..7 (coarser DCs, "
                         "fewer bits)")
     p.set_defaults(fn=cmd_encode)
+
+    p = sub.add_parser("transcode")
+    p.add_argument("clip")
+    p.add_argument("output")
+    p.add_argument("--quality", type=float, default=4.0,
+                   help="lambda (bits weight); lower = higher quality")
+    p.add_argument("--target-kb", type=float, default=None,
+                   help="rate control: bisect lambda to hit this clip size "
+                        "(video-only; overrides --quality)")
+    p.add_argument("--gops", help="display-order patterns for the re-encode")
+    p.add_argument("--slices", type=int, default=1)
+    p.add_argument("--dc-shift", type=int, default=0)
+    p.add_argument("--backend", default="jax", choices=["jax", "numpy"])
+    p.set_defaults(fn=cmd_transcode)
 
     p = sub.add_parser("stats")
     p.add_argument("clip")

@@ -88,3 +88,34 @@ def test_cli_verify(capsys, clip_path, oracle_bin):
     assert cli.main(["verify", str(clip_path)]) == 0
     out = capsys.readouterr().out
     assert out.count("MATCH") == 2 and "MISMATCH" not in out
+
+
+def test_cli_transcode_roundtrip(tmp_path, clip_path, oracle_bin):
+    """transcode re-encodes a decoded clip (audio remuxed) into a stream
+    every implementation still decodes; geometry and frame count survive."""
+    out = tmp_path / "t.h4m"
+    rc = cli.main(["transcode", str(clip_path), str(out),
+                   "--backend", "numpy", "--quality", "2"])
+    assert rc == 0
+    from hvqm4_tpu.container import Demuxer
+
+    d = Demuxer(out.read_bytes())
+    assert d.info.cfg == SeqConfig(64, 48)
+    assert d.info.video_frames == 3
+    assert d.info.audio_channels == 2  # audio carried through
+    from .conftest import golden_decode, run_oracle
+
+    got = b"".join(f.tobytes() for f in golden_decode(d.info.cfg,
+                                                      out.read_bytes()))
+    assert got == run_oracle(oracle_bin, out.read_bytes(), tmp_path)
+
+
+def test_cli_transcode_target_kb(tmp_path, oracle_bin):
+    cfg = SeqConfig(64, 48)
+    src = tmp_path / "s.h4m"
+    src.write_bytes(make_clip(cfg, ["IPPPP"], seed=56))  # no audio
+    out = tmp_path / "t.h4m"
+    rc = cli.main(["transcode", str(src), str(out), "--backend", "numpy",
+                   "--target-kb", "3"])
+    assert rc == 0
+    assert 0 < out.stat().st_size
