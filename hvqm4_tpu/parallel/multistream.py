@@ -376,6 +376,8 @@ class _Stream:
     records: list
     pos: int = 0
     failed: bool = False
+    anchors: int = 0       # I/P frames decoded in the current GOP block
+    cur_block: int = -1
 
 
 @dataclasses.dataclass
@@ -592,6 +594,17 @@ class MultiStreamDecoder:
             for k in range(K):
                 if s.failed or s.pos >= len(s.records):
                     break
+                bi, fchar, _payload = s.records[s.pos]
+                if bi != s.cur_block:      # GOP block boundary: refs reset
+                    s.cur_block = bi
+                    s.anchors = 0
+                if fchar == "B" and s.anchors < 2:
+                    # invalid stream (FORMAT.md §10: B without two
+                    # references) — poison it, keep the batch
+                    s.failed = True
+                    break
+                if fchar in ("I", "P"):
+                    s.anchors += 1
                 slot_jobs[self._slot(si, k)] = s.records[s.pos]
                 s.pos += 1
         metas = [[None] * n for _ in range(K)]
@@ -653,6 +666,17 @@ class MultiStreamDecoder:
 
     # -- device half -----------------------------------------------------------
 
+    def arena_cuts(self, buf):
+        """(raw_cap, desc_cap, cut8, cut32) for a planned step: the pool
+        upload tier and the arena-row element prefixes `device_step`
+        transfers. The ONE definition of the prefix formula (measurement
+        scripts use it too — keep them honest when the layout changes)."""
+        raw_cap = _pick_tier(buf["raw_used"], self._pinfo["raw_cap"])
+        desc_cap = _pick_tier(buf["desc_used"], self._pinfo["desc_cap"])
+        cut8 = self._fixed["u8"] + raw_cap * self._nvl * 16
+        cut32 = self._fixed["u32"] + desc_cap * self._nvl
+        return raw_cap, desc_cap, cut8, cut32
+
     def device_step(self, buf):
         """Batched decode of one planned step + state rotation — ONE code
         path: two typed-arena uploads (vs ~20 per-field ones) with the
@@ -661,10 +685,7 @@ class MultiStreamDecoder:
 
         With fused dispatch (K > 1) the returned frames are stacked
         per step: [3 x (K, n, H, W)]."""
-        raw_cap = _pick_tier(buf["raw_used"], self._pinfo["raw_cap"])
-        desc_cap = _pick_tier(buf["desc_used"], self._pinfo["desc_cap"])
-        cut8 = self._fixed["u8"] + raw_cap * self._nvl * 16
-        cut32 = self._fixed["u32"] + desc_cap * self._nvl
+        raw_cap, desc_cap, cut8, cut32 = self.arena_cuts(buf)
         h8 = buf["arenas"]["u8"][:, :cut8]
         h32 = buf["arenas"]["u32"][:, :cut32]
         if self.sharding is None:

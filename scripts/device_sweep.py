@@ -3,11 +3,12 @@
 Measures, for N parallel streams on the real chip (plans pre-built, so the
 host entropy bound is out of the picture):
 
-  - full_fps:     the bench `device` phase — per step: 3 typed-arena
-                  host→device uploads + one jitted arena-step dispatch
+  - full_fps:     the bench `device` phase — per step: 2 typed-arena
+                  host→device uploads (u8 + u32) + one jitted arena-step
+                  dispatch
   - compute_fps:  arenas pre-staged on device — pure chip execution of the
                   decode step (the kernel ceiling)
-  - upload_fps:   the 3 arena transfers alone (the interconnect ceiling)
+  - upload_fps:   the 2 arena transfers alone (the interconnect ceiling)
 
 Prints ONE JSON line. Run one stream count per process (the axon tunnel's
 PJRT client leaks per byte transferred; fresh processes keep measurements
@@ -47,7 +48,7 @@ def main() -> None:
     import jax.numpy as jnp
 
     from bench import _setup
-    from hvqm4_tpu.parallel.multistream import _arena_step, _pick_tier
+    from hvqm4_tpu.parallel.multistream import _arena_step
 
     cfg, _clip_path, make_ms, _pn = _setup(n)
 
@@ -59,21 +60,19 @@ def main() -> None:
     frames = 0
     while any(ms.active):
         buf, _metas, valid = ms.plan_step()
-        bufs.append({"arenas": copy.deepcopy(buf["arenas"]),
-                     "raw_used": buf["raw_used"],
-                     "desc_used": buf["desc_used"]})
+        # snapshot only the uploaded prefixes (the pool tails beyond the
+        # tier are never transferred, so copying them wastes GBs of RAM
+        # on long clips)
+        _rc, _dc, cut8, cut32 = ms.arena_cuts(buf)
+        bufs.append({"arenas": {
+            "u8": copy.deepcopy(buf["arenas"]["u8"][:, :cut8]),
+            "u32": copy.deepcopy(buf["arenas"]["u32"][:, :cut32])},
+            "raw_used": buf["raw_used"],
+            "desc_used": buf["desc_used"]})
         ms._cur ^= 1
         frames += int(np.sum(valid))
     steps = len(bufs)
-
-    nv = ms._nvl
-
-    def cuts(buf):
-        raw_cap = _pick_tier(buf["raw_used"], ms._pinfo["raw_cap"])
-        desc_cap = _pick_tier(buf["desc_used"], ms._pinfo["desc_cap"])
-        cut8 = ms._fixed["u8"] + raw_cap * nv * 16
-        cut32 = ms._fixed["u32"] + desc_cap * nv
-        return raw_cap, desc_cap, cut8, cut32
+    cuts = ms.arena_cuts
 
     step_bytes = []
     for buf in bufs:

@@ -2,13 +2,14 @@
 
 Times, per step over a real clip on the real chip:
   plan   — the batched C planner call (plan_step)
-  xfer   — jnp.asarray of the three typed arenas (host->device serialization)
+  xfer   — jnp.asarray of the two typed arenas (host->device serialization)
   step   — jitted step dispatch (async; queue cost only)
   sync   — block_until_ready at the end (device residue)
 
 Run: python scripts/profile_split.py [n_streams]
 """
 import os
+import pathlib
 import sys
 import time
 
@@ -17,11 +18,11 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 import jax
 import jax.numpy as jnp
 
-sys.path.insert(0, ".")
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 from bench import ensure_clip, REPO  # noqa: E402
 from hvqm4_tpu.native import NativePlanner  # noqa: E402
 from hvqm4_tpu.parallel.multistream import (  # noqa: E402
-    MultiStreamDecoder, _pick_tier, _arena_step)
+    MultiStreamDecoder, _arena_step)
 
 n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
 cfg, clip = ensure_clip(REPO / "testdata" / "ref640.h4m")
@@ -43,14 +44,13 @@ while any(ms.active):
     t_plan += time.perf_counter() - t
 
     t = time.perf_counter()
-    raw_cap = _pick_tier(buf["raw_used"], ms._pinfo["raw_cap"])
-    desc_cap = _pick_tier(buf["desc_used"], ms._pinfo["desc_cap"])
-    cut8 = ms._fixed["u8"] + raw_cap * ms._nvl * 16
-    cut32 = ms._fixed["u32"] + desc_cap * ms._nvl
-    arenas = {
-        "u8": jnp.asarray(buf["arenas"]["u8"][0, :cut8]),
-        "u32": jnp.asarray(buf["arenas"]["u32"][0, :cut32]),
-    }
+    raw_cap, desc_cap, cut8, cut32 = ms.arena_cuts(buf)
+    h8, h32 = buf["arenas"]["u8"][0, :cut8], buf["arenas"]["u32"][0, :cut32]
+    if jax.default_backend() == "cpu":
+        # same zero-copy aliasing guard as device_step: the ping-pong
+        # arena is rewritten two steps later
+        h8, h32 = h8.copy(), h32.copy()
+    arenas = {"u8": jnp.asarray(h8), "u32": jnp.asarray(h32)}
     bytes_up += cut8 + cut32 * 4
     t_xfer += time.perf_counter() - t
 

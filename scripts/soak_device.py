@@ -41,8 +41,11 @@ def oracle_yuv(oracle_bin, clip: bytes) -> bytes:
         src = pathlib.Path(d) / "c.h4m"
         dst = pathlib.Path(d) / "c.yuv"
         src.write_bytes(clip)
-        subprocess.run([str(oracle_bin), str(src), str(dst)], check=True,
-                       capture_output=True)
+        r = subprocess.run([str(oracle_bin), str(src), str(dst)],
+                           capture_output=True, text=True)
+        if r.returncode != 0:
+            # surface the oracle's diagnostic (names the offending record)
+            raise RuntimeError(f"oracle failed: {r.stderr.strip()[:300]}")
         return dst.read_bytes()
 
 

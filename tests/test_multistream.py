@@ -246,3 +246,40 @@ def test_tiny_frame_pool_tiers():
     clips = [make_clip(cfg, ["IPB"], seed=97)]
     got = _multi_frames(cfg, clips)
     assert got[0] == _single_stream_frames(cfg, clips[0])
+
+
+def test_gop_rejects_b_without_two_references():
+    """Patterns whose decode order yields a B before two anchors are
+    rejected at the encoder (FORMAT.md §10 makes such streams invalid)."""
+    import pytest
+
+    from hvqm4_tpu.gop import reorder_display_to_decode
+
+    for bad in ("IB", "IBB", "B"):
+        with pytest.raises(ValueError, match="references|frame type"):
+            reorder_display_to_decode(bad)
+    assert reorder_display_to_decode("IPB") == [("I", 0), ("P", 1), ("B", 2)]
+    assert reorder_display_to_decode("IB" + "P" * 2) == [
+        ("I", 0), ("P", 2), ("B", 1), ("P", 3)]
+
+
+def test_multistream_poisons_b_without_references():
+    """A stream whose records present a B before two anchors (possible via
+    hand-built record lists / hostile containers) is poisoned, matching the
+    oracle's rejection — frames before the invalid one still decode."""
+    from hvqm4_tpu.container import Demuxer
+
+    clip = make_clip(CFG, ["IPB"], seed=88)
+    recs = [(r.block_index, r.frame_char, r.payload)
+            for r in Demuxer(clip).video_records()]
+    bad_lane = [recs[0], recs[2]]           # I then B: one anchor only
+    ms = MultiStreamDecoder(CFG, [], record_lists=[bad_lane])
+    decoded = 0
+    while True:
+        out = ms.step()
+        if out is None:
+            break
+        _frames, _metas, valid = out
+        decoded += sum(valid)
+    assert ms.streams[0].failed
+    assert decoded == 1  # the I frame; the invalid B poisoned the stream

@@ -26,10 +26,12 @@ struct PoolOut {
     size_t desc_stride, desc_cap;
 };
 struct FrameOut {
+    // keep in sync with native/_entropy.cc FrameOut (ABI mirror for the
+    // JAX-free micro-bench): mv/mv2 are per-MB PACKED u32 (y16<<16 | x16)
     uint32_t display_id, dc_shift, nest_x, nest_y, raw_used, desc_used;
     uint8_t* nest;
-    int16_t* mv;
-    int16_t* mv2;
+    uint32_t* mv;
+    uint32_t* mv2;
 };
 
 extern "C" int hvqm4_plan_frame(const uint8_t*, size_t, int, int, int, int,
@@ -77,7 +79,7 @@ int main(int argc, char** argv) {
     PoolOut pool = {raw_pool.data(), 16, (size_t)total_blocks,
                     desc_pool.data(), 1, (size_t)total_blocks * 4};
     std::vector<uint8_t> nest(70 * 38);
-    std::vector<int16_t> mv((size_t)(w / 8) * (h / 8) * 2), mv2(mv.size());
+    std::vector<uint32_t> mv((size_t)(w / 8) * (h / 8)), mv2(mv.size());
     FrameOut fout{};
     fout.nest = nest.data();
     fout.mv = mv.data();
