@@ -362,7 +362,19 @@ def main(argv=None) -> int:
         return args.fn(args)
     # user-input errors print one clean line (tracebacks are for bugs):
     # malformed clips, missing/unreadable files, bad argument combinations
-    except (ContainerError, PlannerError, OSError, ValueError) as e:
+    except (ContainerError, PlannerError, OSError) as e:
+        print(f"hvqm4_tpu: error: {e}", file=sys.stderr)
+        return 1
+    except ValueError as e:
+        # ValueError is also what numpy/jax raise on internal shape bugs —
+        # only input-validation ValueErrors raised by this package's own
+        # code get the clean one-liner; anything else keeps its traceback
+        tb = e.__traceback__
+        while tb is not None and tb.tb_next is not None:
+            tb = tb.tb_next
+        mod = tb.tb_frame.f_globals.get("__name__", "") if tb else ""
+        if not mod.startswith("hvqm4_tpu"):
+            raise
         print(f"hvqm4_tpu: error: {e}", file=sys.stderr)
         return 1
 

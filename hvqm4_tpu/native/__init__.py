@@ -132,6 +132,9 @@ def _load():
             ctypes.POINTER(_FrameOut),
             ctypes.c_char_p, ctypes.c_size_t,
         ]
+        lib.hvqm4_fnv1a.restype = ctypes.c_uint32
+        lib.hvqm4_fnv1a.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_uint32]
         lib.hvqm4_plan_step.restype = ctypes.c_int
         lib.hvqm4_plan_step.argtypes = [
             ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_size_t),
@@ -147,6 +150,11 @@ def _load():
 
 def _ptr(a: np.ndarray) -> ctypes.c_void_p:
     return ctypes.c_void_p(a.ctypes.data)
+
+
+def native_fnv1a(data: bytes, h: int = 2166136261) -> int:
+    """C-speed FNV-1a (same digest as `oracle --hash` / utils.hashing.fnv1a)."""
+    return int(_load().hvqm4_fnv1a(data, len(data), h))
 
 
 def alloc_packed_plane(bh: int, bw: int) -> dict[str, np.ndarray]:

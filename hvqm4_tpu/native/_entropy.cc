@@ -656,6 +656,17 @@ extern "C" int hvqm4_plan_frame(const uint8_t* payload, size_t n, int ftype,
 // stream and re-plans the step without it).
 // ---------------------------------------------------------------------------
 
+// FNV-1a over a byte range (oracle-compatible frame digest). Byte-serial by
+// definition; here so the CLI/CI hash path runs at C speed instead of a
+// Python per-byte loop (utils/hashing.py holds the fallback).
+extern "C" uint32_t hvqm4_fnv1a(const uint8_t* d, size_t n, uint32_t h) {
+    for (size_t i = 0; i < n; i++) {
+        h ^= d[i];
+        h *= 16777619u;
+    }
+    return h;
+}
+
 extern "C" int hvqm4_plan_step(const uint8_t* const* payloads,
                                const size_t* sizes, const int* ftypes,
                                int n_streams,

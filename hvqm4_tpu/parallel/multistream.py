@@ -702,6 +702,12 @@ class MultiStreamDecoder:
         else:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
+            if jax.default_backend() == "cpu":
+                # same zero-copy-aliasing hazard as the single-shard branch:
+                # the CPU PJRT client may alias aligned host buffers, and the
+                # ping-pong arena is rewritten two steps later while an async
+                # sharded step can still be reading it
+                h8, h32 = h8.copy(), h32.copy()
             ash = NamedSharding(self._mesh, P(self._axis, None))
             arenas = {"u8": jax.device_put(h8, ash),
                       "u32": jax.device_put(h32, ash)}

@@ -312,6 +312,10 @@ class DecodeServer(socketserver.ThreadingTCPServer):
                    for r in d.video_records()]
         job = _BatchJob(cfg, records)
         with self._bq_cond:
+            if self._shutdown_flag:
+                # the dispatcher is exiting and will never drain this job;
+                # fail fast instead of blocking the handler for the timeout
+                raise RuntimeError("server shutting down")
             self._bq.append(job)
             self._bq_cond.notify_all()
         if not job.event.wait(timeout=max(self.socket_timeout_s, 600.0)):
@@ -341,14 +345,16 @@ class DecodeServer(socketserver.ThreadingTCPServer):
                 if rem <= 0:
                     break
                 with self._bq_cond:
-                    if not self._bq:
-                        self._bq_cond.wait(timeout=rem)
                     more = [j for j in self._bq if j.cfg == first.cfg]
                     for j in more[:self.max_batch - len(batch)]:
                         self._bq.remove(j)
                         batch.append(j)
-                if len(batch) < self.max_batch:
-                    time.sleep(min(max(rem, 0.0), 0.001))
+                    if len(batch) < self.max_batch:
+                        # block until a new enqueue (notify_all) or window
+                        # end — even when the queue holds only other-shape
+                        # jobs (a sleep poll here would spin at ~1 kHz on
+                        # mixed-shape traffic)
+                        self._bq_cond.wait(timeout=rem)
             self._run_batch(batch)
 
     def _run_batch(self, batch: list) -> None:

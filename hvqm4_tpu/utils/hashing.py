@@ -1,12 +1,35 @@
-"""FNV-1a frame hashing — the ONE implementation of the oracle-compatible
-per-frame hash format (`oracle --hash` prints `hash=%08x` of the same
-function), shared by the CLI `hash` subcommand, `bench.py`'s bit-exactness
-phase, and `__graft_entry__.dryrun_multichip`."""
+"""Oracle-compatible frame hashing.
+
+Two frame digests, each implemented identically by `oracle/hvqm4_oracle.c`:
+
+- FNV-1a (`oracle --hash`): byte-serial, the CI-grade digest. Used by the CLI
+  `hash` subcommand and `__graft_entry__.dryrun_multichip`. Inherently
+  sequential, so computing it requires the full frame on the host.
+- wsum32 (`oracle --csum`): position-weighted u32 sum — a commutative
+  reduction, so the TPU pipeline computes it ON DEVICE (`frame_csum` below)
+  and transfers 4 bytes per frame instead of the full YUV. This is what
+  `bench.py`'s bit-exactness phase and `cli verify --device` use (round 2's
+  bench died hauling ~100 MB of frames through the dev tunnel into a
+  per-byte Python loop; VERDICT.md round 2 item 1).
+"""
 
 from __future__ import annotations
 
+import numpy as np
+
+_K = 2654435761  # Knuth multiplicative constant; weight_i = i*K + 1 (mod 2^32)
+
 
 def fnv1a(data: bytes) -> int:
+    # the recurrence h' = (h ^ b) * p is byte-serial by construction; the
+    # native planner exports a C implementation (fnv1a in _entropy.cc) that
+    # the CLI prefers — this pure-Python form is the always-available fallback
+    try:
+        from ..native import native_fnv1a
+
+        return native_fnv1a(data)
+    except Exception:
+        pass
     h = 2166136261
     for b in data:
         h = ((h ^ b) * 16777619) & 0xFFFFFFFF
@@ -15,3 +38,35 @@ def fnv1a(data: bytes) -> int:
 
 def fnv1a_hex(data: bytes) -> str:
     return f"{fnv1a(data):08x}"
+
+
+def wsum32(data: bytes, off: int = 0) -> int:
+    """Host (numpy) implementation of `oracle --csum`:
+    sum_i (data[i]+1) * ((off+i)*K + 1) mod 2^32."""
+    b = np.frombuffer(data, np.uint8).astype(np.uint64) + 1
+    i = np.arange(off, off + len(b), dtype=np.uint64)
+    w = (i * _K + 1) & 0xFFFFFFFF
+    return int(np.sum(b * w) & 0xFFFFFFFF)
+
+
+def wsum32_hex(data: bytes) -> str:
+    return f"{wsum32(data):08x}"
+
+
+def frame_csum(planes):
+    """On-device wsum32 of one frame's YUV bytes (planes concatenated in
+    Y,U,V order, row-major). planes: [(H, W) u8 jax arrays]. Returns a u32
+    scalar equal to `oracle --csum` / `wsum32(yuv_bytes)`. vmap over a
+    leading stream axis for batched use."""
+    import jax.numpy as jnp
+
+    acc = jnp.zeros((), jnp.uint32)
+    off = 0
+    for p in planes:
+        n = int(np.prod(p.shape[-2:]))
+        flat = p.reshape(-1).astype(jnp.uint32) + 1
+        i = jnp.arange(off, off + n, dtype=jnp.uint32)
+        w = i * jnp.uint32(_K & 0xFFFFFFFF) + 1
+        acc = acc + jnp.sum(flat * w, dtype=jnp.uint32)
+        off += n
+    return acc

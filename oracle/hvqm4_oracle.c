@@ -12,8 +12,10 @@
  * but the spec.
  *
  * Usage:
- *   hvqm4_oracle [--hash] [--bench N] [--audio out.pcm] in.h4m [out.yuv]
+ *   hvqm4_oracle [--hash] [--csum] [--bench N] [--audio out.pcm] in.h4m [out.yuv]
  *     --hash      print per-frame FNV-1a hashes of decoded YUV
+ *     --csum      print per-frame position-weighted checksums (the reduction
+ *                 the TPU pipeline can compute on device; see wsum32 below)
  *     --bench N   decode the file N times, print video fps
  *     --audio F   write decoded IMA-ADPCM audio as s16le interleaved PCM
  *
@@ -640,8 +642,20 @@ static uint32_t fnv1a(const uint8_t *d, size_t n, uint32_t h) {
     return h;
 }
 
+/* Position-weighted u32 sum (mod 2^32): csum = sum_i (d[i]+1) * (i*K + 1),
+ * K = 2654435761 (Knuth). Unlike FNV-1a this is a commutative sum of
+ * independent terms, so the TPU pipeline computes the identical value as one
+ * on-device reduction and transfers 4 bytes per frame instead of the full
+ * YUV (hvqm4_tpu/utils/hashing.py `wsum32` is the other implementation). */
+static uint32_t wsum32(const uint8_t *d, size_t n) {
+    uint32_t acc = 0;
+    for (size_t i = 0; i < n; i++)
+        acc += (uint32_t)(d[i] + 1u) * ((uint32_t)i * 2654435761u + 1u);
+    return acc;
+}
+
 typedef struct {
-    int hash, bench;
+    int hash, csum, bench;
     FILE *yuv, *audio;
 } Opts;
 
@@ -695,6 +709,9 @@ static int decode_file(const uint8_t *f, size_t n, Opts *o) {
                 if (o->hash)
                     printf("frame %d %c disp=%u hash=%08x\n", frames - 1, ft,
                            disp, fnv1a(frame, frame_bytes(&s), 2166136261u));
+                if (o->csum)
+                    printf("frame %d %c disp=%u csum=%08x\n", frames - 1, ft,
+                           disp, wsum32(frame, frame_bytes(&s)));
             } else {
                 die("bad media type");
             }
@@ -708,11 +725,13 @@ static int decode_file(const uint8_t *f, size_t n, Opts *o) {
 }
 
 int main(int argc, char **argv) {
-    Opts o = {0, 0, NULL, NULL};
+    Opts o = {0, 0, 0, NULL, NULL};
     const char *in = NULL, *out = NULL;
     for (int i = 1; i < argc; i++) {
         if (!strcmp(argv[i], "--hash")) {
             o.hash = 1;
+        } else if (!strcmp(argv[i], "--csum")) {
+            o.csum = 1;
         } else if (!strcmp(argv[i], "--bench")) {
             if (++i >= argc) die("--bench needs a count");
             o.bench = atoi(argv[i]);
@@ -728,7 +747,7 @@ int main(int argc, char **argv) {
             die("too many arguments");
         }
     }
-    if (!in) die("usage: hvqm4_oracle [--hash] [--bench N] [--audio f] in.h4m [out.yuv]");
+    if (!in) die("usage: hvqm4_oracle [--hash] [--csum] [--bench N] [--audio f] in.h4m [out.yuv]");
 
     FILE *fp = fopen(in, "rb");
     if (!fp) die("cannot open input");
