@@ -116,14 +116,10 @@ def phase_device(n_streams: int) -> dict:
     frames_planned = 0
     while any(ms.active):
         buf, _metas, valid = ms.plan_step()
-        # snapshot only the upload-prefix of each arena (what device_step
-        # actually transfers at this step's pool tier) — NOT the full arenas:
+        # snapshot only the uploaded staging prefixes (what device_step
+        # actually transfers at this step's variant) — NOT the full arenas:
         # peak RSS stays independent of clip length (VERDICT r2 weak #5)
-        cuts = ms.arena_cuts(buf)
-        all_bufs.append({"arenas": {g: buf["arenas"][g][:, :c].copy()
-                                    for g, c in zip(("u8", "u32"), cuts[2:])},
-                         "raw_used": buf["raw_used"],
-                         "desc_used": buf["desc_used"]})
+        all_bufs.append(ms.snapshot_step(buf))
         ms._cur ^= 1
         frames_planned += int(np.sum(valid))
     # warm EVERY pool-tier executable the clip touches (a tier's first use

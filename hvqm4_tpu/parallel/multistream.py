@@ -61,77 +61,88 @@ from ..plans import FramePlan
 # jitted step recomputes them from meta (see `_derive_slots`).
 _PLANE_KEYS = ("meta", "dc", "slot")
 
-_FIELD_SPECS = (
-    ("meta", np.uint8, ()),
-    ("dc", np.uint8, ()),
-)
+# Per-step motion-vector encoding (part of the step variant; each variant is
+# its own persistently-cached compiled step):
+#   NONE    no vector field uploaded — every vector in the step is zero
+#           (all-I steps, and P steps that happen to be all-copy)
+#   PACKED  one u32 per MB: (y2.s8 << 24 | x2.s8 << 16 | y.s8 << 8 | x.s8);
+#           ±127 half-pel covers ±63 px — effectively every real stream
+#   WIDE    two u32 per MB (y16 << 16 | x16) — the mv_extreme escape tier
+_MV_NONE, _MV_PACKED, _MV_WIDE = 0, 1, 2
 
 
 # ---------------------------------------------------------------------------
-# Arena layout: one contiguous u8 buffer holding every plan field + step flags
+# Staging layout: two dtype-homogeneous upload buffers per step (u8 / u32)
 # ---------------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=None)
-def _arena_entries(cfg: SeqConfig, n: int):
-    """Two dtype-homogeneous arenas (u8 / u32): one upload each.
-
-    A single mixed-dtype u8 arena would be ideal (one transfer), but
-    reinterpreting it on device — whether via bitcast_convert_type or
-    byte-lane shifts — reliably hangs the TPU compiler at this size, so
-    fields are grouped by dtype instead: plain slices, no reinterpretation,
-    still only 2 h2d round-trips per step.
-
-    Sparse payload pools (raw bytes, basis descriptors) sit at the *end* of
-    their arenas in stream-minor layout (slot, stream, ...), so a step can
-    upload just the used prefix: the host tracks per-step pool usage and
-    picks a capacity tier (see `_POOL_TIERS`), shrinking transfers ~2x on
-    typical content while any spec-valid all-raw frame still fits the full
-    tier.
-
-    Returns ({dtype_name: [(field_name, plane|-1, shape, elem_off, elems)]},
-             {dtype_name: total_fixed_elems}, pool_info).
-    """
-    groups: dict[str, list] = {"u8": [], "u32": []}
-    totals = {"u8": 0, "u32": 0}
-    keymap = {np.dtype(np.uint8): "u8", np.dtype(np.uint32): "u32"}
-
-    def add(name, pi, dtype, shape):
-        g = keymap[np.dtype(dtype)]
-        elems = int(np.prod(shape))
-        groups[g].append((name, pi, shape, totals[g], elems))
-        totals[g] += elems
-
-    for pi, (bh, bw) in enumerate(cfg.block_grids):
-        for name, dtype, tail in _FIELD_SPECS:
-            add(name, pi, dtype, (n, bh, bw, *tail))
-    nh, nw = cfg.nest_shape
-    add("new_nest", -1, np.uint8, (n, nh, nw))
-    add("is_i", -1, np.uint8, (n,))
-    add("is_ref", -1, np.uint8, (n,))
-    # motion vectors are per-MACROBLOCK (all blocks of an MB share them) and
-    # pack as ONE u32 per MB (y16 << 16 | x16): they ride the u32 arena, so
-    # a step needs only two h2d transfers (u8 + u32), and the jitted step
-    # unpacks with two shifts
-    mh, mw = cfg.mb_grid
-    add("mv", -1, np.uint32, (n, mh, mw))
-    add("mv2", -1, np.uint32, (n, mh, mw))
+def _pool_caps(cfg: SeqConfig):
+    """(raw_cap_full, desc_cap_full): worst-case pool slots for one frame."""
     total_blocks = sum(bh * bw for bh, bw in cfg.block_grids)
-    pool_info = {
-        "raw_off": totals["u8"],          # u8 elems; pool (cap, n, 16)
-        "raw_cap": total_blocks,
-        "desc_off": totals["u32"],        # u32 elems; pool (cap, n)
-        "desc_cap": MAX_BASES * total_blocks,
-    }
-    return ({k: tuple(v) for k, v in groups.items()}, totals, pool_info)
+    return total_blocks, MAX_BASES * total_blocks
+
+
+@functools.lru_cache(maxsize=None)
+def _layout(cfg: SeqConfig, n: int, raw_cap: int, desc_cap: int,
+            mv_mode: int, has_nest: bool):
+    """Static element layout of the two staging uploads for one step variant.
+
+    u8  = [raw pool (n, raw_cap, 16) | new_nest (n,nh,nw)? | is_i | is_ref]
+    u32 = [desc pool (n, desc_cap) | md planes (n,bh,⌈bw/2⌉) ×3 | mv field(s)]
+
+    Two dtype-homogeneous buffers → two h2d transfers per step (a single
+    mixed-dtype buffer would need on-device reinterpretation, which hangs
+    the TPU compiler at this size). The planner writes every field into
+    per-stream CONTIGUOUS scratch (pool stride 1 — cache-friendly at any
+    stream count); `_assemble` packs the staging buffers post-planning once
+    the step's tiers/modes are known: pools copied at their exact per-slot
+    used lengths into the tier regions, meta+dc pair-packed two blocks per
+    u32, vectors packed per `mv_mode`, nest present only on steps that
+    carry an I frame. vs the round-2 layout this cuts the fixed upload ~2x
+    (98.7 → ~48 KB/frame at 640×480) and the pool upload to the used tier
+    with a finer ladder.
+
+    Returns ({u8 field → (elem_off, shape)}, {u32 ...}, size8, size32).
+    """
+    u8: dict = {}
+    off = raw_cap * n * 16          # raw pool region: (n, raw_cap, 16)
+    nh, nw = cfg.nest_shape
+    if has_nest:
+        u8["new_nest"] = (off, (n, nh, nw))
+        off += n * nh * nw
+    u8["is_i"] = (off, (n,))
+    off += n
+    u8["is_ref"] = (off, (n,))
+    off += n
+    size8 = off
+    u32: dict = {}
+    off = desc_cap * n              # desc pool region: (n, desc_cap)
+    for pi, (bh, bw) in enumerate(cfg.block_grids):
+        bwp = (bw + 1) // 2   # odd bw: last u32 carries one block
+        u32[f"md{pi}"] = (off, (n, bh, bwp))
+        off += n * bh * bwp
+    mh, mw = cfg.mb_grid
+    if mv_mode == _MV_PACKED:
+        u32["mvp"] = (off, (n, mh, mw))
+        off += n * mh * mw
+    elif mv_mode == _MV_WIDE:
+        u32["mv"] = (off, (n, mh, mw))
+        off += n * mh * mw
+        u32["mv2"] = (off, (n, mh, mw))
+        off += n * mh * mw
+    size32 = off
+    return u8, u32, size8, size32
 
 
 def _pool_tiers(cap: int):
     """Capacity ladder: compact tiers for typical content, full for the
     worst case. Each tier used by a run costs one (persistently cached)
-    compilation of the step. Tiers never exceed cap (tiny frames have
-    pools smaller than the 64-slot floor)."""
-    return tuple(sorted({min(max(cap // d, 64), cap)
-                         for d in (32, 16, 8, 4, 2, 1)}))
+    compilation of the step; the ~1.33 ratio keeps the average upload
+    overshoot under ~15% while the ladder stays small. Tiers never exceed
+    cap (tiny frames have pools smaller than the 64-slot floor)."""
+    return tuple(sorted({min(max(int(cap / d), 64), cap)
+                         for d in (64, 48, 32, 24, 16, 12, 8, 6, 5, 4,
+                                   3, 2.5, 2, 1.5, 1.25, 1)}))
 
 
 def _pick_tier(used: int, cap: int) -> int:
@@ -141,63 +152,64 @@ def _pick_tier(used: int, cap: int) -> int:
     return cap
 
 
-_ARENA_DTYPES = {"u8": np.uint8, "u32": np.uint32}
-
-
-def _arena_views(cfg: SeqConfig, n: int, arenas: dict):
-    """Writable numpy views into one shard's 1-D arenas:
-    (planes, extras, pools).
-
-    Also allocates the per-plane `slot` scratch arrays the C planner writes
-    through — plain host memory, not part of any upload arena (the device
-    recomputes slots from meta)."""
-    groups, _totals, pinfo = _arena_entries(cfg, n)
-    planes = [dict() for _ in cfg.block_grids]
-    extras = {}
-    for g, entries in groups.items():
-        for name, pi, shape, off, elems in entries:
-            view = arenas[g][off:off + elems].reshape(shape)
-            if pi >= 0:
-                planes[pi][name] = view
-            else:
-                extras[name] = view
-    for pi, (bh, bw) in enumerate(cfg.block_grids):
-        planes[pi]["slot"] = np.zeros((n, bh, bw), np.uint32)
-    rc, dcp = pinfo["raw_cap"], pinfo["desc_cap"]
-    pools = {
-        "raw": arenas["u8"][pinfo["raw_off"]:
-                            pinfo["raw_off"] + rc * n * 16
-                            ].reshape(rc, n, 16),
-        "desc": arenas["u32"][pinfo["desc_off"]:
-                              pinfo["desc_off"] + dcp * n].reshape(dcp, n),
-    }
-    return planes, extras, pools
-
-
 def _unpack_arena(cfg: SeqConfig, n: int, arenas: dict,
-                  raw_cap: int, desc_cap: int):
-    """In-jit: typed arenas → (plane plan dicts, new_nest, is_i, is_ref).
+                  raw_cap: int, desc_cap: int, mv_mode: int, has_nest: bool):
+    """In-jit: staging buffers → (plane plan dicts, new_nest|None, is_i,
+    is_ref).
 
-    `raw_cap`/`desc_cap` are the upload tier's pool capacities (static).
-    Pool payloads are materialized in the device core's plane-layout
-    contract (raw as (n, H, W) pixels, desc component-major (n, 4, bh, bw))
-    by gathers straight from the flat pool regions — no intermediate ever
+    Variant parameters are static (one compiled step per variant). Pool
+    payloads are materialized in the device core's plane-layout contract
+    (raw as (n, H, W) pixels, desc component-major (n, 4, bh, bw)) by
+    gathers straight from the flat pool regions — no intermediate ever
     carries a trailing dim of 4/16 (TPU tiling would pad it to 128).
     """
-    groups, _totals, pinfo = _arena_entries(cfg, n)
+    u8l, u32l, _s8, _s32 = _layout(cfg, n, raw_cap, desc_cap,
+                                   mv_mode, has_nest)
+
+    def fld(group, lay, name):
+        off, shape = lay[name]
+        elems = int(np.prod(shape))
+        return jax.lax.slice(arenas[group], (off,),
+                             (off + elems,)).reshape(shape)
+
+    sra = device_core._sra
     planes = [dict() for _ in cfg.block_grids]
-    extras = {}
-    for g, entries in groups.items():
-        for name, pi, shape, off, elems in entries:
-            arr = jax.lax.slice(arenas[g], (off,), (off + elems,)).reshape(shape)
-            if pi >= 0:
-                planes[pi][name] = arr
-            else:
-                extras[name] = arr
-    ro, do = pinfo["raw_off"], pinfo["desc_off"]
-    # flat pool regions; element layouts (slot, stream, 16) and (slot, stream)
-    raw_flat = jax.lax.slice(arenas["u8"], (ro,), (ro + raw_cap * n * 16,))
-    desc_flat = jax.lax.slice(arenas["u32"], (do,), (do + desc_cap * n,))
+    # meta+dc: two blocks per u32 (dc1<<24 | meta1<<16 | dc0<<8 | meta0)
+    for pi, (bh, bw) in enumerate(cfg.block_grids):
+        w = fld("u32", u32l, f"md{pi}")
+        m = jnp.stack([w & 0xFF, (w >> 16) & 0xFF], axis=-1)
+        d = jnp.stack([(w >> 8) & 0xFF, (w >> 24) & 0xFF], axis=-1)
+        bwp = w.shape[-1]
+        planes[pi]["meta"] = m.reshape(n, bh, 2 * bwp)[:, :, :bw].astype(
+            jnp.uint8)
+        planes[pi]["dc"] = d.reshape(n, bh, 2 * bwp)[:, :, :bw].astype(
+            jnp.uint8)
+
+    # motion vectors at MB resolution, component-major (n, 2, mh, mw) i32
+    mh, mw = cfg.mb_grid
+    if mv_mode == _MV_NONE:
+        z = jnp.zeros((n, mh, mw), jnp.int32)
+        mvc = {"mv": (z, z), "mv2": (z, z)}
+    elif mv_mode == _MV_PACKED:
+        w = fld("u32", u32l, "mvp").astype(jnp.int32)
+
+        def s8(k):
+            b = sra(w, 8 * k) & 0xFF
+            return b - ((b & 0x80) << 1)
+
+        mvc = {"mv": (s8(0), s8(1)), "mv2": (s8(2), s8(3))}
+    else:
+        mvc = {}
+        for key in ("mv", "mv2"):
+            v = fld("u32", u32l, key).astype(jnp.int32)
+            mvc[key] = (sra(v << 16, 16), sra(v, 16))
+
+    extras = {name: fld("u8", u8l, name) for name in ("is_i", "is_ref")}
+    new_nest = fld("u8", u8l, "new_nest") if has_nest else None
+
+    # flat pool regions at offset 0; layouts (stream, slot, 16) / (stream, slot)
+    raw_flat = jax.lax.slice(arenas["u8"], (0,), (raw_cap * n * 16,))
+    desc_flat = jax.lax.slice(arenas["u32"], (0,), (desc_cap * n,))
     sidx = jnp.arange(n, dtype=jnp.int32)
 
     slots = _derive_slots(cfg, n, [pp["meta"] for pp in planes])
@@ -211,27 +223,22 @@ def _unpack_arena(cfg: SeqConfig, n: int, arenas: dict,
         # raw: one gather lands the pixels directly in plane layout
         slot_up = jax.vmap(lambda s: jnp.take(s.reshape(-1), blk))(slot)
         k = (y & 3) * 4 + (x & 3)
-        ridx = (slot_up * n + sidx[:, None, None]) * 16 + k[None]
+        ridx = (sidx[:, None, None] * raw_cap + slot_up) * 16 + k[None]
         pp["raw"] = jnp.take(raw_flat, ridx)
         # desc: (n, 4, bh, bw) component-major
         start = jnp.clip(slots[pi].astype(jnp.int32), 0, desc_cap - 1)
         didx = jnp.clip(start[:, None] + jnp.arange(
             4, dtype=jnp.int32)[None, :, None, None], 0, desc_cap - 1)
         pp["desc"] = jnp.take(desc_flat,
-                              didx * n + sidx[:, None, None, None])
-        # motion vectors stay at MB resolution: unpack the per-MB u32
-        # (y16 << 16 | x16) into component-major (n, 2, mh, mw) i32 and
-        # apply the chroma half-pel value shift (tiny grids — cheap)
+                              sidx[:, None, None, None] * desc_cap + didx)
+        # chroma half-pel value shift on the shared MB-resolution vectors
         chroma_mb = pi > 0 and cfg.h_samp == 2
-        sra = device_core._sra
         for key in ("mv", "mv2"):
-            v = extras[key].astype(jnp.int32)
-            mvx = sra(v << 16, 16)
-            mvy = sra(v, 16)
+            mvx, mvy = mvc[key]
             if chroma_mb:
                 mvx, mvy = sra(mvx, 1), sra(mvy, 1)
             pp[key] = jnp.stack([mvx, mvy], axis=1)
-    return planes, extras["new_nest"], extras["is_i"] != 0, extras["is_ref"] != 0
+    return planes, new_nest, extras["is_i"] != 0, extras["is_ref"] != 0
 
 
 def _derive_slots(cfg: SeqConfig, n: int, metas: list):
@@ -269,7 +276,8 @@ def _derive_slots(cfg: SeqConfig, n: int, metas: list):
 
 def _step_body(plane_plans: list, nest, new_nest, is_i, is_ref,
                ref_prev: list, ref_last: list):
-    nest = jnp.where(is_i[:, None, None], new_nest, nest)
+    if new_nest is not None:  # None: statically no I frame in the step
+        nest = jnp.where(is_i[:, None, None], new_nest, nest)
     frames = []
     for pi, plans in enumerate(plane_plans):
         frames.append(jax.vmap(device_core.decode_plane_inter)(
@@ -296,7 +304,7 @@ def multi_frame_step(plane_plans: list, nest, new_nest, is_i, is_ref,
 
 
 def _run_steps(cfg: SeqConfig, n: int, k_steps: int,
-               raw_cap: int, desc_cap: int,
+               raw_cap: int, desc_cap: int, mv_mode: int, has_nest: bool,
                arenas, nest, ref_prev, ref_last):
     """The shared step body (single-chip jit AND per-shard under shard_map):
     1-D typed arenas for n*k_steps virtual streams → K sequential lock-step
@@ -312,7 +320,7 @@ def _run_steps(cfg: SeqConfig, n: int, k_steps: int,
     """
     nv = n * k_steps
     plane_plans, new_nest, is_i, is_ref = _unpack_arena(
-        cfg, nv, arenas, raw_cap, desc_cap)
+        cfg, nv, arenas, raw_cap, desc_cap, mv_mode, has_nest)
     if k_steps == 1:
         return _step_body(plane_plans, nest, new_nest, is_i, is_ref,
                           ref_prev, ref_last)
@@ -336,12 +344,13 @@ def _run_steps(cfg: SeqConfig, n: int, k_steps: int,
 
 @functools.lru_cache(maxsize=None)
 def _arena_step(cfg: SeqConfig, n: int, k_steps: int,
-                raw_cap: int, desc_cap: int):
-    """Jitted production step for one (pool tier, fused-K) shape."""
+                raw_cap: int, desc_cap: int, mv_mode: int, has_nest: bool):
+    """Jitted production step for one (pool tier, mv mode, nest, K) variant."""
 
     @functools.partial(jax.jit, donate_argnums=(1, 2, 3))
     def step(arenas, nest, ref_prev, ref_last):
         return _run_steps(cfg, n, k_steps, raw_cap, desc_cap,
+                          mv_mode, has_nest,
                           arenas, nest, ref_prev, ref_last)
 
     return step
@@ -349,7 +358,8 @@ def _arena_step(cfg: SeqConfig, n: int, k_steps: int,
 
 @functools.lru_cache(maxsize=None)
 def _arena_step_sharded(cfg: SeqConfig, n_local: int, k_steps: int,
-                        raw_cap: int, desc_cap: int, mesh, axis: str):
+                        raw_cap: int, desc_cap: int, mv_mode: int,
+                        has_nest: bool, mesh, axis: str):
     """Jitted mesh step: `jax.shard_map` of the SAME `_run_steps` body over
     the stream-carrying mesh axis. Each shard sees one (1, arena_len) row —
     its own single-chip-layout arenas for n_local streams — plus its
@@ -360,6 +370,7 @@ def _arena_step_sharded(cfg: SeqConfig, n_local: int, k_steps: int,
     def local_fn(arenas, nest, ref_prev, ref_last):
         arenas = {g: a.reshape(-1) for g, a in arenas.items()}
         return _run_steps(cfg, n_local, k_steps, raw_cap, desc_cap,
+                          mv_mode, has_nest,
                           arenas, nest, ref_prev, ref_last)
 
     st = P(axis)
@@ -436,51 +447,69 @@ class MultiStreamDecoder:
                          for h, w in cfg.plane_shapes]
         self.ref_last = [dev(np.zeros((self.n, h, w), np.uint8))
                          for h, w in cfg.plane_shapes]
-        # ping-pong host arenas (avoid racing an in-flight transfer), one row
-        # per shard. Each row is sized for n_local * K VIRTUAL streams: with
-        # fused K-step dispatch, step k's plans occupy a shard's virtual
-        # slots [k*n_local, (k+1)*n_local) (see `_slot`)
+        # ping-pong host staging buffers (avoid racing an in-flight
+        # transfer), one row per shard, sized for the max variant (full
+        # pools, wide vectors, nest). Each row serves n_local * K VIRTUAL
+        # streams: with fused K-step dispatch, step k's plans occupy a
+        # shard's virtual slots [k*n_local, (k+1)*n_local) (see `_slot`).
+        # The planner writes the sparse pools directly into the staging
+        # base (offset 0) and meta/dc/mv/nest into separate scratch arrays;
+        # `_assemble` packs the scratch into the variant layout after the
+        # step's tiers/modes are known.
         nvl = self._n_local * self._k
         self._nvl = nvl
-        _groups, totals, pinfo = _arena_entries(cfg, nvl)
-        self._pinfo = pinfo
-        arena_totals = {
-            "u8": totals["u8"] + pinfo["raw_cap"] * nvl * 16,
-            "u32": totals["u32"] + pinfo["desc_cap"] * nvl,
-        }
-        self._fixed = totals
+        rcap, dcap = _pool_caps(cfg)
+        self._raw_cap_full, self._desc_cap_full = rcap, dcap
+        _u8l, _u32l, max8, max32 = _layout(cfg, nvl, rcap, dcap,
+                                           _MV_WIDE, True)
+        mh, mw = cfg.mb_grid
         native = hasattr(self.planner, "prepare")
         if native:
             from ..native import StepPlanner, make_pool_struct
         self._bufs = []
         for _ in range(2):
-            arenas = {g: np.zeros((self._shards, t), _ARENA_DTYPES[g])
-                      for g, t in arena_totals.items()}
+            staging = {"u8": np.zeros((self._shards, max8), np.uint8),
+                       "u32": np.zeros((self._shards, max32), np.uint32)}
             shards = []
             stream_views = []
             pool_structs = []
             for s in range(self._shards):
-                planes, extras, pools = _arena_views(
-                    cfg, nvl, {g: a[s] for g, a in arenas.items()})
-                shards.append({"planes": planes, "pools": pools, **extras})
+                planes = [{"meta": np.zeros((nvl, bh, bw), np.uint8),
+                           "dc": np.full((nvl, bh, bw), 128, np.uint8),
+                           "slot": np.zeros((nvl, bh, bw), np.uint32)}
+                          for bh, bw in cfg.block_grids]
+                # per-stream CONTIGUOUS pool scratch (planner stride 1);
+                # `_assemble` copies each stream's exact used prefix into
+                # the staging tier region
+                pools = {
+                    "raw": np.zeros((nvl, rcap, 16), np.uint8),
+                    "desc": np.zeros((nvl, dcap), np.uint32),
+                }
+                sh = {"planes": planes, "pools": pools,
+                      "new_nest": np.zeros((nvl, nh, nw), np.uint8),
+                      "mv": np.zeros((nvl, mh, mw), np.uint32),
+                      "mv2": np.zeros((nvl, mh, mw), np.uint32),
+                      "is_i": np.zeros(nvl, np.uint8),
+                      "is_ref": np.zeros(nvl, np.uint8)}
+                shards.append(sh)
                 # per-slot view dicts are stable: precompute once so the
                 # planning hot loop is a bare ctypes call (GIL-released C++)
                 stream_views.extend(
                     ([{k: pp[k][lv] for k in _PLANE_KEYS} for pp in planes],
-                     extras["new_nest"][lv], extras["mv"][lv],
-                     extras["mv2"][lv])
+                     sh["new_nest"][lv], sh["mv"][lv], sh["mv2"][lv])
                     for lv in range(nvl))
                 if native:
                     pool_structs.extend(
                         make_pool_struct(
-                            pools["raw"][:, lv, :], pools["desc"][:, lv],
-                            raw_stride=nvl * 16, desc_stride=nvl,
-                            raw_cap=pinfo["raw_cap"],
-                            desc_cap=pinfo["desc_cap"])
+                            pools["raw"][lv], pools["desc"][lv],
+                            raw_stride=16, desc_stride=1,
+                            raw_cap=rcap, desc_cap=dcap)
                         for lv in range(nvl))
-            buf = {"arenas": arenas, "shards": shards,
+            buf = {"staging": staging, "shards": shards,
                    "stream_views": stream_views,
-                   "raw_used": 0, "desc_used": 0}
+                   "raw_used": 0, "desc_used": 0,
+                   "slot_used": np.zeros((self._shards * nvl, 2), np.int64),
+                   "variant": None, "sizes": None}
             if native:
                 buf["step_planner"] = StepPlanner(
                     self.planner, self._shards * nvl, stream_views,
@@ -523,6 +552,11 @@ class MultiStreamDecoder:
         for pp in sh["planes"]:
             pp["meta"][lv] = 0
             pp["dc"][lv] = 128
+        # stale vectors from the buffer's previous use must not force the
+        # step into a wider mv variant (the device masks them, but
+        # `_assemble` picks the encoding by scanning values)
+        sh["mv"][lv] = 0
+        sh["mv2"][lv] = 0
         sh["is_i"][lv] = 0
         sh["is_ref"][lv] = 0
 
@@ -542,7 +576,7 @@ class MultiStreamDecoder:
             is_raw = (p.cls == 0) & (p.mode == 6)
             slot = np.zeros(p.mode.shape, np.uint32)
             for (by, bx) in zip(*np.nonzero(is_raw)):
-                sh["pools"]["raw"][raw_slot, lv] = p.raw[by, bx]
+                sh["pools"]["raw"][lv, raw_slot] = p.raw[by, bx]
                 slot[by, bx] = raw_slot
                 raw_slot += 1
             counts = np.where(((p.cls == 0) & (p.mode >= 1) & (p.mode <= 4))
@@ -550,7 +584,7 @@ class MultiStreamDecoder:
             for (by, bx) in zip(*np.nonzero(counts)):
                 k = int(counts[by, bx])
                 slot[by, bx] = desc_slot
-                sh["pools"]["desc"][desc_slot:desc_slot + k, lv] = \
+                sh["pools"]["desc"][lv, desc_slot:desc_slot + k] = \
                     desc_blk[by, bx, :k]
                 desc_slot += k
             pp["slot"][lv] = slot
@@ -574,7 +608,9 @@ class MultiStreamDecoder:
         buf = self._bufs[self._cur]
         buf["raw_used"] = 0
         buf["desc_used"] = 0
+        buf["slot_used"][:] = 0
         buf, metas, valid = self._plan_super(buf)
+        self._assemble(buf)
         if self._k == 1:
             return buf, metas[0], valid[0]
         return buf, metas, valid
@@ -629,6 +665,8 @@ class MultiStreamDecoder:
                 fchar = job[0]
                 fout = sp.fouts[v]
                 self._set_flags(buf, v, fchar)
+                buf["slot_used"][v] = (int(fout.raw_used),
+                                       int(fout.desc_used))
                 buf["raw_used"] = max(buf["raw_used"], int(fout.raw_used))
                 buf["desc_used"] = max(buf["desc_used"], int(fout.desc_used))
                 metas[k][si] = FrameMeta(fchar, int(fout.display_id))
@@ -657,6 +695,7 @@ class MultiStreamDecoder:
     def _plan_into(self, buf, v: int, fchar: str, payload: bytes) -> FrameMeta:
         plan: FramePlan = self.planner.plan_frame(fchar, payload)
         raw_used, desc_used = self._pack_sparse(buf, v, plan)
+        buf["slot_used"][v] = (raw_used, desc_used)
         buf["raw_used"] = max(buf["raw_used"], raw_used)
         buf["desc_used"] = max(buf["desc_used"], desc_used)
         if plan.nest is not None:
@@ -664,56 +703,126 @@ class MultiStreamDecoder:
             sh["new_nest"][lv] = plan.nest
         return FrameMeta(fchar, plan.display_id)
 
-    # -- device half -----------------------------------------------------------
+    # -- assembly + device half ------------------------------------------------
 
-    def arena_cuts(self, buf):
-        """(raw_cap, desc_cap, cut8, cut32) for a planned step: the pool
-        upload tier and the arena-row element prefixes `device_step`
-        transfers. The ONE definition of the prefix formula (measurement
-        scripts use it too — keep them honest when the layout changes)."""
-        raw_cap = _pick_tier(buf["raw_used"], self._pinfo["raw_cap"])
-        desc_cap = _pick_tier(buf["desc_used"], self._pinfo["desc_cap"])
-        cut8 = self._fixed["u8"] + raw_cap * self._nvl * 16
-        cut32 = self._fixed["u32"] + desc_cap * self._nvl
-        return raw_cap, desc_cap, cut8, cut32
+    def _assemble(self, buf) -> None:
+        """Post-planning: pick the step's variant (pool tiers, mv encoding,
+        nest presence) and pack the scratch fields into the staging
+        buffers: each stream's pools at their exact used lengths into the
+        tier regions, then the packed dense fields after the pool cut."""
+        cfg, nvl = self.cfg, self._nvl
+        raw_cap = _pick_tier(buf["raw_used"], self._raw_cap_full)
+        desc_cap = _pick_tier(buf["desc_used"], self._desc_cap_full)
+        has_nest = any(bool(sh["is_i"].any()) for sh in buf["shards"])
+        mv_mode = _MV_NONE
+        for sh in buf["shards"]:
+            for key in ("mv", "mv2"):
+                v = sh[key]
+                if not v.any():
+                    continue
+                x = (v.view(np.int32) << 16) >> 16
+                y = v.view(np.int32) >> 16
+                if (x.min() >= -128 and x.max() <= 127
+                        and y.min() >= -128 and y.max() <= 127):
+                    mv_mode = max(mv_mode, _MV_PACKED)
+                else:
+                    mv_mode = _MV_WIDE
+        u8l, u32l, size8, size32 = _layout(cfg, nvl, raw_cap, desc_cap,
+                                           mv_mode, has_nest)
+        st8, st32 = buf["staging"]["u8"], buf["staging"]["u32"]
+
+        def put(st, s, lay, name, arr):
+            off, _shape = lay[name]
+            st[s, off:off + arr.size] = arr.reshape(-1)
+
+        for s, sh in enumerate(buf["shards"]):
+            # pool regions: stream-major (n, cap, ...), exact used prefixes
+            rp, dp = sh["pools"]["raw"], sh["pools"]["desc"]
+            for lv in range(nvl):
+                ru, du = buf["slot_used"][s * nvl + lv]
+                if ru:
+                    b0 = lv * raw_cap * 16
+                    st8[s, b0:b0 + ru * 16] = rp[lv, :ru].reshape(-1)
+                if du:
+                    b0 = lv * desc_cap
+                    st32[s, b0:b0 + du] = dp[lv, :du]
+            if has_nest:
+                put(st8, s, u8l, "new_nest", sh["new_nest"])
+            put(st8, s, u8l, "is_i", sh["is_i"])
+            put(st8, s, u8l, "is_ref", sh["is_ref"])
+            for pi, (bh, bw) in enumerate(cfg.block_grids):
+                m = sh["planes"][pi]["meta"]
+                d = sh["planes"][pi]["dc"]
+                if bw & 1:  # odd block width: pad the pair axis
+                    pad = [(0, 0), (0, 0), (0, 1)]
+                    m = np.pad(m, pad)
+                    d = np.pad(d, pad)
+                w = (m[..., 0::2].astype(np.uint32)
+                     | (d[..., 0::2].astype(np.uint32) << 8)
+                     | (m[..., 1::2].astype(np.uint32) << 16)
+                     | (d[..., 1::2].astype(np.uint32) << 24))
+                put(st32, s, u32l, f"md{pi}", w)
+            if mv_mode == _MV_PACKED:
+                v, v2 = sh["mv"], sh["mv2"]
+                # low byte of each s16 half IS its s8 encoding (range checked)
+                w = ((v & 0xFF) | (((v >> 16) & 0xFF) << 8)
+                     | ((v2 & 0xFF) << 16) | (((v2 >> 16) & 0xFF) << 24))
+                put(st32, s, u32l, "mvp", w)
+            elif mv_mode == _MV_WIDE:
+                put(st32, s, u32l, "mv", sh["mv"])
+                put(st32, s, u32l, "mv2", sh["mv2"])
+        buf["variant"] = (raw_cap, desc_cap, mv_mode, has_nest)
+        buf["sizes"] = (size8, size32)
+
+    def snapshot_step(self, buf):
+        """Minimal copyable upload payload of a planned step — what
+        measurement scripts store to replay `device_step` without live
+        planning. Holds only the transferred staging prefixes (peak RSS
+        stays independent of clip length)."""
+        size8, size32 = buf["sizes"]
+        return {"staging": {"u8": buf["staging"]["u8"][:, :size8].copy(),
+                            "u32": buf["staging"]["u32"][:, :size32].copy()},
+                "variant": buf["variant"], "sizes": buf["sizes"]}
 
     def device_step(self, buf):
         """Batched decode of one planned step + state rotation — ONE code
-        path: two typed-arena uploads (vs ~20 per-field ones) with the
-        sparse pool regions truncated to the used tier, then the jitted
-        arena step (wrapped in shard_map when a mesh sharding is set).
+        path: two typed staging uploads (u8 + u32) truncated to the step
+        variant's size, then the jitted arena step (wrapped in shard_map
+        when a mesh sharding is set). Accepts a live ping-pong buffer or a
+        `snapshot_step` payload.
 
         With fused dispatch (K > 1) the returned frames are stacked
         per step: [3 x (K, n, H, W)]."""
-        raw_cap, desc_cap, cut8, cut32 = self.arena_cuts(buf)
-        h8 = buf["arenas"]["u8"][:, :cut8]
-        h32 = buf["arenas"]["u32"][:, :cut32]
+        raw_cap, desc_cap, mv_mode, has_nest = buf["variant"]
+        size8, size32 = buf["sizes"]
+        h8 = buf["staging"]["u8"][:, :size8]
+        h32 = buf["staging"]["u32"][:, :size32]
         if self.sharding is None:
             # single shard: rows are contiguous, upload 1-D views
             h8r, h32r = h8[0], h32[0]
             if jax.default_backend() == "cpu":
                 # the CPU backend may zero-copy-alias aligned numpy buffers;
-                # the ping-pong arena is rewritten two steps later, so hand
-                # the device a private copy (TPU always transfers)
+                # the ping-pong staging is rewritten two steps later, so
+                # hand the device a private copy (TPU always transfers)
                 h8r, h32r = h8r.copy(), h32r.copy()
             arenas = {"u8": jnp.asarray(h8r), "u32": jnp.asarray(h32r)}
             step_fn = _arena_step(self.cfg, self.n, self._k,
-                                  raw_cap, desc_cap)
+                                  raw_cap, desc_cap, mv_mode, has_nest)
         else:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             if jax.default_backend() == "cpu":
                 # same zero-copy-aliasing hazard as the single-shard branch:
                 # the CPU PJRT client may alias aligned host buffers, and the
-                # ping-pong arena is rewritten two steps later while an async
-                # sharded step can still be reading it
+                # ping-pong staging is rewritten two steps later while an
+                # async sharded step can still be reading it
                 h8, h32 = h8.copy(), h32.copy()
             ash = NamedSharding(self._mesh, P(self._axis, None))
             arenas = {"u8": jax.device_put(h8, ash),
                       "u32": jax.device_put(h32, ash)}
             step_fn = _arena_step_sharded(
                 self.cfg, self._n_local, self._k, raw_cap, desc_cap,
-                self._mesh, self._axis)
+                mv_mode, has_nest, self._mesh, self._axis)
         frames, self.nest, self.ref_prev, self.ref_last = step_fn(
             arenas, self.nest, self.ref_prev, self.ref_last)
         return frames

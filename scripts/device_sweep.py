@@ -21,7 +21,6 @@ in the clean window):
 from __future__ import annotations
 
 import argparse
-import copy
 import json
 import os
 import pathlib
@@ -60,24 +59,14 @@ def main() -> None:
     frames = 0
     while any(ms.active):
         buf, _metas, valid = ms.plan_step()
-        # snapshot only the uploaded prefixes (the pool tails beyond the
-        # tier are never transferred, so copying them wastes GBs of RAM
-        # on long clips)
-        _rc, _dc, cut8, cut32 = ms.arena_cuts(buf)
-        bufs.append({"arenas": {
-            "u8": copy.deepcopy(buf["arenas"]["u8"][:, :cut8]),
-            "u32": copy.deepcopy(buf["arenas"]["u32"][:, :cut32])},
-            "raw_used": buf["raw_used"],
-            "desc_used": buf["desc_used"]})
+        # snapshot only the uploaded staging prefixes (pool tails beyond
+        # the tier are never transferred; RAM stays clip-length-independent)
+        bufs.append(ms.snapshot_step(buf))
         ms._cur ^= 1
         frames += int(np.sum(valid))
     steps = len(bufs)
-    cuts = ms.arena_cuts
 
-    step_bytes = []
-    for buf in bufs:
-        _rc, _dc, cut8, cut32 = cuts(buf)
-        step_bytes.append(cut8 + cut32 * 4)
+    step_bytes = [b["sizes"][0] + b["sizes"][1] * 4 for b in bufs]
     mb_per_step = sum(step_bytes) / steps / 1e6
 
     # ---- warm every tier's executable (compile/persistent-cache load) -----
@@ -102,20 +91,19 @@ def main() -> None:
     # ---- compute-only: pre-stage every step's arenas on device -------------
     staged = []
     for buf in bufs:
-        raw_cap, desc_cap, cut8, cut32 = cuts(buf)
         aren = {
-            "u8": jnp.asarray(buf["arenas"]["u8"][0, :cut8]),
-            "u32": jnp.asarray(buf["arenas"]["u32"][0, :cut32]),
+            "u8": jnp.asarray(buf["staging"]["u8"][0]),
+            "u32": jnp.asarray(buf["staging"]["u32"][0]),
         }
         jax.block_until_ready(aren)
-        staged.append((aren, raw_cap, desc_cap))
+        staged.append((aren, buf["variant"]))
     compute_s = []
     for _ in range(args.repeat):
         ms4 = make_ms()
         t0 = time.perf_counter()
         last = None
-        for aren, raw_cap, desc_cap in staged:
-            step_fn = _arena_step(cfg, n, ms._k, raw_cap, desc_cap)
+        for aren, variant in staged:
+            step_fn = _arena_step(cfg, n, ms._k, *variant)
             out_frames, ms4.nest, ms4.ref_prev, ms4.ref_last = step_fn(
                 aren, ms4.nest, ms4.ref_prev, ms4.ref_last)
             last = out_frames
@@ -131,10 +119,9 @@ def main() -> None:
         for _ in range(args.repeat):
             t0 = time.perf_counter()
             for buf in bufs:
-                _rc, _dc, cut8, cut32 = cuts(buf)
                 jax.block_until_ready([
-                    jnp.asarray(buf["arenas"]["u8"][0, :cut8]),
-                    jnp.asarray(buf["arenas"]["u32"][0, :cut32])])
+                    jnp.asarray(buf["staging"]["u8"][0]),
+                    jnp.asarray(buf["staging"]["u32"][0])])
             upload_s.append(time.perf_counter() - t0)
         upload = min(upload_s)
 

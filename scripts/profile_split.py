@@ -44,18 +44,19 @@ while any(ms.active):
     t_plan += time.perf_counter() - t
 
     t = time.perf_counter()
-    raw_cap, desc_cap, cut8, cut32 = ms.arena_cuts(buf)
-    h8, h32 = buf["arenas"]["u8"][0, :cut8], buf["arenas"]["u32"][0, :cut32]
+    size8, size32 = buf["sizes"]
+    h8 = buf["staging"]["u8"][0, :size8]
+    h32 = buf["staging"]["u32"][0, :size32]
     if jax.default_backend() == "cpu":
         # same zero-copy aliasing guard as device_step: the ping-pong
-        # arena is rewritten two steps later
+        # staging is rewritten two steps later
         h8, h32 = h8.copy(), h32.copy()
     arenas = {"u8": jnp.asarray(h8), "u32": jnp.asarray(h32)}
-    bytes_up += cut8 + cut32 * 4
+    bytes_up += size8 + size32 * 4
     t_xfer += time.perf_counter() - t
 
     t = time.perf_counter()
-    step_fn = _arena_step(ms.cfg, ms.n, 1, raw_cap, desc_cap)
+    step_fn = _arena_step(ms.cfg, ms.n, 1, *buf["variant"])
     frames, ms.nest, ms.ref_prev, ms.ref_last = step_fn(
         arenas, ms.nest, ms.ref_prev, ms.ref_last)
     t_step += time.perf_counter() - t
