@@ -236,9 +236,16 @@ def cmd_encode(args) -> int:
 
 def cmd_verify(args) -> int:
     """Decode via the JAX and NumPy backends (and the C oracle when built)
-    and compare byte-for-byte — a user-facing conformance check."""
+    and compare byte-for-byte — a user-facing conformance check.
+
+    With --device, checks the batched production path instead using the
+    ON-DEVICE position-weighted checksum (`oracle --csum` == frame_csum):
+    only 4 bytes/frame leave the device, so the check is cheap enough to
+    run routinely on real hardware behind thin links."""
     data = Path(args.clip).read_bytes()
     cfg = Demuxer(data).info.cfg
+    if getattr(args, "device", False):
+        return _verify_device(cfg, data, Path(args.clip))
     results = {}
     for backend in ("numpy", "jax"):
         sess = DecoderSession(cfg, backend=backend)
@@ -261,6 +268,46 @@ def cmd_verify(args) -> int:
         ok = ok and oracle_ok
     else:
         print("C oracle not built (make -C oracle) — skipped")
+    return 0 if ok else 1
+
+
+def _verify_device(cfg, data: bytes, clip_path: Path) -> int:
+    """Batched-path bit-exactness via on-device checksums vs the C oracle
+    (falls back to the host NumPy golden decoder when the oracle isn't
+    built)."""
+    import jax
+    import numpy as np
+
+    from .parallel.multistream import MultiStreamDecoder
+    from .planner import default_planner_factory
+    from .utils.hashing import frame_csum, wsum32
+
+    oracle = Path(__file__).resolve().parent.parent / "oracle" / "hvqm4_oracle"
+    want = None
+    golden = "C oracle"
+    if oracle.exists():
+        import subprocess
+
+        res = subprocess.run([str(oracle), "--csum", str(clip_path),
+                              "/dev/null"],
+                             check=True, capture_output=True, text=True)
+        want = [line.split("csum=")[1] for line in res.stdout.splitlines()
+                if "csum=" in line]
+    else:
+        golden = "NumPy golden"
+        sess = DecoderSession(cfg, backend="numpy")
+        want = [f"{wsum32(f.yuv_bytes()):08x}" for f in sess.decode_clip(data)]
+
+    csum_jit = jax.jit(jax.vmap(lambda y, u, v: frame_csum([y, u, v])))
+    ms = MultiStreamDecoder(cfg, [data],
+                            planner_factory=default_planner_factory())
+    got = []
+    for frames, _metas, valid in ms.run_pipelined():
+        if valid[0]:
+            got.append(f"{int(np.asarray(csum_jit(*frames))[0]):08x}")
+    ok = got == want
+    print(f"device decode vs {golden} ({len(want)} frames, on-device "
+          f"checksum): {'MATCH' if ok else 'MISMATCH'}")
     return 0 if ok else 1
 
 
@@ -354,6 +401,9 @@ def main(argv=None) -> int:
 
     p = sub.add_parser("verify")
     p.add_argument("clip")
+    p.add_argument("--device", action="store_true",
+                   help="check the batched production path via on-device "
+                        "checksums (4 bytes/frame d2h)")
     p.set_defaults(fn=cmd_verify)
 
     args = ap.parse_args(argv)

@@ -90,6 +90,14 @@ def test_cli_verify(capsys, clip_path, oracle_bin):
     assert out.count("MATCH") == 2 and "MISMATCH" not in out
 
 
+def test_cli_verify_device(capsys, clip_path, oracle_bin):
+    """--device checks the batched production path with the on-device
+    checksum (`oracle --csum` == utils.hashing.frame_csum)."""
+    assert cli.main(["verify", str(clip_path), "--device"]) == 0
+    out = capsys.readouterr().out
+    assert "on-device checksum" in out and "MISMATCH" not in out
+
+
 def test_cli_transcode_roundtrip(tmp_path, clip_path, oracle_bin):
     """transcode re-encodes a decoded clip (audio remuxed) into a stream
     every implementation still decodes; geometry and frame count survive."""
