@@ -40,6 +40,13 @@ def main() -> None:
                     help="timed passes per phase; best is reported")
     ap.add_argument("--skip-upload", action="store_true",
                     help="skip the upload-only phase (saves leak budget)")
+    ap.add_argument("--phase", choices=["all", "full", "compute", "upload"],
+                    default="all",
+                    help="measure one phase only — at >=32 streams a "
+                         "single process running every phase exceeds the "
+                         "axon tunnel's ~1-2 GB cumulative-transfer wedge "
+                         "boundary; run each phase in its own process "
+                         "(VERDICT r2 next-round #5)")
     args = ap.parse_args()
     n = args.n_streams
 
@@ -70,51 +77,55 @@ def main() -> None:
     mb_per_step = sum(step_bytes) / steps / 1e6
 
     # ---- warm every tier's executable (compile/persistent-cache load) -----
-    ms2 = make_ms()
-    last = None
-    for buf in bufs:
-        last = ms2.device_step(buf)
-    jax.block_until_ready(last)
-
-    # ---- full device phase (upload + dispatch + compute) -------------------
-    full_s = []
-    for _ in range(args.repeat):
-        ms3 = make_ms()
-        t0 = time.perf_counter()
+    full = None
+    if args.phase in ("all", "full"):
+        ms2 = make_ms()
         last = None
         for buf in bufs:
-            last = ms3.device_step(buf)
+            last = ms2.device_step(buf)
         jax.block_until_ready(last)
-        full_s.append(time.perf_counter() - t0)
-    full = min(full_s)
+
+        # ---- full device phase (upload + dispatch + compute) ---------------
+        full_s = []
+        for _ in range(args.repeat):
+            ms3 = make_ms()
+            t0 = time.perf_counter()
+            last = None
+            for buf in bufs:
+                last = ms3.device_step(buf)
+            jax.block_until_ready(last)
+            full_s.append(time.perf_counter() - t0)
+        full = min(full_s)
 
     # ---- compute-only: pre-stage every step's arenas on device -------------
-    staged = []
-    for buf in bufs:
-        aren = {
-            "u8": jnp.asarray(buf["staging"]["u8"][0]),
-            "u32": jnp.asarray(buf["staging"]["u32"][0]),
-        }
-        jax.block_until_ready(aren)
-        staged.append((aren, buf["variant"]))
-    compute_s = []
-    for _ in range(args.repeat):
-        ms4 = make_ms()
-        t0 = time.perf_counter()
-        last = None
-        for aren, variant in staged:
-            step_fn = _arena_step(cfg, n, ms._k, *variant)
-            out_frames, ms4.nest, ms4.ref_prev, ms4.ref_last = step_fn(
-                aren, ms4.nest, ms4.ref_prev, ms4.ref_last)
-            last = out_frames
-        jax.block_until_ready(last)
-        compute_s.append(time.perf_counter() - t0)
-    compute = min(compute_s)
-    del staged
+    compute = None
+    if args.phase in ("all", "compute"):
+        staged = []
+        for buf in bufs:
+            aren = {
+                "u8": jnp.asarray(buf["staging"]["u8"][0]),
+                "u32": jnp.asarray(buf["staging"]["u32"][0]),
+            }
+            jax.block_until_ready(aren)
+            staged.append((aren, buf["variant"]))
+        compute_s = []
+        for _ in range(args.repeat):
+            ms4 = make_ms()
+            t0 = time.perf_counter()
+            last = None
+            for aren, variant in staged:
+                step_fn = _arena_step(cfg, n, ms._k, *variant)
+                out_frames, ms4.nest, ms4.ref_prev, ms4.ref_last = step_fn(
+                    aren, ms4.nest, ms4.ref_prev, ms4.ref_last)
+                last = out_frames
+            jax.block_until_ready(last)
+            compute_s.append(time.perf_counter() - t0)
+        compute = min(compute_s)
+        del staged
 
-    # ---- upload-only: the 3 arena transfers, synchronous -------------------
+    # ---- upload-only: the 2 staging transfers, synchronous -----------------
     upload = None
-    if not args.skip_upload:
+    if args.phase in ("all", "upload") and not args.skip_upload:
         upload_s = []
         for _ in range(args.repeat):
             t0 = time.perf_counter()
@@ -129,12 +140,14 @@ def main() -> None:
         "streams": n, "steps": steps, "frames": frames,
         "steps_per_dispatch": ms._k,
         "mb_per_step": round(mb_per_step, 3),
-        "full_ms_per_step": round(full / steps * 1e3, 3),
-        "compute_ms_per_step": round(compute / steps * 1e3, 3),
-        "device_fps": round(frames / full, 1),
-        "compute_fps": round(frames / compute, 1),
         "backend": jax.devices()[0].platform,
     }
+    if full is not None:
+        out["full_ms_per_step"] = round(full / steps * 1e3, 3)
+        out["device_fps"] = round(frames / full, 1)
+    if compute is not None:
+        out["compute_ms_per_step"] = round(compute / steps * 1e3, 3)
+        out["compute_fps"] = round(frames / compute, 1)
     if upload is not None:
         out["upload_ms_per_step"] = round(upload / steps * 1e3, 3)
         out["upload_fps"] = round(frames / upload, 1)

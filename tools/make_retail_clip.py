@@ -56,11 +56,15 @@ def retail_frames(cfg: SeqConfig, n: int, seed: int = 11):
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--target-kb", type=float, default=340.0,
-                    help="total clip size target (340 KB / 28 frames "
-                         "≈ 12 KB/frame ≈ 2.9 Mbps at 30 fps)")
+    ap.add_argument("--target-kb", type=float, default=None,
+                    help="rate-control to a total clip size (e.g. 340 KB "
+                         "/ 28 frames ≈ 12 KB/frame ≈ 2.9 Mbps at 30 fps); "
+                         "each bisection pass costs a full encode, so the "
+                         "default is a single --lam pass")
+    ap.add_argument("--lam", type=float, default=8.0,
+                    help="single-pass lambda when no --target-kb")
     ap.add_argument("--iters", type=int, default=4,
-                    help="rate-control bisection passes")
+                    help="rate-control bisection passes (with --target-kb)")
     ap.add_argument("--out", default=str(pathlib.Path(__file__).parents[1]
                                          / "testdata" / "retail640.h4m"))
     args = ap.parse_args()
@@ -69,9 +73,15 @@ def main() -> None:
     n = sum(len(g) for g in GOPS)
     frames = retail_frames(cfg, n)
     t0 = time.perf_counter()
-    clip, lam = encode_to_size(cfg, frames, GOPS,
-                               target_bytes=int(args.target_kb * 1024),
-                               iters=args.iters)
+    if args.target_kb is not None:
+        clip, lam = encode_to_size(cfg, frames, GOPS,
+                                   target_bytes=int(args.target_kb * 1024),
+                                   iters=args.iters)
+    else:
+        from hvqm4_tpu.encode import VideoEncoder
+
+        lam = args.lam
+        clip = VideoEncoder(cfg, lambda_bits=lam).encode(frames, GOPS)
     pathlib.Path(args.out).write_bytes(clip)
     print(f"wrote {args.out}: {len(clip) / 1024:.0f} KB "
           f"({len(clip) / n / 1024:.1f} KB/frame), lambda={lam:.2f}, "
