@@ -161,7 +161,6 @@ struct Huff {
     std::vector<uint32_t> lut;
     int root = 0;
     bool present = false;
-    int min_len = 64;  // shortest leaf code (chain-friendliness signal)
     BitReader br;
 
     int read_tree(int depth, uint32_t code, int len) {
@@ -180,7 +179,6 @@ struct Huff {
             return idx;
         }
         int sym = (int)br.bits(8);
-        if (len < min_len) min_len = len;
         if (len <= LUT_BITS) {
             // fill all LUT slots prefixed by this code
             uint32_t base = code << (LUT_BITS - len);
@@ -194,7 +192,6 @@ struct Huff {
     void init(const uint8_t* d, size_t n) {
         nodes.clear();
         nodes.reserve(640);
-        min_len = 64;
         present = n > 0;
         br.init(d, n);
         if (!present) return;
@@ -229,94 +226,6 @@ struct Huff {
         return s - 127;
     }
 
-    // ---- multi-symbol decode: several short codes per 12-bit probe ----
-    //
-    // lut2[i] packs the maximal chain of consecutive codes that fit whole
-    // inside the 12-bit window, none of which is "special" (>= the
-    // stream's escape symbol — escapes are followed by raw payload bits,
-    // so a chain may never run past one):
-    //   bits 0..47  up to 6 symbols (8b each, in decode order)
-    //   bits 48..51 symbol count (0 with bit 63 set = fallback entry)
-    //   bits 52..57 total code length to consume
-    //   bit  63     fallback: next code is special/deep — use symbol()
-    // Entropy-bound content averages 2-4 symbols per probe, which is what
-    // lifts the planner past the one-LUT-probe-per-symbol wall.
-    // Built LAZILY per probed index (entry 0 = unbuilt): trees are
-    // re-serialized every frame, and a typical frame probes only a few
-    // hundred of the 4096 indices — an eager build costs more than the
-    // multi-symbol decode saves.
-    std::vector<uint64_t> lut2;
-    unsigned special_min = 256;
-
-    void build_multi(unsigned special) {
-        special_min = special;
-        lut2.assign(1u << LUT_BITS, 0);
-    }
-
-    uint64_t build_entry(uint32_t idx) {
-        uint64_t syms = 0;
-        int used = 0, cnt = 0;
-        if (root >= 0) {  // degenerate 0-bit trees use the fallback path
-            while (cnt < 6) {
-                uint32_t p = (idx << used) & ((1u << LUT_BITS) - 1);
-                uint32_t e = lut[p];
-                if (e & 0x80000000u) break;       // deep code
-                int len = (int)(e >> 16);
-                unsigned sym = e & 0xFFFF;
-                if (used + len > LUT_BITS) break; // code may exceed window
-                if (sym >= special_min) break;    // escape/run/invalid
-                syms |= (uint64_t)sym << (8 * cnt);
-                cnt++;
-                used += len;
-            }
-        }
-        uint64_t e2 = cnt ? (((uint64_t)used << 52)
-                             | ((uint64_t)cnt << 48) | syms)
-                          : (1ull << 63);
-        lut2[idx] = e2;
-        return e2;
-    }
-
-    // Decode up to `want` non-special symbols into out. Returns the count
-    // decoded; a short return means the NEXT code is special (not
-    // consumed — the caller resolves it via symbol()/delta()).
-    int take_plain(uint8_t* out, int want, unsigned special_min) {
-        if (!present) throw Error("symbol from empty huffman stream");
-        int got = 0;
-        while (got < want) {
-            uint32_t p = br.peek(LUT_BITS);
-            uint64_t e = lut2[p];
-            if (!e) e = build_entry(p);
-            int cnt = (int)((e >> 48) & 0xF);
-            if (cnt && cnt <= want - got) {
-                br.take((int)((e >> 52) & 0x3F));
-                for (int i = 0; i < cnt; i++)
-                    out[got++] = (uint8_t)(e >> (8 * i));
-                continue;
-            }
-            // single-symbol tail: entry overshoots `want`, or is a
-            // fallback (special/deep next)
-            uint32_t e2 = lut[p];
-            if (!(e2 & 0x80000000u)) {
-                unsigned sym = e2 & 0xFFFF;
-                if (sym >= special_min) return got;
-                br.take((int)(e2 >> 16));
-                out[got++] = (uint8_t)sym;
-                continue;
-            }
-            BitReader save = br;  // deep code: trial-decode on a copy
-            br.take(LUT_BITS);
-            int node = (int)(e2 & 0x7FFFFFFFu);
-            while (node >= 0) node = nodes[node][br.bit()];
-            unsigned sym = (unsigned)(-node - 1);
-            if (sym >= special_min) {
-                br = save;
-                return got;
-            }
-            out[got++] = (uint8_t)sym;
-        }
-        return got;
-    }
 };
 
 // ---------------- packed output plan layout ----------------
@@ -360,10 +269,13 @@ struct FrameOut {
     uint32_t* mv2;  // (mh, mw) per-MB backward vector (refsel-2 B blocks)
 };
 
-struct MBInfo {
-    uint8_t type, refsel;
-    int32_t mvx, mvy, mv2x, mv2y;
-};
+// Per-MB state consumed by plane(): 1 byte (type bits 0-1, refsel 2-3).
+// The vectors go straight to FrameOut.mv/mv2 as packed u32 — keeping this
+// to a byte cuts mb_rows' store traffic ~20x (measured 28% of retail-
+// content planning before).
+typedef uint8_t MBInfo;
+inline unsigned mb_type(MBInfo m) { return m & 3; }
+inline unsigned mb_refsel(MBInfo m) { return (m >> 2) & 3; }
 
 constexpr int MB_COPY = 0, MB_INTRA = 1, MB_INTER = 2;
 
@@ -421,109 +333,61 @@ struct SliceDec {
         return s;
     }
 
-    // Batch basisnum: fill `want` values (run-aware, multi-symbol LUT).
-    void basisnum_fill(uint8_t* out, size_t want) {
-        size_t got = 0;
-        while (got < want) {
-            if (bn_zero_run) {
-                size_t t = std::min((size_t)bn_zero_run, want - got);
-                std::memset(out + got, 0, t);
-                bn_zero_run -= (int)t;
-                got += t;
-                continue;
-            }
-            got += (size_t)bn.take_plain(out + got, (int)(want - got), 7);
-            if (got < want)  // next symbol is the run escape (or invalid)
-                out[got++] = (uint8_t)basisnum();
-        }
-    }
-
-    // Batch DC/MV deltas (multi-symbol LUT; 16-bit escapes via delta()).
-    void delta_fill(Huff& h, int32_t* out, size_t want) {
-        uint8_t tmp[256];
-        size_t got = 0;
-        while (got < want) {
-            int req = (int)std::min(want - got, sizeof tmp);
-            int k = h.take_plain(tmp, req, 255);
-            for (int i = 0; i < k; i++) out[got++] = (int32_t)tmp[i] - 127;
-            if (k < req)  // short return: next symbol is the escape
-                out[got++] = h.delta();
-        }
-    }
-
     // Decodes MB types + MV chains, emitting per-MB vectors straight into
     // the FrameOut mv/mv2 arrays (row range [ms0, ms1) — slice-disjoint).
     void mb_rows(uint32_t* mv, uint32_t* mv2) {
         int32_t px = 0, py = 0;  // MV chain resets per slice
         for (int my = ms0; my < ms1; my++) {
             for (int mx = 0; mx < g->mw; mx++) {
-                MBInfo& mb = mbs[(size_t)my * g->mw + mx];
-                mb = MBInfo{};
                 unsigned t = mbt.bits(2);
                 if (t == 3) throw Error("mbtype 3 invalid");
-                mb.type = (uint8_t)t;
+                unsigned refsel = 0;
+                int32_t mvx = 0, mvy = 0, mv2x = 0, mv2y = 0;
                 if (t == MB_COPY) {
-                    mb.refsel = (ftype == 1) ? 1 : 0;
+                    refsel = (ftype == 1) ? 1 : 0;
                 } else if (t == MB_INTER) {
                     if (ftype == 2) {
-                        unsigned rs = mbt.bits(2);
-                        if (rs == 3) throw Error("refsel 3 invalid");
-                        mb.refsel = (uint8_t)rs;
+                        refsel = mbt.bits(2);
+                        if (refsel == 3) throw Error("refsel 3 invalid");
                     } else {
-                        mb.refsel = 1;
+                        refsel = 1;
                     }
                     // the chain wraps to signed 16-bit after every delta
                     // (FORMAT.md 7.2): defined for hostile long chains
                     px = (int16_t)(px + mvh.delta());
                     py = (int16_t)(py + mvh.delta());
-                    mb.mvx = px;
-                    mb.mvy = py;
-                    if (ftype == 2 && mb.refsel == 2) {
+                    mvx = px;
+                    mvy = py;
+                    if (refsel == 2) {
                         px = (int16_t)(px + mvh.delta());
                         py = (int16_t)(py + mvh.delta());
-                        mb.mv2x = px;
-                        mb.mv2y = py;
+                        mv2x = px;
+                        mv2y = py;
                     }
                 }
+                const size_t mi = (size_t)my * g->mw + mx;
+                mbs[mi] = (MBInfo)(t | (refsel << 2));
                 // one packed u32 per MB keeps vectors in the u32 upload
                 // arena (no separate i16 transfer) and the TPU side
                 // unpacks with two shifts
-                const size_t mi = (size_t)my * g->mw + mx;
-                mv[mi] = ((uint32_t)(uint16_t)mb.mvy << 16)
-                         | (uint16_t)mb.mvx;
-                mv2[mi] = ((uint32_t)(uint16_t)mb.mv2y << 16)
-                          | (uint16_t)mb.mv2x;
+                mv[mi] = ((uint32_t)(uint16_t)mvy << 16) | (uint16_t)mvx;
+                mv2[mi] = ((uint32_t)(uint16_t)mv2y << 16) | (uint16_t)mv2x;
             }
         }
     }
 
-    // One intra block: mode (pre-decoded), DC chain, raw/descriptor
-    // payloads. Shared by the I-frame fast loop and the P/B general loop.
-    inline void intra_block(PlaneOut& p, uint8_t* dcg, size_t bi, int bx,
-                            int by, int row0, int W, int dc_shift,
-                            int mode, const int32_t*& dnext) {
-        if (mode == 5) throw Error("intra basisnum 5 invalid");
-        p.meta[bi] = (uint8_t)mode;  // cls=0 refsel=0
-        if (mode == 6) {
-            write_raw(p, bi);
-            p.dc[bi] = dcg[bi] = 128;
-        } else {
-            int pred = bx > 0        ? dcg[bi - 1]
-                       : by > row0   ? dcg[bi - W]
-                                     : 128;
-            int32_t v = *dnext++;
-            p.dc[bi] = dcg[bi] = (uint8_t)(
-                (uint32_t)(pred + v * (1 << dc_shift)) & 0xFF);
-            if (mode) write_descs(p, bi, mode);
-        }
-    }
-
-    // Serial single-pass form: one block scan with inline symbol decode.
-    // Wins on high-entropy content (long codes — no multi-symbol chains to
-    // exploit, so phase scans would be pure overhead).
-    inline void intra_block_serial(PlaneOut& p, uint8_t* dcg, size_t bi,
-                                   int bx, int by, int row0, int W,
-                                   int dc_shift) {
+    // One intra block: mode, DC chain, raw/descriptor payloads. Shared by
+    // the I-frame fast loop and the P/B general loop.
+    //
+    // NOTE a batched alternative (decode each entropy stream in multi-
+    // symbol runs, then a symbol-free block pass) was built and measured
+    // in round 3: it lost 18-27% on BOTH heavy and retail-bitrate content
+    // — the extra block-grid scans and scratch-array traffic cost more
+    // than multi-symbol chaining saves at these code lengths. Single-pass
+    // with the 12-bit LUT is the faster structure on this codec.
+    inline void intra_block(PlaneOut& p, uint8_t* dcg, size_t bi,
+                            int bx, int by, int row0, int W,
+                            int dc_shift) {
         int mode = basisnum();
         if (mode == 5) throw Error("intra basisnum 5 invalid");
         p.meta[bi] = (uint8_t)mode;  // cls=0 refsel=0
@@ -541,7 +405,7 @@ struct SliceDec {
         }
     }
 
-    void plane_serial(int pi, int dc_shift, PlaneOut& p) {
+    void plane(int pi, int dc_shift, PlaneOut& p) {
         const int W = g->bw[pi];
         const bool chroma_mb = (pi > 0 && g->h_samp == 2);
         const int shift_idx = chroma_mb ? 0 : 1;
@@ -552,8 +416,7 @@ struct SliceDec {
             for (int by = row0; by < row1; by++) {
                 size_t bi = (size_t)by * W;
                 for (int bx = 0; bx < W; bx++, bi++)
-                    intra_block_serial(p, dcg, bi, bx, by, row0, W,
-                                       dc_shift);
+                    intra_block(p, dcg, bi, bx, by, row0, W, dc_shift);
             }
             return;
         }
@@ -561,140 +424,25 @@ struct SliceDec {
             const MBInfo* mbrow = &mbs[(size_t)(by >> shift_idx) * g->mw];
             for (int bx = 0; bx < W; bx++) {
                 const size_t bi = (size_t)by * W + bx;
-                const MBInfo* mb = &mbrow[bx >> shift_idx];
-                if (mb->type == MB_INTRA) {
-                    intra_block_serial(p, dcg, bi, bx, by, row0, W,
-                                       dc_shift);
+                const MBInfo mb = mbrow[bx >> shift_idx];
+                if (mb_type(mb) == MB_INTRA) {
+                    intra_block(p, dcg, bi, bx, by, row0, W, dc_shift);
                 } else {
                     p.dc[bi] = dcg[bi] = 128;
-                    if (mb->type == MB_INTER) {
+                    if (mb_type(mb) == MB_INTER) {
                         int k = basisnum();
                         if (k > 4) throw Error("inter residual count invalid");
-                        p.meta[bi] = (uint8_t)(0x20 | (mb->refsel << 3) | k);
+                        p.meta[bi] = (uint8_t)(0x20 | (mb_refsel(mb) << 3)
+                                               | k);
                         if (k) write_descs(p, bi, k);
                     } else {
-                        p.meta[bi] = (uint8_t)(0x20 | (mb->refsel << 3));
+                        p.meta[bi] = (uint8_t)(0x20 | (mb_refsel(mb) << 3));
                     }
                 }
             }
         }
     }
 
-    // Dispatch: batched phases when the streams can form multi-symbol
-    // chains (typical/retail content: short codes, long zero runs),
-    // serial single pass otherwise (near-uniform trees). Both orders of
-    // stream consumption are identical, so the choice is invisible in the
-    // output. HVQM4_BATCH_ENTROPY=0/1 forces a path (A/B measurement).
-    void plane(int pi, int dc_shift, PlaneOut& p) {
-        static const int force = [] {
-            const char* e = std::getenv("HVQM4_BATCH_ENTROPY");
-            return e ? std::atoi(e) : -1;
-        }();
-        bool batched = bn.present
-                       && bn.min_len * 3 <= LUT_BITS
-                       && (!dch.present || dch.min_len * 2 <= LUT_BITS);
-        if (force >= 0) batched = force != 0;
-        if (batched)
-            plane_batched(pi, dc_shift, p);
-        else
-            plane_serial(pi, dc_shift, p);
-    }
-
-    // Batched form: three phases so each entropy stream is consumed in
-    // long runs (multi-symbol LUT, run memsets) instead of per-block calls:
-    //   A. basisnum stream → per-block mode / residual count
-    //   B. DC stream → the plane's intra delta sequence
-    //   C. block pass: DC prediction chain, meta packing, aux payloads
-    // Symbol order on every stream is exactly the per-block order, so the
-    // output is bit-identical to the single-pass form.
-    void plane_batched(int pi, int dc_shift, PlaneOut& p) {
-        const int W = g->bw[pi];
-        const bool chroma_mb = (pi > 0 && g->h_samp == 2);
-        const int shift_idx = chroma_mb ? 0 : 1;
-        const int rpm = chroma_mb ? 1 : 2;  // block rows per MB row
-        const int row0 = ms0 * rpm, row1 = ms1 * rpm;
-        const size_t nb = (size_t)(row1 - row0) * W;
-        uint8_t* dcg = p.dc;  // the output DC grid doubles as the
-                              // prediction scratch (it IS the effective grid)
-
-        static thread_local std::vector<uint8_t>* modes_tls = nullptr;
-        static thread_local std::vector<int32_t>* deltas_tls = nullptr;
-        if (!modes_tls) {  // leaked on purpose (dlopen teardown, see mbs_tls)
-            modes_tls = new std::vector<uint8_t>();
-            deltas_tls = new std::vector<int32_t>();
-        }
-        std::vector<uint8_t>& modes = *modes_tls;
-        std::vector<int32_t>& deltas = *deltas_tls;
-        if (modes.size() < nb) modes.resize(nb);
-        if (deltas.size() < nb) deltas.resize(nb);
-
-        if (ftype == 0) {     // I frame: every block intra, dense batches
-            basisnum_fill(modes.data(), nb);
-            size_t nd = 0;
-            for (size_t i = 0; i < nb; i++) nd += modes[i] != 6;
-            delta_fill(dch, deltas.data(), nd);
-            const int32_t* dnext = deltas.data();
-            size_t mi = 0;
-            for (int by = row0; by < row1; by++) {
-                size_t bi = (size_t)by * W;
-                for (int bx = 0; bx < W; bx++, bi++, mi++)
-                    intra_block(p, dcg, bi, bx, by, row0, W, dc_shift,
-                                modes[mi], dnext);
-            }
-            return;
-        }
-
-        // P/B phase A: every INTRA/INTER block consumes one basisnum
-        // symbol, COPY blocks none. Walk MB rows (not the block grid) to
-        // emit the compact is-intra sequence — ~half the scan cost, and
-        // the later counts become sequential passes over compact arrays.
-        static thread_local std::vector<uint8_t>* isintra_tls = nullptr;
-        if (!isintra_tls) isintra_tls = new std::vector<uint8_t>();
-        std::vector<uint8_t>& isintra = *isintra_tls;
-        if (isintra.size() < nb) isintra.resize(nb);
-        const int cpb = chroma_mb ? 1 : 2;  // blocks per MB per block row
-        size_t need = 0;
-        for (int by = row0; by < row1; by++) {
-            const MBInfo* mbrow = &mbs[(size_t)(by >> shift_idx) * g->mw];
-            for (int mx = 0; mx < g->mw; mx++) {
-                const uint8_t t = mbrow[mx].type;
-                if (t == MB_COPY) continue;
-                for (int j = 0; j < cpb; j++)
-                    isintra[need++] = t == MB_INTRA;
-            }
-        }
-        basisnum_fill(modes.data(), need);
-        // phase B: intra blocks with mode != 6 take a DC delta
-        size_t nd = 0;
-        for (size_t i = 0; i < need; i++)
-            nd += (size_t)(isintra[i] & (modes[i] != 6));
-        delta_fill(dch, deltas.data(), nd);
-        // phase C: block pass (aux payloads stay in block order)
-        const int32_t* dnext = deltas.data();
-        size_t mi = 0;
-        for (int by = row0; by < row1; by++) {
-            const MBInfo* mbrow = &mbs[(size_t)(by >> shift_idx) * g->mw];
-            for (int bx = 0; bx < W; bx++) {
-                const size_t bi = (size_t)by * W + bx;
-                const MBInfo* mb = &mbrow[bx >> shift_idx];
-                if (mb->type == MB_INTRA) {
-                    intra_block(p, dcg, bi, bx, by, row0, W, dc_shift,
-                                modes[mi++], dnext);
-                } else {
-                    p.dc[bi] = dcg[bi] = 128;
-                    if (mb->type == MB_INTER) {
-                        int k = modes[mi++];
-                        if (k > 4) throw Error("inter residual count invalid");
-                        p.meta[bi] = (uint8_t)(0x20 | (mb->refsel << 3) | k);
-                        if (k) write_descs(p, bi, k);
-                    } else {  // lowered copy: inter, mv 0 (per-MB mv is 0),
-                              // no residual
-                        p.meta[bi] = (uint8_t)(0x20 | (mb->refsel << 3));
-                    }
-                }
-            }
-        }
-    }
 };
 
 // Renumber pool slots into canonical order (plane-major, row-major block
@@ -829,9 +577,16 @@ extern "C" int hvqm4_plan_frame(const uint8_t* payload, size_t n, int ftype,
         if (ftype != 0 && mbs.size() < (size_t)g.mh * g.mw)
             mbs.resize((size_t)g.mh * g.mw);
 
-        std::vector<SliceDec> slices(S);
+        // reused across calls: constructing a SliceDec allocates its three
+        // Huff tables (~50 KB of vectors) — per-frame construction showed
+        // up as ~5% of planning
+        static thread_local std::vector<SliceDec>* slices_tls = nullptr;
+        if (!slices_tls) slices_tls = new std::vector<SliceDec>();
+        std::vector<SliceDec>& slices = *slices_tls;
+        if ((int)slices.size() < S) slices.resize(S);
         for (int sl = 0; sl < S; sl++) {
             SliceDec& d = slices[sl];
+            d.bn_zero_run = 0;
             d.g = &g;
             d.pools = pools;
             d.raw_ctr = &raw_ctr;
@@ -855,9 +610,7 @@ extern "C" int hvqm4_plan_frame(const uint8_t* payload, size_t n, int ftype,
                 }
             }
             d.bn.init(sd[0], sl_len[0]);
-            d.bn.build_multi(7);     // 7 = zero-run escape, >7 invalid
             d.dch.init(sd[1], sl_len[1]);
-            d.dch.build_multi(255);  // 255 = 16-bit delta escape
             d.aux.init(sd[2], sl_len[2]);
             d.mbt.init(sd[3], sl_len[3]);
             d.mvh.init(sd[4], sl_len[4]);
@@ -908,10 +661,13 @@ extern "C" int hvqm4_plan_frame(const uint8_t* payload, size_t n, int ftype,
             // uploading a u32 index field per block. Each slice's streams
             // are its own readers, so interleaving slices between plane
             // passes is safe.
-            for (auto& d : slices)
-                if (d.ftype != 0) d.mb_rows(fout->mv, fout->mv2);
+            // bound by S: the reused thread_local vector may be larger
+            for (int sl = 0; sl < S; sl++)
+                if (slices[sl].ftype != 0)
+                    slices[sl].mb_rows(fout->mv, fout->mv2);
             for (int pi = 0; pi < 3; pi++)
-                for (auto& d : slices) d.plane(pi, dc_shift, planes[pi]);
+                for (int sl = 0; sl < S; sl++)
+                    slices[sl].plane(pi, dc_shift, planes[pi]);
         }
 
         fout->raw_used = raw_ctr.load();

@@ -452,10 +452,9 @@ class MultiStreamDecoder:
         # pools, wide vectors, nest). Each row serves n_local * K VIRTUAL
         # streams: with fused K-step dispatch, step k's plans occupy a
         # shard's virtual slots [k*n_local, (k+1)*n_local) (see `_slot`).
-        # The planner writes the sparse pools directly into the staging
-        # base (offset 0) and meta/dc/mv/nest into separate scratch arrays;
-        # `_assemble` packs the scratch into the variant layout after the
-        # step's tiers/modes are known.
+        # The planner writes every field into per-stream contiguous
+        # scratch; `_assemble` packs scratch into the staging variant
+        # layout after the step's tiers/modes are known.
         nvl = self._n_local * self._k
         self._nvl = nvl
         rcap, dcap = _pool_caps(cfg)
