@@ -91,7 +91,10 @@ class _PoolOut(ctypes.Structure):
                 ("raw_cap", ctypes.c_size_t),
                 ("desc_pool", ctypes.c_void_p),
                 ("desc_stride", ctypes.c_size_t),
-                ("desc_cap", ctypes.c_size_t)]
+                ("desc_cap", ctypes.c_size_t),
+                ("dc_pool", ctypes.c_void_p),
+                ("dc_stride", ctypes.c_size_t),
+                ("dc_cap", ctypes.c_size_t)]
 
 
 class _FrameOut(ctypes.Structure):
@@ -101,6 +104,7 @@ class _FrameOut(ctypes.Structure):
                 ("nest_y", ctypes.c_uint32),
                 ("raw_used", ctypes.c_uint32),
                 ("desc_used", ctypes.c_uint32),
+                ("dc_used", ctypes.c_uint32),
                 ("nest", ctypes.c_void_p),
                 ("mv", ctypes.c_void_p),
                 ("mv2", ctypes.c_void_p)]
@@ -188,22 +192,29 @@ def expand_mb_mv(mv_mb: np.ndarray, bh: int, bw: int, h_samp: int,
 def alloc_pools(total_blocks: int):
     """Full-capacity single-stream pools (contiguous layout)."""
     return (np.zeros((total_blocks, 16), np.uint8),
-            np.zeros(MAX_BASES * total_blocks, np.uint32))
+            np.zeros(MAX_BASES * total_blocks, np.uint32),
+            np.zeros(total_blocks, np.uint8))
 
 
 def make_pool_struct(raw_pool: np.ndarray, desc_pool: np.ndarray,
+                     dc_pool: np.ndarray,
                      raw_stride: int | None = None,
                      desc_stride: int | None = None,
                      raw_cap: int | None = None,
-                     desc_cap: int | None = None) -> "_PoolOut":
+                     desc_cap: int | None = None,
+                     dc_cap: int | None = None) -> "_PoolOut":
     out = _PoolOut(
         raw_pool=_ptr(raw_pool),
         raw_stride=raw_stride if raw_stride is not None else 16,
         raw_cap=raw_cap if raw_cap is not None else raw_pool.shape[0],
         desc_pool=_ptr(desc_pool),
         desc_stride=desc_stride if desc_stride is not None else 1,
-        desc_cap=desc_cap if desc_cap is not None else desc_pool.shape[0])
-    out._keepalive = (raw_pool, desc_pool)  # C writes through raw pointers
+        desc_cap=desc_cap if desc_cap is not None else desc_pool.shape[0],
+        dc_pool=_ptr(dc_pool),
+        dc_stride=1,
+        dc_cap=dc_cap if dc_cap is not None else dc_pool.shape[0])
+    # C writes through raw pointers
+    out._keepalive = (raw_pool, desc_pool, dc_pool)
     return out
 
 
@@ -279,8 +290,8 @@ class NativePlanner:
         mv_mb = np.zeros((mh, mw), np.uint32)
         mv2_mb = np.zeros((mh, mw), np.uint32)
         total = sum(bh * bw for bh, bw in cfg.block_grids)
-        raw_pool, desc_pool = alloc_pools(total)
-        pool = make_pool_struct(raw_pool, desc_pool)
+        raw_pool, desc_pool, dc_pool = alloc_pools(total)
+        pool = make_pool_struct(raw_pool, desc_pool, dc_pool)
         fout = self._call(ftype, payload, dicts, pool, nest, mv_mb, mv2_mb)
         # buffers are fresh here, so masked fields are already zero and the
         # unpacked FramePlan is canonical

@@ -256,6 +256,14 @@ struct PoolOut {
     uint32_t* desc_pool;   // slot i at desc_pool[i*desc_stride]
     size_t desc_stride;    // >= 1
     size_t desc_cap;
+    // sparse DC pool: one byte per DC-carrying block (intra, mode != 6) in
+    // canonical block-scan order. The dense dc grid is ~92% inter filler
+    // (128) on typical content; uploading only the carried DCs cuts the
+    // per-frame transfer ~26 KB at 640x480. The device re-derives each
+    // block's pool slot from meta (exclusive cumsum), like raw/desc.
+    uint8_t* dc_pool;      // slot i at dc_pool[i*dc_stride]
+    size_t dc_stride;      // >= 1
+    size_t dc_cap;
 };
 
 struct FrameOut {
@@ -263,6 +271,7 @@ struct FrameOut {
     uint32_t dc_shift;
     uint32_t nest_x, nest_y;
     uint32_t raw_used, desc_used;  // pool slots consumed by this frame
+    uint32_t dc_used;              // DC pool bytes consumed
     uint8_t* nest;  // nest_h*nest_w (filled for I frames)
     uint32_t* mv;   // (mh, mw) per-MB forward vector, packed (y16 << 16 | x16),
                     // luma half-pel units (P/B; 0 on I)
@@ -292,6 +301,7 @@ struct SliceDec {
     const PoolOut* pools;
     std::atomic<uint32_t>* raw_ctr;   // shared across slices of the frame
     std::atomic<uint32_t>* desc_ctr;
+    std::atomic<uint32_t>* dc_ctr;
     int ftype;  // 0=I 1=P 2=B
     int ms0, ms1;  // MB-row range [ms0, ms1)
     Huff bn, dch, mvh;
@@ -399,8 +409,12 @@ struct SliceDec {
                        : by > row0   ? dcg[bi - W]
                                      : 128;
             int32_t v = dch.delta();
-            p.dc[bi] = dcg[bi] = (uint8_t)(
+            const uint8_t dc = (uint8_t)(
                 (uint32_t)(pred + v * (1 << dc_shift)) & 0xFF);
+            p.dc[bi] = dcg[bi] = dc;
+            uint32_t ds = dc_ctr->fetch_add(1, std::memory_order_relaxed);
+            if (ds >= pools->dc_cap) throw Error("dc pool overflow");
+            pools->dc_pool[(size_t)ds * pools->dc_stride] = dc;
             if (mode) write_descs(p, bi, mode);
         }
     }
@@ -464,13 +478,18 @@ void compact_pools(const Geometry& g, PlaneOut* planes, const PoolOut* pools,
         raw_scratch.resize((size_t)raw_used * 16);
     if (desc_scratch.size() < desc_used) desc_scratch.resize(desc_used);
 
-    uint32_t r = 0, dsc = 0;
+    uint32_t r = 0, dsc = 0, dcs = 0;
     for (int pi = 0; pi < 3; pi++) {
         PlaneOut& p = planes[pi];
         const size_t nb = (size_t)g.bh[pi] * g.bw[pi];
         for (size_t bi = 0; bi < nb; bi++) {
             const unsigned meta = p.meta[bi];
             const unsigned cls = (meta >> 5) & 1, mode = meta & 7;
+            if (cls == 0 && mode != 6)
+                // dc pool: threaded slices allocated slots in
+                // nondeterministic order, but the values live in the dense
+                // dc grid — rebuild the pool canonically from it
+                pools->dc_pool[(size_t)dcs++ * pools->dc_stride] = p.dc[bi];
             if (cls == 0 && mode == 6) {
                 std::memcpy(&raw_scratch[(size_t)r * 16],
                             pools->raw_pool
@@ -511,7 +530,7 @@ extern "C" int hvqm4_plan_frame(const uint8_t* payload, size_t n, int ftype,
                                 FrameOut* fout,
                                 char* err_buf, size_t err_len) {
     try {
-        std::atomic<uint32_t> raw_ctr{0}, desc_ctr{0};
+        std::atomic<uint32_t> raw_ctr{0}, desc_ctr{0}, dc_ctr{0};
         Geometry g;
         g.width = width;
         g.height = height;
@@ -591,6 +610,7 @@ extern "C" int hvqm4_plan_frame(const uint8_t* payload, size_t n, int ftype,
             d.pools = pools;
             d.raw_ctr = &raw_ctr;
             d.desc_ctr = &desc_ctr;
+            d.dc_ctr = &dc_ctr;
             d.ftype = ftype;
             d.ms0 = sl * g.mh / S;
             d.ms1 = (sl + 1) * g.mh / S;
@@ -672,6 +692,7 @@ extern "C" int hvqm4_plan_frame(const uint8_t* payload, size_t n, int ftype,
 
         fout->raw_used = raw_ctr.load();
         fout->desc_used = desc_ctr.load();
+        fout->dc_used = dc_ctr.load();
         if (ftype == 0) {  // nest from luma DC grid (FORMAT.md §6.1)
             const int BW = g.bw[0], BH = g.bh[0];
             for (int y = 0; y < g.nest_h; y++) {

@@ -77,18 +77,20 @@ _MV_NONE, _MV_PACKED, _MV_WIDE = 0, 1, 2
 
 @functools.lru_cache(maxsize=None)
 def _pool_caps(cfg: SeqConfig):
-    """(raw_cap_full, desc_cap_full): worst-case pool slots for one frame."""
+    """(raw_cap_full, desc_cap_full, dc_cap_full): worst-case pool slots
+    for one frame."""
     total_blocks = sum(bh * bw for bh, bw in cfg.block_grids)
-    return total_blocks, MAX_BASES * total_blocks
+    return total_blocks, MAX_BASES * total_blocks, total_blocks
 
 
 @functools.lru_cache(maxsize=None)
 def _layout(cfg: SeqConfig, n: int, raw_cap: int, desc_cap: int,
-            mv_mode: int, has_nest: bool):
+            dc_cap: int, mv_mode: int, has_nest: bool):
     """Static element layout of the two staging uploads for one step variant.
 
-    u8  = [raw pool (n, raw_cap, 16) | new_nest (n,nh,nw)? | is_i | is_ref]
-    u32 = [desc pool (n, desc_cap) | md planes (n,bh,⌈bw/2⌉) ×3 | mv field(s)]
+    u8  = [raw pool (n, raw_cap, 16) | dc pool (n, dc_cap) |
+           meta planes (n,bh,bw) ×3 | new_nest (n,nh,nw)? | is_i | is_ref]
+    u32 = [desc pool (n, desc_cap) | mv field(s)]
 
     Two dtype-homogeneous buffers → two h2d transfers per step (a single
     mixed-dtype buffer would need on-device reinterpretation, which hangs
@@ -96,16 +98,21 @@ def _layout(cfg: SeqConfig, n: int, raw_cap: int, desc_cap: int,
     per-stream CONTIGUOUS scratch (pool stride 1 — cache-friendly at any
     stream count); `_assemble` packs the staging buffers post-planning once
     the step's tiers/modes are known: pools copied at their exact per-slot
-    used lengths into the tier regions, meta+dc pair-packed two blocks per
-    u32, vectors packed per `mv_mode`, nest present only on steps that
-    carry an I frame. vs the round-2 layout this cuts the fixed upload ~2x
-    (98.7 → ~48 KB/frame at 640×480) and the pool upload to the used tier
-    with a finer ladder.
+    used lengths into the tier regions, vectors packed per `mv_mode`, nest
+    present only on steps that carry an I frame. DC values ride a sparse
+    pool (one byte per intra non-raw block, slot derived from meta like
+    raw/desc): the dense dc grid is ~92% inter filler on typical content,
+    so this cuts ~26 KB/frame at 640×480. vs the round-2 layout the fixed
+    upload shrinks 98.7 → ~48 KB/frame and pools ride exact-used tiers.
 
     Returns ({u8 field → (elem_off, shape)}, {u32 ...}, size8, size32).
     """
     u8: dict = {}
     off = raw_cap * n * 16          # raw pool region: (n, raw_cap, 16)
+    off += dc_cap * n               # dc pool region: (n, dc_cap)
+    for pi, (bh, bw) in enumerate(cfg.block_grids):
+        u8[f"meta{pi}"] = (off, (n, bh, bw))
+        off += n * bh * bw
     nh, nw = cfg.nest_shape
     if has_nest:
         u8["new_nest"] = (off, (n, nh, nw))
@@ -117,10 +124,6 @@ def _layout(cfg: SeqConfig, n: int, raw_cap: int, desc_cap: int,
     size8 = off
     u32: dict = {}
     off = desc_cap * n              # desc pool region: (n, desc_cap)
-    for pi, (bh, bw) in enumerate(cfg.block_grids):
-        bwp = (bw + 1) // 2   # odd bw: last u32 carries one block
-        u32[f"md{pi}"] = (off, (n, bh, bwp))
-        off += n * bh * bwp
     mh, mw = cfg.mb_grid
     if mv_mode == _MV_PACKED:
         u32["mvp"] = (off, (n, mh, mw))
@@ -153,7 +156,8 @@ def _pick_tier(used: int, cap: int) -> int:
 
 
 def _unpack_arena(cfg: SeqConfig, n: int, arenas: dict,
-                  raw_cap: int, desc_cap: int, mv_mode: int, has_nest: bool):
+                  raw_cap: int, desc_cap: int, dc_cap: int,
+                  mv_mode: int, has_nest: bool):
     """In-jit: staging buffers → (plane plan dicts, new_nest|None, is_i,
     is_ref).
 
@@ -163,7 +167,7 @@ def _unpack_arena(cfg: SeqConfig, n: int, arenas: dict,
     gathers straight from the flat pool regions — no intermediate ever
     carries a trailing dim of 4/16 (TPU tiling would pad it to 128).
     """
-    u8l, u32l, _s8, _s32 = _layout(cfg, n, raw_cap, desc_cap,
+    u8l, u32l, _s8, _s32 = _layout(cfg, n, raw_cap, desc_cap, dc_cap,
                                    mv_mode, has_nest)
 
     def fld(group, lay, name):
@@ -174,16 +178,8 @@ def _unpack_arena(cfg: SeqConfig, n: int, arenas: dict,
 
     sra = device_core._sra
     planes = [dict() for _ in cfg.block_grids]
-    # meta+dc: two blocks per u32 (dc1<<24 | meta1<<16 | dc0<<8 | meta0)
-    for pi, (bh, bw) in enumerate(cfg.block_grids):
-        w = fld("u32", u32l, f"md{pi}")
-        m = jnp.stack([w & 0xFF, (w >> 16) & 0xFF], axis=-1)
-        d = jnp.stack([(w >> 8) & 0xFF, (w >> 24) & 0xFF], axis=-1)
-        bwp = w.shape[-1]
-        planes[pi]["meta"] = m.reshape(n, bh, 2 * bwp)[:, :, :bw].astype(
-            jnp.uint8)
-        planes[pi]["dc"] = d.reshape(n, bh, 2 * bwp)[:, :, :bw].astype(
-            jnp.uint8)
+    for pi in range(len(cfg.block_grids)):
+        planes[pi]["meta"] = fld("u8", u8l, f"meta{pi}")
 
     # motion vectors at MB resolution, component-major (n, 2, mh, mw) i32
     mh, mw = cfg.mb_grid
@@ -207,12 +203,15 @@ def _unpack_arena(cfg: SeqConfig, n: int, arenas: dict,
     extras = {name: fld("u8", u8l, name) for name in ("is_i", "is_ref")}
     new_nest = fld("u8", u8l, "new_nest") if has_nest else None
 
-    # flat pool regions at offset 0; layouts (stream, slot, 16) / (stream, slot)
+    # flat pool regions at offset 0; layouts (stream, slot, 16) /
+    # (stream, slot) / (stream, slot)
     raw_flat = jax.lax.slice(arenas["u8"], (0,), (raw_cap * n * 16,))
+    dc_base = raw_cap * n * 16
+    dc_flat = jax.lax.slice(arenas["u8"], (dc_base,), (dc_base + dc_cap * n,))
     desc_flat = jax.lax.slice(arenas["u32"], (0,), (desc_cap * n,))
     sidx = jnp.arange(n, dtype=jnp.int32)
 
-    slots = _derive_slots(cfg, n, [pp["meta"] for pp in planes])
+    slots, dc_slots = _derive_slots(cfg, n, [pp["meta"] for pp in planes])
     for pi, pp in enumerate(planes):
         bh, bw = cfg.block_grids[pi]
         H, W = bh * 4, bw * 4
@@ -231,6 +230,14 @@ def _unpack_arena(cfg: SeqConfig, n: int, arenas: dict,
             4, dtype=jnp.int32)[None, :, None, None], 0, desc_cap - 1)
         pp["desc"] = jnp.take(desc_flat,
                               sidx[:, None, None, None] * desc_cap + didx)
+        # dc grid: sparse pool gather for DC-carrying blocks (intra,
+        # mode != 6), constant 128 elsewhere — exactly the planner's dense
+        # grid semantics
+        m = pp["meta"].astype(jnp.int32)
+        is_dc = ((sra(m, 5) & 1) == 0) & ((m & 7) != 6)
+        ds = jnp.clip(dc_slots[pi].astype(jnp.int32), 0, dc_cap - 1)
+        dcv = jnp.take(dc_flat, sidx[:, None, None] * dc_cap + ds)
+        pp["dc"] = jnp.where(is_dc, dcv, 128).astype(jnp.uint8)
         # chroma half-pel value shift on the shared MB-resolution vectors
         chroma_mb = pi > 0 and cfg.h_samp == 2
         for key in ("mv", "mv2"):
@@ -242,15 +249,18 @@ def _unpack_arena(cfg: SeqConfig, n: int, arenas: dict,
 
 
 def _derive_slots(cfg: SeqConfig, n: int, metas: list):
-    """Recompute each block's pool slot from meta alone (in-jit).
+    """Recompute each block's pool slots from meta alone (in-jit).
 
-    The planner allocates raw/desc pool slots in canonical order — plane
+    The planner allocates raw/desc/dc pool slots in canonical order — plane
     major, row-major block scan — so a block's raw index is the exclusive
-    cumsum of `is_raw` and its desc start the exclusive cumsum of the
-    per-block descriptor count, both over the concatenated planes. A block
-    is never both raw and descriptor-carrying, so the two cumsums share one
+    cumsum of `is_raw`, its desc start the exclusive cumsum of the
+    per-block descriptor count, and its dc slot the exclusive cumsum of
+    `is_dc` (intra non-raw), all over the concatenated planes. A block is
+    never both raw and descriptor-carrying, so those two cumsums share one
     output field (the inapplicable gather is masked by meta downstream).
-    This replaces a dense u32 upload per block with ~µs of device work.
+    This replaces dense u32 uploads per block with ~µs of device work.
+
+    Returns (per-plane unified raw/desc slots, per-plane dc slots).
     """
     flat = jnp.concatenate(
         [m.reshape(n, -1).astype(jnp.int32) for m in metas], axis=1)
@@ -262,12 +272,16 @@ def _derive_slots(cfg: SeqConfig, n: int, metas: list):
         is_raw != 0,
         jnp.cumsum(is_raw, axis=1) - is_raw,
         jnp.cumsum(counts, axis=1) - counts).astype(jnp.uint32)
-    out, off = [], 0
+    is_dc = ((cls_ == 0) & (mode != 6)).astype(jnp.int32)
+    dc_flat = (jnp.cumsum(is_dc, axis=1) - is_dc).astype(jnp.uint32)
+    out, out_dc, off = [], [], 0
     for bh, bw in cfg.block_grids:
         out.append(jax.lax.slice_in_dim(slot_flat, off, off + bh * bw, axis=1)
                    .reshape(n, bh, bw))
+        out_dc.append(jax.lax.slice_in_dim(dc_flat, off, off + bh * bw,
+                                           axis=1).reshape(n, bh, bw))
         off += bh * bw
-    return out
+    return out, out_dc
 
 
 # ---------------------------------------------------------------------------
@@ -304,7 +318,8 @@ def multi_frame_step(plane_plans: list, nest, new_nest, is_i, is_ref,
 
 
 def _run_steps(cfg: SeqConfig, n: int, k_steps: int,
-               raw_cap: int, desc_cap: int, mv_mode: int, has_nest: bool,
+               raw_cap: int, desc_cap: int, dc_cap: int,
+               mv_mode: int, has_nest: bool,
                arenas, nest, ref_prev, ref_last):
     """The shared step body (single-chip jit AND per-shard under shard_map):
     1-D typed arenas for n*k_steps virtual streams → K sequential lock-step
@@ -320,7 +335,7 @@ def _run_steps(cfg: SeqConfig, n: int, k_steps: int,
     """
     nv = n * k_steps
     plane_plans, new_nest, is_i, is_ref = _unpack_arena(
-        cfg, nv, arenas, raw_cap, desc_cap, mv_mode, has_nest)
+        cfg, nv, arenas, raw_cap, desc_cap, dc_cap, mv_mode, has_nest)
     if k_steps == 1:
         return _step_body(plane_plans, nest, new_nest, is_i, is_ref,
                           ref_prev, ref_last)
@@ -344,12 +359,13 @@ def _run_steps(cfg: SeqConfig, n: int, k_steps: int,
 
 @functools.lru_cache(maxsize=None)
 def _arena_step(cfg: SeqConfig, n: int, k_steps: int,
-                raw_cap: int, desc_cap: int, mv_mode: int, has_nest: bool):
+                raw_cap: int, desc_cap: int, dc_cap: int,
+                mv_mode: int, has_nest: bool):
     """Jitted production step for one (pool tier, mv mode, nest, K) variant."""
 
     @functools.partial(jax.jit, donate_argnums=(1, 2, 3))
     def step(arenas, nest, ref_prev, ref_last):
-        return _run_steps(cfg, n, k_steps, raw_cap, desc_cap,
+        return _run_steps(cfg, n, k_steps, raw_cap, desc_cap, dc_cap,
                           mv_mode, has_nest,
                           arenas, nest, ref_prev, ref_last)
 
@@ -358,8 +374,8 @@ def _arena_step(cfg: SeqConfig, n: int, k_steps: int,
 
 @functools.lru_cache(maxsize=None)
 def _arena_step_sharded(cfg: SeqConfig, n_local: int, k_steps: int,
-                        raw_cap: int, desc_cap: int, mv_mode: int,
-                        has_nest: bool, mesh, axis: str):
+                        raw_cap: int, desc_cap: int, dc_cap: int,
+                        mv_mode: int, has_nest: bool, mesh, axis: str):
     """Jitted mesh step: `jax.shard_map` of the SAME `_run_steps` body over
     the stream-carrying mesh axis. Each shard sees one (1, arena_len) row —
     its own single-chip-layout arenas for n_local streams — plus its
@@ -369,7 +385,7 @@ def _arena_step_sharded(cfg: SeqConfig, n_local: int, k_steps: int,
 
     def local_fn(arenas, nest, ref_prev, ref_last):
         arenas = {g: a.reshape(-1) for g, a in arenas.items()}
-        return _run_steps(cfg, n_local, k_steps, raw_cap, desc_cap,
+        return _run_steps(cfg, n_local, k_steps, raw_cap, desc_cap, dc_cap,
                           mv_mode, has_nest,
                           arenas, nest, ref_prev, ref_last)
 
@@ -457,9 +473,10 @@ class MultiStreamDecoder:
         # layout after the step's tiers/modes are known.
         nvl = self._n_local * self._k
         self._nvl = nvl
-        rcap, dcap = _pool_caps(cfg)
+        rcap, dcap, dccap = _pool_caps(cfg)
         self._raw_cap_full, self._desc_cap_full = rcap, dcap
-        _u8l, _u32l, max8, max32 = _layout(cfg, nvl, rcap, dcap,
+        self._dc_cap_full = dccap
+        _u8l, _u32l, max8, max32 = _layout(cfg, nvl, rcap, dcap, dccap,
                                            _MV_WIDE, True)
         mh, mw = cfg.mb_grid
         native = hasattr(self.planner, "prepare")
@@ -483,6 +500,7 @@ class MultiStreamDecoder:
                 pools = {
                     "raw": np.zeros((nvl, rcap, 16), np.uint8),
                     "desc": np.zeros((nvl, dcap), np.uint32),
+                    "dc": np.zeros((nvl, dccap), np.uint8),
                 }
                 sh = {"planes": planes, "pools": pools,
                       "new_nest": np.zeros((nvl, nh, nw), np.uint8),
@@ -501,13 +519,14 @@ class MultiStreamDecoder:
                     pool_structs.extend(
                         make_pool_struct(
                             pools["raw"][lv], pools["desc"][lv],
+                            pools["dc"][lv],
                             raw_stride=16, desc_stride=1,
-                            raw_cap=rcap, desc_cap=dcap)
+                            raw_cap=rcap, desc_cap=dcap, dc_cap=dccap)
                         for lv in range(nvl))
             buf = {"staging": staging, "shards": shards,
                    "stream_views": stream_views,
-                   "raw_used": 0, "desc_used": 0,
-                   "slot_used": np.zeros((self._shards * nvl, 2), np.int64),
+                   "raw_used": 0, "desc_used": 0, "dc_used": 0,
+                   "slot_used": np.zeros((self._shards * nvl, 3), np.int64),
                    "variant": None, "sizes": None}
             if native:
                 buf["step_planner"] = StepPlanner(
@@ -545,11 +564,13 @@ class MultiStreamDecoder:
     # -- host half -------------------------------------------------------------
 
     def _fill_trivial(self, buf, v: int) -> None:
-        """Inactive-slot filler: all-intra weight blocks at DC 128 (the
-        other fields are masked out by meta on device)."""
+        """Inactive-slot filler: all-copy inter blocks with zero vectors
+        (consumes NO pool slots — an all-intra filler would claim a dc-pool
+        byte per block and blow the step's dc tier; the output is a copy of
+        ref_prev, and invalid slots' output is never read)."""
         sh, lv = self._shard_of(buf, v)
         for pp in sh["planes"]:
-            pp["meta"][lv] = 0
+            pp["meta"][lv] = 0x20   # cls=1 mode=0 refsel=0: copy, no payload
             pp["dc"][lv] = 128
         # stale vectors from the buffer's previous use must not force the
         # step into a wider mv variant (the device masks them, but
@@ -564,14 +585,20 @@ class MultiStreamDecoder:
         sh["is_i"][lv] = 1 if fchar == "I" else 0
         sh["is_ref"][lv] = 1 if fchar in ("I", "P") else 0
 
-    def _pack_sparse(self, buf, v: int, plan: FramePlan) -> tuple[int, int]:
-        """Dense FramePlan → sparse batch views (python-planner fallback)."""
+    def _pack_sparse(self, buf, v: int, plan: FramePlan):
+        """Dense FramePlan → sparse batch views (python-planner fallback).
+
+        Returns (raw_used, desc_used, dc_used)."""
         sh, lv = self._shard_of(buf, v)
-        raw_slot = desc_slot = 0
+        raw_slot = desc_slot = dc_slot = 0
         for pp, p in zip(sh["planes"], plan.planes):
             desc_blk = device_core.pack_desc(p)        # (bh, bw, 4) wire u32
             pp["meta"][lv] = device_core.pack_meta(p)
             pp["dc"][lv] = p.dc
+            # dc pool: canonical-order values for DC-carrying blocks
+            dcvals = p.dc[(p.cls == 0) & (p.mode != 6)]
+            sh["pools"]["dc"][lv, dc_slot:dc_slot + dcvals.size] = dcvals
+            dc_slot += int(dcvals.size)
             is_raw = (p.cls == 0) & (p.mode == 6)
             slot = np.zeros(p.mode.shape, np.uint32)
             for (by, bx) in zip(*np.nonzero(is_raw)):
@@ -595,7 +622,7 @@ class MultiStreamDecoder:
             mb = mvs[::2, ::2]
             sh[key][lv] = (((mb[..., 1].astype(np.uint32) & 0xFFFF) << 16)
                            | (mb[..., 0].astype(np.uint32) & 0xFFFF))
-        return raw_slot, desc_slot
+        return raw_slot, desc_slot, dc_slot
 
     def plan_step(self):
         """Plan the next frame of every stream into the current batch buffers.
@@ -607,6 +634,7 @@ class MultiStreamDecoder:
         buf = self._bufs[self._cur]
         buf["raw_used"] = 0
         buf["desc_used"] = 0
+        buf["dc_used"] = 0
         buf["slot_used"][:] = 0
         buf, metas, valid = self._plan_super(buf)
         self._assemble(buf)
@@ -665,9 +693,11 @@ class MultiStreamDecoder:
                 fout = sp.fouts[v]
                 self._set_flags(buf, v, fchar)
                 buf["slot_used"][v] = (int(fout.raw_used),
-                                       int(fout.desc_used))
+                                       int(fout.desc_used),
+                                       int(fout.dc_used))
                 buf["raw_used"] = max(buf["raw_used"], int(fout.raw_used))
                 buf["desc_used"] = max(buf["desc_used"], int(fout.desc_used))
+                buf["dc_used"] = max(buf["dc_used"], int(fout.dc_used))
                 metas[k][si] = FrameMeta(fchar, int(fout.display_id))
                 valid[k][si] = True
             return buf, metas, valid
@@ -693,10 +723,11 @@ class MultiStreamDecoder:
 
     def _plan_into(self, buf, v: int, fchar: str, payload: bytes) -> FrameMeta:
         plan: FramePlan = self.planner.plan_frame(fchar, payload)
-        raw_used, desc_used = self._pack_sparse(buf, v, plan)
-        buf["slot_used"][v] = (raw_used, desc_used)
+        raw_used, desc_used, dc_used = self._pack_sparse(buf, v, plan)
+        buf["slot_used"][v] = (raw_used, desc_used, dc_used)
         buf["raw_used"] = max(buf["raw_used"], raw_used)
         buf["desc_used"] = max(buf["desc_used"], desc_used)
+        buf["dc_used"] = max(buf["dc_used"], dc_used)
         if plan.nest is not None:
             sh, lv = self._shard_of(buf, v)
             sh["new_nest"][lv] = plan.nest
@@ -712,6 +743,7 @@ class MultiStreamDecoder:
         cfg, nvl = self.cfg, self._nvl
         raw_cap = _pick_tier(buf["raw_used"], self._raw_cap_full)
         desc_cap = _pick_tier(buf["desc_used"], self._desc_cap_full)
+        dc_cap = _pick_tier(buf["dc_used"], self._dc_cap_full)
         has_nest = any(bool(sh["is_i"].any()) for sh in buf["shards"])
         mv_mode = _MV_NONE
         for sh in buf["shards"]:
@@ -727,40 +759,35 @@ class MultiStreamDecoder:
                 else:
                     mv_mode = _MV_WIDE
         u8l, u32l, size8, size32 = _layout(cfg, nvl, raw_cap, desc_cap,
-                                           mv_mode, has_nest)
+                                           dc_cap, mv_mode, has_nest)
         st8, st32 = buf["staging"]["u8"], buf["staging"]["u32"]
 
         def put(st, s, lay, name, arr):
             off, _shape = lay[name]
             st[s, off:off + arr.size] = arr.reshape(-1)
 
+        dc_base = raw_cap * nvl * 16
         for s, sh in enumerate(buf["shards"]):
             # pool regions: stream-major (n, cap, ...), exact used prefixes
             rp, dp = sh["pools"]["raw"], sh["pools"]["desc"]
+            cp = sh["pools"]["dc"]
             for lv in range(nvl):
-                ru, du = buf["slot_used"][s * nvl + lv]
+                ru, du, cu = buf["slot_used"][s * nvl + lv]
                 if ru:
                     b0 = lv * raw_cap * 16
                     st8[s, b0:b0 + ru * 16] = rp[lv, :ru].reshape(-1)
                 if du:
                     b0 = lv * desc_cap
                     st32[s, b0:b0 + du] = dp[lv, :du]
+                if cu:
+                    b0 = dc_base + lv * dc_cap
+                    st8[s, b0:b0 + cu] = cp[lv, :cu]
             if has_nest:
                 put(st8, s, u8l, "new_nest", sh["new_nest"])
             put(st8, s, u8l, "is_i", sh["is_i"])
             put(st8, s, u8l, "is_ref", sh["is_ref"])
-            for pi, (bh, bw) in enumerate(cfg.block_grids):
-                m = sh["planes"][pi]["meta"]
-                d = sh["planes"][pi]["dc"]
-                if bw & 1:  # odd block width: pad the pair axis
-                    pad = [(0, 0), (0, 0), (0, 1)]
-                    m = np.pad(m, pad)
-                    d = np.pad(d, pad)
-                w = (m[..., 0::2].astype(np.uint32)
-                     | (d[..., 0::2].astype(np.uint32) << 8)
-                     | (m[..., 1::2].astype(np.uint32) << 16)
-                     | (d[..., 1::2].astype(np.uint32) << 24))
-                put(st32, s, u32l, f"md{pi}", w)
+            for pi in range(len(cfg.block_grids)):
+                put(st8, s, u8l, f"meta{pi}", sh["planes"][pi]["meta"])
             if mv_mode == _MV_PACKED:
                 v, v2 = sh["mv"], sh["mv2"]
                 # low byte of each s16 half IS its s8 encoding (range checked)
@@ -770,7 +797,7 @@ class MultiStreamDecoder:
             elif mv_mode == _MV_WIDE:
                 put(st32, s, u32l, "mv", sh["mv"])
                 put(st32, s, u32l, "mv2", sh["mv2"])
-        buf["variant"] = (raw_cap, desc_cap, mv_mode, has_nest)
+        buf["variant"] = (raw_cap, desc_cap, dc_cap, mv_mode, has_nest)
         buf["sizes"] = (size8, size32)
 
     def snapshot_step(self, buf):
@@ -792,7 +819,7 @@ class MultiStreamDecoder:
 
         With fused dispatch (K > 1) the returned frames are stacked
         per step: [3 x (K, n, H, W)]."""
-        raw_cap, desc_cap, mv_mode, has_nest = buf["variant"]
+        raw_cap, desc_cap, dc_cap, mv_mode, has_nest = buf["variant"]
         size8, size32 = buf["sizes"]
         h8 = buf["staging"]["u8"][:, :size8]
         h32 = buf["staging"]["u32"][:, :size32]
@@ -805,8 +832,8 @@ class MultiStreamDecoder:
                 # hand the device a private copy (TPU always transfers)
                 h8r, h32r = h8r.copy(), h32r.copy()
             arenas = {"u8": jnp.asarray(h8r), "u32": jnp.asarray(h32r)}
-            step_fn = _arena_step(self.cfg, self.n, self._k,
-                                  raw_cap, desc_cap, mv_mode, has_nest)
+            step_fn = _arena_step(self.cfg, self.n, self._k, raw_cap,
+                                  desc_cap, dc_cap, mv_mode, has_nest)
         else:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -821,7 +848,7 @@ class MultiStreamDecoder:
                       "u32": jax.device_put(h32, ash)}
             step_fn = _arena_step_sharded(
                 self.cfg, self._n_local, self._k, raw_cap, desc_cap,
-                mv_mode, has_nest, self._mesh, self._axis)
+                dc_cap, mv_mode, has_nest, self._mesh, self._axis)
         frames, self.nest, self.ref_prev, self.ref_last = step_fn(
             arenas, self.nest, self.ref_prev, self.ref_last)
         return frames

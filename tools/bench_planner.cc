@@ -24,11 +24,14 @@ struct PoolOut {
     size_t raw_stride, raw_cap;
     uint32_t* desc_pool;
     size_t desc_stride, desc_cap;
+    uint8_t* dc_pool;
+    size_t dc_stride, dc_cap;
 };
 struct FrameOut {
     // keep in sync with native/_entropy.cc FrameOut (ABI mirror for the
     // JAX-free micro-bench): mv/mv2 are per-MB PACKED u32 (y16<<16 | x16)
-    uint32_t display_id, dc_shift, nest_x, nest_y, raw_used, desc_used;
+    uint32_t display_id, dc_shift, nest_x, nest_y, raw_used, desc_used,
+        dc_used;
     uint8_t* nest;
     uint32_t* mv;
     uint32_t* mv2;
@@ -76,8 +79,10 @@ int main(int argc, char** argv) {
     }
     std::vector<uint8_t> raw_pool((size_t)total_blocks * 16);
     std::vector<uint32_t> desc_pool((size_t)total_blocks * 4);
+    std::vector<uint8_t> dc_pool((size_t)total_blocks);
     PoolOut pool = {raw_pool.data(), 16, (size_t)total_blocks,
-                    desc_pool.data(), 1, (size_t)total_blocks * 4};
+                    desc_pool.data(), 1, (size_t)total_blocks * 4,
+                    dc_pool.data(), 1, (size_t)total_blocks};
     std::vector<uint8_t> nest(70 * 38);
     std::vector<uint32_t> mv((size_t)(w / 8) * (h / 8)), mv2(mv.size());
     FrameOut fout{};
