@@ -65,10 +65,12 @@ _PLANE_KEYS = ("meta", "dc", "slot")
 # its own persistently-cached compiled step):
 #   NONE    no vector field uploaded — every vector in the step is zero
 #           (all-I steps, and P steps that happen to be all-copy)
+#   PACKED8 TWO MBs per u32 (x.s8, y.s8 each) — every vector fits s8 AND no
+#           MB uses a second (refsel-2) vector; typical P-frame steps
 #   PACKED  one u32 per MB: (y2.s8 << 24 | x2.s8 << 16 | y.s8 << 8 | x.s8);
 #           ±127 half-pel covers ±63 px — effectively every real stream
 #   WIDE    two u32 per MB (y16 << 16 | x16) — the mv_extreme escape tier
-_MV_NONE, _MV_PACKED, _MV_WIDE = 0, 1, 2
+_MV_NONE, _MV_PACKED8, _MV_PACKED, _MV_WIDE = 0, 1, 2, 3
 
 
 # ---------------------------------------------------------------------------
@@ -89,8 +91,9 @@ def _layout(cfg: SeqConfig, n: int, raw_cap: int, desc_cap: int,
     """Static element layout of the two staging uploads for one step variant.
 
     u8  = [raw pool (n, raw_cap, 16) | dc pool (n, dc_cap) |
-           meta planes (n,bh,bw) ×3 | new_nest (n,nh,nw)? | is_i | is_ref]
-    u32 = [desc pool (n, desc_cap) | mv field(s)]
+           new_nest (n,nh,nw)? | is_i | is_ref]
+    u32 = [desc pool (n, desc_cap) | meta planes (n,⌈bh*bw/5⌉) ×3 (5 six-bit
+           metas per u32) | mv field(s)]
 
     Two dtype-homogeneous buffers → two h2d transfers per step (a single
     mixed-dtype buffer would need on-device reinterpretation, which hangs
@@ -110,9 +113,6 @@ def _layout(cfg: SeqConfig, n: int, raw_cap: int, desc_cap: int,
     u8: dict = {}
     off = raw_cap * n * 16          # raw pool region: (n, raw_cap, 16)
     off += dc_cap * n               # dc pool region: (n, dc_cap)
-    for pi, (bh, bw) in enumerate(cfg.block_grids):
-        u8[f"meta{pi}"] = (off, (n, bh, bw))
-        off += n * bh * bw
     nh, nw = cfg.nest_shape
     if has_nest:
         u8["new_nest"] = (off, (n, nh, nw))
@@ -124,8 +124,16 @@ def _layout(cfg: SeqConfig, n: int, raw_cap: int, desc_cap: int,
     size8 = off
     u32: dict = {}
     off = desc_cap * n              # desc pool region: (n, desc_cap)
+    for pi, (bh, bw) in enumerate(cfg.block_grids):
+        nw5 = (bh * bw + 4) // 5    # meta is 6 bits: 5 blocks per u32
+        u32[f"meta{pi}"] = (off, (n, nw5))
+        off += n * nw5
     mh, mw = cfg.mb_grid
-    if mv_mode == _MV_PACKED:
+    if mv_mode == _MV_PACKED8:
+        mwp = (mh * mw + 1) // 2    # two MBs per u32
+        u32["mvp8"] = (off, (n, mwp))
+        off += n * mwp
+    elif mv_mode == _MV_PACKED:
         u32["mvp"] = (off, (n, mh, mw))
         off += n * mh * mw
     elif mv_mode == _MV_WIDE:
@@ -178,14 +186,35 @@ def _unpack_arena(cfg: SeqConfig, n: int, arenas: dict,
 
     sra = device_core._sra
     planes = [dict() for _ in cfg.block_grids]
-    for pi in range(len(cfg.block_grids)):
-        planes[pi]["meta"] = fld("u8", u8l, f"meta{pi}")
+    for pi, (bh, bw) in enumerate(cfg.block_grids):
+        # 5 six-bit metas per u32, block-scan order
+        w = fld("u32", u32l, f"meta{pi}")
+        parts = jnp.stack([(w >> (6 * j)) & 0x3F for j in range(5)],
+                          axis=-1).reshape(n, -1)
+        planes[pi]["meta"] = jax.lax.slice_in_dim(
+            parts, 0, bh * bw, axis=1).reshape(n, bh, bw).astype(jnp.uint8)
 
     # motion vectors at MB resolution, component-major (n, 2, mh, mw) i32
     mh, mw = cfg.mb_grid
     if mv_mode == _MV_NONE:
         z = jnp.zeros((n, mh, mw), jnp.int32)
         mvc = {"mv": (z, z), "mv2": (z, z)}
+    elif mv_mode == _MV_PACKED8:
+        w = fld("u32", u32l, "mvp8").astype(jnp.int32)
+
+        def s8p(k):  # byte k of each u32, sign-extended
+            b = sra(w, 8 * k) & 0xFF
+            return b - ((b & 0x80) << 1)
+
+        # interleave the two MBs per word back into scan order
+        def lanes(x0, x1):
+            v = jnp.stack([x0, x1], axis=-1).reshape(n, -1)
+            return jax.lax.slice_in_dim(v, 0, mh * mw, axis=1).reshape(
+                n, mh, mw)
+
+        z = jnp.zeros((n, mh, mw), jnp.int32)
+        mvc = {"mv": (lanes(s8p(0), s8p(2)), lanes(s8p(1), s8p(3))),
+               "mv2": (z, z)}
     elif mv_mode == _MV_PACKED:
         w = fld("u32", u32l, "mvp").astype(jnp.int32)
 
@@ -746,11 +775,13 @@ class MultiStreamDecoder:
         dc_cap = _pick_tier(buf["dc_used"], self._dc_cap_full)
         has_nest = any(bool(sh["is_i"].any()) for sh in buf["shards"])
         mv_mode = _MV_NONE
+        any_mv2 = False
         for sh in buf["shards"]:
             for key in ("mv", "mv2"):
                 v = sh[key]
                 if not v.any():
                     continue
+                any_mv2 |= key == "mv2"
                 x = (v.view(np.int32) << 16) >> 16
                 y = v.view(np.int32) >> 16
                 if (x.min() >= -128 and x.max() <= 127
@@ -758,6 +789,8 @@ class MultiStreamDecoder:
                     mv_mode = max(mv_mode, _MV_PACKED)
                 else:
                     mv_mode = _MV_WIDE
+        if mv_mode == _MV_PACKED and not any_mv2:
+            mv_mode = _MV_PACKED8  # halve again: two MBs per u32
         u8l, u32l, size8, size32 = _layout(cfg, nvl, raw_cap, desc_cap,
                                            dc_cap, mv_mode, has_nest)
         st8, st32 = buf["staging"]["u8"], buf["staging"]["u32"]
@@ -786,9 +819,25 @@ class MultiStreamDecoder:
                 put(st8, s, u8l, "new_nest", sh["new_nest"])
             put(st8, s, u8l, "is_i", sh["is_i"])
             put(st8, s, u8l, "is_ref", sh["is_ref"])
-            for pi in range(len(cfg.block_grids)):
-                put(st8, s, u8l, f"meta{pi}", sh["planes"][pi]["meta"])
-            if mv_mode == _MV_PACKED:
+            for pi, (bh, bw) in enumerate(cfg.block_grids):
+                # 5 six-bit metas per u32 (meta uses bits 0-5 only)
+                m = sh["planes"][pi]["meta"].reshape(nvl, -1)
+                nb = m.shape[1]
+                if nb % 5:
+                    m = np.pad(m, [(0, 0), (0, 5 - nb % 5)])
+                m5 = m.reshape(nvl, -1, 5).astype(np.uint32)
+                w = (m5[:, :, 0] | (m5[:, :, 1] << 6) | (m5[:, :, 2] << 12)
+                     | (m5[:, :, 3] << 18) | (m5[:, :, 4] << 24))
+                put(st32, s, u32l, f"meta{pi}", w)
+            if mv_mode == _MV_PACKED8:
+                v = sh["mv"].reshape(nvl, -1)
+                # per MB: x.s8 | y.s8<<8 (low bytes of the s16 halves)
+                b = (v & 0xFF) | (((v >> 16) & 0xFF) << 8)
+                if b.shape[1] % 2:
+                    b = np.pad(b, [(0, 0), (0, 1)])
+                w = b[:, 0::2] | (b[:, 1::2] << 16)
+                put(st32, s, u32l, "mvp8", w)
+            elif mv_mode == _MV_PACKED:
                 v, v2 = sh["mv"], sh["mv2"]
                 # low byte of each s16 half IS its s8 encoding (range checked)
                 w = ((v & 0xFF) | (((v >> 16) & 0xFF) << 8)
