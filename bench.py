@@ -193,47 +193,68 @@ def main() -> None:
     # ---- never die without the JSON line: a phase that fails or times out
     # is recorded in the output instead of aborting the whole bench
     # (round 2's artifact was empty because a SystemExit printed nothing)
-    clip_path = pathlib.Path(os.environ.get(
-        "HVQM4_BENCH_CLIP", str(REPO / "testdata" / "ref640.h4m")))
-    base_fps = 0.0
+    #
+    # Two corpus points (BASELINE.md): the heavy conformance clip (primary
+    # metric, continuity with BENCH_r01/r02) and the retail-bitrate clip
+    # (representative FMV statistics; the fused-dispatch production config).
     failures: dict[str, str] = {}
-    try:
-        oracle = ensure_oracle()
-        ensure_clip(clip_path)
-        res = subprocess.run([str(oracle), "--bench", "5", str(clip_path)],
-                             check=True, capture_output=True, text=True)
-        base_fps = float(json.loads(res.stdout)["fps"])
-    except Exception as e:  # noqa: BLE001 - must still emit JSON
-        failures["oracle"] = repr(e)[:200]
-
     merged: dict = {}
-    for phase in ("pipeline", "device", "hash"):
-        print(f"bench: phase {phase}", file=sys.stderr, flush=True)
+
+    def run_clip(prefix: str, clip_path: pathlib.Path, phase_env: dict):
+        base_fps = 0.0
         try:
-            r = subprocess.run(
-                [sys.executable, __file__, "--phase", phase],
-                capture_output=True, text=True, timeout=900)
-            if r.returncode != 0:
-                print(r.stderr[-2000:], file=sys.stderr)
-                failures[phase] = f"rc={r.returncode}"
-            else:
-                merged.update(json.loads(r.stdout.strip().splitlines()[-1]))
-        except subprocess.TimeoutExpired:
-            failures[phase] = "timeout"
+            oracle = ensure_oracle()
+            if prefix == "":
+                ensure_clip(clip_path)
+            elif not clip_path.exists():
+                raise FileNotFoundError(clip_path)
+            res = subprocess.run(
+                [str(oracle), "--bench", "5", str(clip_path)],
+                check=True, capture_output=True, text=True)
+            base_fps = float(json.loads(res.stdout)["fps"])
         except Exception as e:  # noqa: BLE001 - must still emit JSON
-            failures[phase] = repr(e)[:200]
-        time.sleep(15)  # let the tunnel remote side settle between clients
+            failures[prefix + "oracle"] = repr(e)[:200]
+            return base_fps
+        for phase in ("pipeline", "device", "hash"):
+            print(f"bench: phase {prefix}{phase}", file=sys.stderr, flush=True)
+            env = dict(os.environ, HVQM4_BENCH_CLIP=str(clip_path),
+                       **phase_env.get(phase, {}))
+            try:
+                r = subprocess.run(
+                    [sys.executable, __file__, "--phase", phase],
+                    capture_output=True, text=True, timeout=900, env=env)
+                if r.returncode != 0:
+                    print(r.stderr[-2000:], file=sys.stderr)
+                    failures[prefix + phase] = f"rc={r.returncode}"
+                else:
+                    res = json.loads(r.stdout.strip().splitlines()[-1])
+                    merged.update({prefix + k: v for k, v in res.items()})
+            except subprocess.TimeoutExpired:
+                failures[prefix + phase] = "timeout"
+            except Exception as e:  # noqa: BLE001 - must still emit JSON
+                failures[prefix + phase] = repr(e)[:200]
+            time.sleep(15)  # let the tunnel settle between clients
+        return base_fps
+
+    ref_clip = pathlib.Path(os.environ.get(
+        "HVQM4_BENCH_CLIP", str(REPO / "testdata" / "ref640.h4m")))
+    base_fps = run_clip("", ref_clip, {})
+    # retail point: device + hash run the fused-dispatch config (K=8, the
+    # measured best realized-throughput operating point on this chip)
+    k8 = {"HVQM4_STEPS_PER_DISPATCH": "8"}
+    retail_base = run_clip("retail_", REPO / "testdata" / "retail640.h4m",
+                           {"device": k8, "hash": k8})
 
     try:
         from hvqm4_tpu.container import Demuxer
 
-        cfg = Demuxer(clip_path.read_bytes()).info.cfg
+        cfg = Demuxer(ref_clip.read_bytes()).info.cfg
         clip_wh = f"{cfg.width}x{cfg.height}"
     except Exception:  # noqa: BLE001
         clip_wh = "unknown"
 
-    def ratio(x):
-        return round(x / base_fps, 3) if base_fps else 0.0
+    def ratio(x, base):
+        return round(x / base, 3) if base else 0.0
 
     pipeline_fps = merged.get("pipeline_fps", 0.0)
     device_fps = merged.get("device_fps", 0.0)
@@ -242,9 +263,9 @@ def main() -> None:
         "clip": clip_wh,
         "value": pipeline_fps,
         "unit": "frames/s",
-        "vs_baseline": ratio(pipeline_fps),
+        "vs_baseline": ratio(pipeline_fps, base_fps),
         "device_fps": device_fps,
-        "device_vs_baseline": ratio(device_fps),
+        "device_vs_baseline": ratio(device_fps, base_fps),
         "oracle_fps": round(base_fps, 2),
         "streams": n_streams,
         "planner": merged.get("planner", "unknown"),
@@ -254,6 +275,16 @@ def main() -> None:
         "bitexact_streams": merged.get("bitexact_streams", 0),
         "bitexact_frames": merged.get("bitexact_frames", 0),
         "backend": merged.get("backend", "unknown"),
+        # retail-bitrate corpus point (oracle denominator is ITS OWN run
+        # on the same clip — light content speeds the oracle up too)
+        "retail_pipeline_fps": merged.get("retail_pipeline_fps", 0.0),
+        "retail_device_fps": merged.get("retail_device_fps", 0.0),
+        "retail_oracle_fps": round(retail_base, 2),
+        "retail_vs_baseline": ratio(
+            merged.get("retail_pipeline_fps", 0.0), retail_base),
+        "retail_device_vs_baseline": ratio(
+            merged.get("retail_device_fps", 0.0), retail_base),
+        "retail_bitexact": merged.get("retail_bitexact", "not-run"),
     }
     if failures:
         out["phase_failures"] = failures
