@@ -203,19 +203,23 @@ def _intra_pixels_plane(plan, nest):
     return intra, acc, meta_up
 
 
-# Pallas kernel routing, fixed at import: "auto" (default: compiled Pallas
-# kernels on TPU backends, XLA elsewhere), "on", "off" (XLA everywhere), or
-# "interpret" (Pallas interpreter — CI / non-TPU backends). Import-time env
-# read because the choice must be stable across jit traces; "auto" resolves
-# the backend lazily at first trace. Measured on a v5e (BASELINE.md): Pallas
-# matches XLA at 8 streams and beats it ~26% at 64 (1.05M fps compute).
+# Pallas kernel routing, fixed at import: "auto", "on" (compiled Pallas
+# kernels), "off" (XLA everywhere), or "interpret" (Pallas interpreter — CI /
+# non-TPU backends). Import-time env read because the choice must be stable
+# across jit traces. Measured history on a v5e (BASELINE.md): on the round-2
+# arena layout Pallas beat XLA ~26% at 64 streams, so "auto" meant Pallas on
+# TPU; on the round-3 layout (sparse dc/meta pools — different gather/fusion
+# structure) XLA is ~1.5x faster at 8 streams and within noise at 64, so
+# "auto" now resolves to the XLA path everywhere. The kernels remain
+# first-class (HVQM4_PALLAS=on; bit-exactness covered in CI via interpret
+# mode and on chip by `verify --device`).
 _PALLAS_MODE = os.environ.get("HVQM4_PALLAS", "auto")
 
 
 def pallas_enabled() -> bool:
     if _PALLAS_MODE == "auto":
-        return jax.default_backend() == "tpu"
-    return _PALLAS_MODE != "off"
+        return False
+    return _PALLAS_MODE not in ("off",)
 
 
 def _blocks_to_plane(px):
