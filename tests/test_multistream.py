@@ -283,3 +283,85 @@ def test_multistream_poisons_b_without_references():
         decoded += sum(valid)
     assert ms.streams[0].failed
     assert decoded == 1  # the I frame; the invalid B poisoned the stream
+
+
+# ---------------------------------------------------------------------------
+# Round-3 staging-variant coverage (sparse dc pool, packed meta/mv tiers)
+# ---------------------------------------------------------------------------
+
+def test_wide_mv_variant_bitexact():
+    """mv_extreme clips overflow the s8 packed tiers -> the step must pick
+    the WIDE (two u32/MB) variant and still decode bit-exact."""
+    from hvqm4_tpu.parallel.multistream import _MV_WIDE
+
+    clips = [make_clip(CFG, ["IPPP"], seed=s, mv_extreme=True)
+             for s in (5, 6)]
+    expected = [_single_stream_frames(CFG, c) for c in clips]
+    ms = MultiStreamDecoder(CFG, clips)
+    per_stream = [[] for _ in clips]
+    saw_wide = False
+    while any(ms.active):
+        buf, _metas, valid = ms.plan_step()
+        saw_wide |= buf["variant"][3] == _MV_WIDE
+        frames = ms.device_step(buf)
+        ms._cur ^= 1
+        fnp = [np.asarray(p) for p in frames]
+        for si, ok in enumerate(valid):
+            if ok:
+                per_stream[si].append(
+                    b"".join(fnp[pi][si].tobytes() for pi in range(3)))
+    assert saw_wide, "mv_extreme clip never selected the WIDE variant"
+    for si in range(len(clips)):
+        assert per_stream[si] == expected[si], f"stream {si}"
+
+
+def test_packed8_variant_on_p_steps():
+    """P-only steps with small vectors pick PACKED8 (2 MBs/u32, no second
+    vector) and I steps pick NONE + carry the nest."""
+    from hvqm4_tpu.parallel.multistream import _MV_NONE, _MV_PACKED8
+
+    clip = make_clip(CFG, ["IPPP"], seed=9)
+    expected = _single_stream_frames(CFG, clip)
+    ms = MultiStreamDecoder(CFG, [clip, clip])
+    got = []
+    modes = []
+    while any(ms.active):
+        buf, _metas, valid = ms.plan_step()
+        modes.append((buf["variant"][3], buf["variant"][4]))  # (mv, nest)
+        frames = ms.device_step(buf)
+        ms._cur ^= 1
+        fnp = [np.asarray(p) for p in frames]
+        if valid[0]:
+            got.append(b"".join(fnp[pi][0].tobytes() for pi in range(3)))
+    assert got == expected
+    assert modes[0] == (_MV_NONE, True)          # I step: no mv, nest ships
+    assert all(m[1] is False for m in modes[1:])  # P steps: no nest field
+    assert any(m[0] == _MV_PACKED8 for m in modes[1:])
+
+
+def test_odd_chroma_block_width():
+    """width=40 -> 4:2:0 chroma block grid is 5 wide (odd): the 5-per-u32
+    meta packing and pool cumsums must handle non-multiple block counts."""
+    cfg = SeqConfig(40, 48)
+    clips = [make_clip(cfg, ["IPBPB"], seed=s) for s in (11, 12)]
+    expected = [_single_stream_frames(cfg, c) for c in clips]
+    got = _pipelined_frames(cfg, clips)
+    for si in range(len(clips)):
+        assert got[si] == expected[si], f"stream {si}"
+
+
+def test_trivial_filler_consumes_no_pools():
+    """Finished streams' filler slots must not claim pool slots (an
+    all-intra filler would add a dc-pool byte per block and blow the
+    step's dc tier)."""
+    long = make_clip(CFG, ["IPPPPP"], seed=1)
+    short = make_clip(CFG, ["IPP"], seed=2)
+    ms = MultiStreamDecoder(CFG, [long, short])
+    dc_useds = []
+    while any(ms.active):
+        buf, _metas, valid = ms.plan_step()
+        if not valid[1]:  # short stream finished -> filler slot in play
+            dc_useds.append(int(buf["slot_used"][ms._slot(1, 0)][2]))
+        ms.device_step(buf)
+        ms._cur ^= 1
+    assert dc_useds and all(d == 0 for d in dc_useds)
