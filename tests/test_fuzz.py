@@ -114,3 +114,52 @@ def test_oracle_sanitizer_clean_on_sliced_fuzz(asan_oracle, tmp_path):
                              capture_output=True)
         assert res.returncode in (0, 1), (
             f"iter {i}: rc={res.returncode}\n{res.stderr.decode()[:2000]}")
+
+
+def test_oracle_sanitizer_clean_on_sliced_audio_fuzz(asan_oracle, tmp_path):
+    """The sliced+audio CROSS (TESTING.md battery extension): slice
+    sub-tables and audio records together cover every record kind the
+    container can interleave; mutations must still land on exit 0/1 with
+    `--audio` decode active, never a sanitizer abort."""
+    cfg = SeqConfig(64, 48)
+    clip = make_clip(cfg, ["IPBPB", "IPP"], seed=7, slices=3,
+                     audio_channels=2)
+    rng = np.random.default_rng(5)
+    for i in range(80):
+        mutated = _mutate(clip, rng, int(rng.integers(1, 12)))
+        p = tmp_path / "fuzz_sa.h4m"
+        p.write_bytes(mutated)
+        res = subprocess.run(
+            [str(asan_oracle), "--audio", str(tmp_path / "a.pcm"),
+             str(p), "/dev/null"],
+            capture_output=True)
+        assert res.returncode in (0, 1), (
+            f"iter {i}: rc={res.returncode}\n{res.stderr.decode()[:2000]}")
+
+
+def test_native_planner_survives_sliced_audio_bitflips():
+    """Mirror battery for the production C++ planner: mutated payloads from
+    a sliced+audio clip must raise PlannerError (or decode) — never crash
+    the process. Exercises the slice sub-table parser, the threaded-slice
+    pool compaction, and the round-3 word-cursor aux reader."""
+    from hvqm4_tpu.native import NativePlanner
+
+    cfg = SeqConfig(64, 48)
+    clip = make_clip(cfg, ["IPBPB", "IPP"], seed=8, slices=3,
+                     audio_channels=2)
+    payloads = [(r.frame_char, r.payload)
+                for r in Demuxer(clip).video_records()]
+    pl = NativePlanner(cfg)
+    rng = np.random.default_rng(6)
+    decoded = rejected = 0
+    for _ in range(300):
+        fchar, payload = payloads[int(rng.integers(0, len(payloads)))]
+        p = bytearray(payload)
+        for _ in range(int(rng.integers(1, 8))):
+            p[int(rng.integers(0, len(p)))] = int(rng.integers(0, 256))
+        try:
+            pl.plan_frame(fchar, bytes(p))
+            decoded += 1
+        except PlannerError:
+            rejected += 1
+    assert decoded + rejected == 300 and rejected > 50
