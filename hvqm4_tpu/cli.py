@@ -199,7 +199,7 @@ def cmd_encode(args) -> int:
         frames.append(planes)
     gops = args.gops.split(",") if args.gops else _default_gops(n)
     enc = VideoEncoder(cfg, lambda_bits=args.quality, slices=args.slices,
-                       dc_shift=args.dc_shift)
+                       dc_shift=args.dc_shift, psy=args.psy)
     audio = None
     audio_rate = 32000
     if args.audio:
@@ -221,10 +221,16 @@ def cmd_encode(args) -> int:
             print("hvqm4_tpu: error: --target-kb does not support --audio "
                   "yet (video-only rate control)", file=sys.stderr)
             return 1
-        data, lam = encode_to_size(cfg, frames, gops,
-                                   int(args.target_kb * 1024),
-                                   slices=args.slices,
-                                   dc_shift=args.dc_shift)
+        if args.single_pass:
+            data = enc.encode(frames, gops,
+                              target_bytes=int(args.target_kb * 1024))
+            lam = enc.lam
+        else:
+            data, lam = encode_to_size(cfg, frames, gops,
+                                       int(args.target_kb * 1024),
+                                       slices=args.slices,
+                                       dc_shift=args.dc_shift,
+                                       psy=args.psy)
         print(f"rate control: lambda={lam:.3f}", file=sys.stderr)
     else:
         data = enc.encode(frames, gops, audio=audio, audio_rate=audio_rate)
@@ -379,6 +385,12 @@ def main(argv=None) -> int:
     p.add_argument("--dc-shift", type=int, default=0,
                    help="DC delta quantization shift 0..7 (coarser DCs, "
                         "fewer bits)")
+    p.add_argument("--psy", type=float, default=0.0,
+                   help="psychovisual weighting strength 0..1: shift bits "
+                        "from textured (masking) to flat regions")
+    p.add_argument("--single-pass", action="store_true",
+                   help="with --target-kb: per-GOP adaptive lambda in ONE "
+                        "pass instead of bisection re-encodes")
     p.set_defaults(fn=cmd_encode)
 
     p = sub.add_parser("transcode")

@@ -94,12 +94,16 @@ class VideoEncoder:
     def __init__(self, cfg: SeqConfig, lambda_bits: float = 4.0,
                  mv_range: int = 7, aot_bases: int = 2, seed: int = 0,
                  use_tpu_search: bool = False, nest_mu: float = 0.25,
-                 slices: int = 1, dc_shift: int = 0):
+                 slices: int = 1, dc_shift: int = 0, psy: float = 0.0):
         self.cfg = cfg
         if not (0 <= dc_shift <= 7):
             raise ValueError("dc_shift must be in [0, 7]")
         self.dc_shift = dc_shift
         self.lam = lambda_bits
+        # psychovisual strength: 0 = plain SSE RD; 1 = full TM5-style
+        # activity masking (textured blocks tolerate more error than flat
+        # ones, so their effective lambda rises and bits flow to flat areas)
+        self.psy = float(psy)
         self.mv_range = mv_range
         self.aot_bases = aot_bases
         self.rng = np.random.default_rng(seed)
@@ -111,6 +115,26 @@ class VideoEncoder:
         if not (1 <= slices <= mh):
             raise ValueError(f"slice count must be in [1, {mh}]")
         self.slices = slices
+
+    # -- psychovisual weighting -------------------------------------------------
+
+    def _psy_weights(self, plane: np.ndarray, grid: int = 4) -> np.ndarray | None:
+        """Per-block lambda multipliers from local activity (texture
+        masking). TM5-style normalized activity N = (2a + a̅)/(a + 2a̅)
+        ∈ [0.5, 2] — busy blocks (high variance) mask coding error, flat
+        blocks reveal it — raised to `psy` so 0 disables smoothly. Returns
+        None when psy == 0 (scalar-lambda fast paths stay untouched)."""
+        if not self.psy:
+            return None
+        h, w = plane.shape
+        gh, gw = h // grid, w // grid
+        cells = (plane.astype(np.float64)
+                 .reshape(gh, grid, gw, grid).transpose(0, 2, 1, 3)
+                 .reshape(gh, gw, grid * grid))
+        act = cells.var(axis=2) + 1.0
+        avg = float(act.mean())
+        n = (2.0 * act + avg) / (act + 2.0 * avg)
+        return n ** self.psy
 
     # -- per-plane intra decision ---------------------------------------------
 
@@ -136,9 +160,11 @@ class VideoEncoder:
         wsse = ((wrec - blocks) ** 2).reshape(bh, bw, 16).sum(2)
 
         out = [[None] * bw for _ in range(bh)]
-        lam = self.lam
+        psy_w = self._psy_weights(plane)
         for by in range(bh):
             for bx in range(bw):
+                lam = self.lam if psy_w is None else \
+                    self.lam * float(psy_w[by, bx])
                 target = blocks[by, bx].reshape(16)
                 if raw_frozen is not None and raw_frozen[by, bx]:
                     out[by][bx] = _BlockDecision(
@@ -203,8 +229,11 @@ class VideoEncoder:
         rec2 = np.clip(dcs[:, None] + ((t1 + t2) >> 4), 0, 255)
         sse2 = ((rec2 - flat) ** 2).sum(1)
 
-        lam = self.lam
-        raw_cost = np.full(len(flat), lam * 132)
+        psy_w = self._psy_weights(plane)
+        lam = (self.lam if psy_w is None
+               else self.lam * psy_w.reshape(-1))   # scalar or (nb,)
+        raw_cost = np.broadcast_to(np.asarray(lam * 132, np.float64),
+                                   (len(flat),)).copy()
         if raw_penalty is not None:
             raw_cost = raw_cost + raw_penalty.reshape(-1)
         if raw_frozen is not None:
@@ -399,9 +428,11 @@ class VideoEncoder:
             mb_map = np.zeros((mh, mw), np.uint8)
             past = refs[0][0] if ftype == "B" else refs[1][0]
             futu = refs[1][0]
-            lam = self.lam
+            psy_mb = self._psy_weights(y, grid=8)
             for my in range(mh):
                 for mx in range(mw):
+                    lam = self.lam if psy_mb is None else \
+                        self.lam * float(psy_mb[my, mx])
                     y0, x0 = my * 8, mx * 8
                     tgt = y[y0:y0 + 8, x0:x0 + 8].astype(np.int32)
                     sse_copy = int(((past[y0:y0 + 8, x0:x0 + 8].astype(np.int32)
@@ -493,9 +524,9 @@ class VideoEncoder:
         if search is None and cand is None:
             cand = _CandidateSet(nest, self.rng)
         cfg = self.cfg
-        lam = self.lam
         out = []
         for pi, plane in enumerate(frame):
+            psy_w = self._psy_weights(plane)
             bh, bw = cfg.block_grids[pi]
             chroma_mb = pi > 0 and cfg.h_samp == 2
             shift_idx = 0 if chroma_mb else 1
@@ -564,6 +595,9 @@ class VideoEncoder:
                     acc[i] += term  # UNSHIFTED terms; decoder shifts the sum
                     rec = np.clip(preds[i] + (acc[i] >> 4), 0, 255)
                     sse = int(((rec - targets[i]) ** 2).sum())
+                    by, bx = coords[i]
+                    lam = self.lam if psy_w is None else \
+                        self.lam * float(psy_w[by, bx])
                     cost = sse + lam * (3 + 34 * len(round_bases[i]))
                     if cost < best_cost[i]:
                         best_cost[i] = cost
@@ -706,12 +740,22 @@ class VideoEncoder:
     def encode(self, frames: list, gops: list[str],
                usec_per_frame: int = 33366,
                audio: np.ndarray | None = None,
-               audio_rate: int = 32000) -> bytes:
+               audio_rate: int = 32000,
+               target_bytes: int | None = None,
+               rc_strength: float = 0.7,
+               rc_lam_bounds: tuple = (0.25, 64.0)) -> bytes:
         """frames: display-ordered [ [Y,U,V] u8 planes ]; gops: display-order
         patterns whose lengths sum to len(frames). `audio` is optional
         (n_samples, channels) i16 PCM encoded as IMA-ADPCM, one record per
         GOP block covering that block's display duration. Returns a `.h4m`
-        file."""
+        file.
+
+        With `target_bytes`, SINGLE-PASS per-GOP adaptive rate control:
+        after each GOP block, lambda is scaled by (spent/budget)^rc_strength
+        against the proportional running budget — the classic closed-loop
+        buffer model, converging on multi-GOP clips without the re-encode
+        passes `encode_to_size` spends (use that for exact targets on short
+        clips). Mutates self.lam."""
         from .audio import encode_record
         from .gop import reorder_display_to_decode
 
@@ -725,6 +769,8 @@ class VideoEncoder:
         n_video = n_audio = 0
         max_frame = max_audio = 0
         audio_pos = 0
+        total_frames = len(frames)
+        spent = 0
         for gi, gop in enumerate(gops):
             self.dec.reset()
             recs = []
@@ -758,6 +804,13 @@ class VideoEncoder:
             na = sum(1 for m, _s, _p in recs if m == MEDIA_AUDIO)
             blocks.append(struct.pack(">IHH", len(body), na,
                                       len(recs) - na) + body)
+            if target_bytes is not None:
+                spent += len(blocks[-1])
+                budget = target_bytes * disp_base / total_frames
+                ratio = spent / max(budget, 1.0)
+                lo, hi = rc_lam_bounds
+                self.lam = float(np.clip(self.lam * ratio ** rc_strength,
+                                         lo, hi))
 
         channels = audio.shape[1] if audio is not None else 0
         body = b"".join(blocks)

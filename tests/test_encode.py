@@ -195,3 +195,63 @@ def test_inter_residuals_emitted_and_bitexact(oracle_bin, tmp_path):
     want = run_oracle(oracle_bin, clip, tmp_path)
     got = b"".join(f.tobytes() for f in golden_decode(cfg, clip))
     assert got == want
+
+
+def test_psychovisual_weighting_roundtrip(oracle_bin, tmp_path):
+    """psy > 0 shifts bits from textured to flat regions; the stream must
+    stay spec-valid (oracle-identical decode) and spend FEWER bits on the
+    high-activity half at equal lambda."""
+    cfg = SeqConfig(64, 48)
+    rng = np.random.default_rng(17)
+    h, w = cfg.plane_shapes[0]
+    frames = []
+    for t in range(4):
+        y = np.full((h, w), 120, np.float64)
+        y[:, : w // 2] += np.linspace(0, 30, w // 2)[None, :]      # flat-ish
+        y[:, w // 2:] += rng.normal(0, 40, (h, w // 2))            # textured
+        y = np.clip(y + t, 0, 255).astype(np.uint8)
+        u = np.full(cfg.plane_shapes[1], 110, np.uint8)
+        v = np.full(cfg.plane_shapes[1], 140, np.uint8)
+        frames.append([y, u, v])
+
+    clips = {psy: VideoEncoder(cfg, lambda_bits=8.0, seed=0, psy=psy)
+             .encode(frames, ["IPPP"]) for psy in (0.0, 1.0)}
+    assert clips[0.0] != clips[1.0]
+    for psy, clip in clips.items():
+        ours = b"".join(b"".join(pl.tobytes() for pl in f)
+                        for f in golden_decode(cfg, clip))
+        assert run_oracle(oracle_bin, clip, tmp_path) == ours, \
+            f"psy={psy} not oracle-identical"
+
+    def textured_bases(clip):
+        """AOT bases spent on the textured right half of the I frame."""
+        from hvqm4_tpu.container import Demuxer
+        from hvqm4_tpu.planner import Planner
+
+        rec = next(r for r in Demuxer(clip).video_records()
+                   if r.frame_char == "I")
+        plan = Planner(cfg).plan_frame("I", rec.payload)
+        pp = plan.planes[0]
+        counts = np.where(((pp.cls == 0) & (pp.mode >= 1) & (pp.mode <= 4)),
+                          pp.mode, 0)
+        return int(counts[:, counts.shape[1] // 2:].sum())
+
+    assert textured_bases(clips[1.0]) <= textured_bases(clips[0.0])
+
+
+def test_adaptive_single_pass_rate_control():
+    """encode(target_bytes=...) converges toward the target in ONE pass by
+    per-GOP lambda adaptation (vs the fixed-lambda encode missing it)."""
+    cfg = SeqConfig(64, 48)
+    frames = _synthetic_video(cfg, 12, seed=23)
+    gops = ["IPP", "IPP", "IPP", "IPP"]
+    fixed = VideoEncoder(cfg, lambda_bits=0.5, seed=0).encode(frames, gops)
+    target = int(len(fixed) * 0.55)
+    enc = VideoEncoder(cfg, lambda_bits=0.5, seed=0)
+    adaptive = enc.encode(frames, gops, target_bytes=target)
+    # the controller must move lambda and land closer to the target than
+    # the fixed encode (late GOPs carry the correction in a single pass)
+    assert enc.lam > 0.5
+    assert abs(len(adaptive) - target) < abs(len(fixed) - target)
+    # stream stays decodable
+    assert len(golden_decode(cfg, adaptive)) == 12
