@@ -75,7 +75,7 @@ _FTYPE_CODE = {"I": 0, "P": 1, "B": 2}
 # (cls 0 mode 6) or a desc-pool start otherwise — the two are mutually
 # exclusive per block, so one u32 field serves both (meta disambiguates).
 # Motion vectors are per-MACROBLOCK and live at frame level (see FRAME_PTRS).
-PLANE_KEYS = ("meta", "dc", "slot")
+PLANE_KEYS = ("meta", "dc", "slot", "meta5")
 
 # frame-level output arrays (pointers in _FrameOut, after `nest`)
 FRAME_PTRS = ("nest", "mv", "mv2")
@@ -105,6 +105,7 @@ class _FrameOut(ctypes.Structure):
                 ("raw_used", ctypes.c_uint32),
                 ("desc_used", ctypes.c_uint32),
                 ("dc_used", ctypes.c_uint32),
+                ("mv_flags", ctypes.c_uint32),
                 ("nest", ctypes.c_void_p),
                 ("mv", ctypes.c_void_p),
                 ("mv2", ctypes.c_void_p)]
@@ -167,6 +168,7 @@ def alloc_packed_plane(bh: int, bw: int) -> dict[str, np.ndarray]:
         "meta": np.zeros((bh, bw), np.uint8),
         "dc": np.full((bh, bw), 128, np.uint8),
         "slot": np.zeros((bh, bw), np.uint32),
+        "meta5": np.zeros((bh * bw + 4) // 5, np.uint32),
     }
 
 

@@ -244,6 +244,9 @@ struct PlaneOut {
     uint8_t* meta;        // bh*bw
     uint8_t* dc;          // bh*bw
     uint32_t* slot;       // bh*bw   raw-pool slot (mode 6) or desc-pool start
+    uint32_t* meta5;      // ceil(bh*bw/5): meta is 6 bits, 5 blocks per u32
+                          // (the upload form; packed here so the Python
+                          // assembly step is a row memcpy, not bit math)
 };
 
 // Shared per-stream pools (sparse payloads). Strided so the multi-stream
@@ -272,6 +275,11 @@ struct FrameOut {
     uint32_t nest_x, nest_y;
     uint32_t raw_used, desc_used;  // pool slots consumed by this frame
     uint32_t dc_used;              // DC pool bytes consumed
+    uint32_t mv_flags;             // bit0 any nonzero vector, bit1 every
+                                   // component fits s8, bit2 any second
+                                   // (refsel-2) vector — the host picks the
+                                   // step's mv variant from these without
+                                   // re-scanning the grids
     uint8_t* nest;  // nest_h*nest_w (filled for I frames)
     uint32_t* mv;   // (mh, mw) per-MB forward vector, packed (y16 << 16 | x16),
                     // luma half-pel units (P/B; 0 on I)
@@ -693,6 +701,37 @@ extern "C" int hvqm4_plan_frame(const uint8_t* payload, size_t n, int ftype,
         fout->raw_used = raw_ctr.load();
         fout->desc_used = desc_ctr.load();
         fout->dc_used = dc_ctr.load();
+        for (int pi = 0; pi < 3; pi++) {
+            const size_t nb = (size_t)g.bh[pi] * g.bw[pi];
+            const uint8_t* m = planes[pi].meta;
+            uint32_t* o = planes[pi].meta5;
+            size_t bi = 0;
+            for (; bi + 5 <= nb; bi += 5)
+                *o++ = (uint32_t)m[bi] | ((uint32_t)m[bi + 1] << 6)
+                       | ((uint32_t)m[bi + 2] << 12)
+                       | ((uint32_t)m[bi + 3] << 18)
+                       | ((uint32_t)m[bi + 4] << 24);
+            if (bi < nb) {
+                uint32_t w = 0;
+                for (int j = 0; bi < nb; bi++, j += 6)
+                    w |= (uint32_t)m[bi] << j;
+                *o = w;
+            }
+        }
+        uint32_t any = 0, wide = 0, second = 0;
+        const size_t nmb = (size_t)g.mh * g.mw;
+        for (size_t i = 0; i < nmb; i++) {
+            const uint32_t v = fout->mv[i], v2 = fout->mv2[i];
+            any |= v | v2;
+            second |= v2;
+            // a s16 half fits s8 iff (half + 0x80) has no bits above 8
+            wide |= ((v & 0xFFFF) + 0x80) & 0xFF00;
+            wide |= ((v >> 16) + 0x80) & 0xFF00;
+            wide |= ((v2 & 0xFFFF) + 0x80) & 0xFF00;
+            wide |= ((v2 >> 16) + 0x80) & 0xFF00;
+        }
+        fout->mv_flags = (any ? 1u : 0u) | (wide ? 0u : 2u)
+                         | (second ? 4u : 0u);
         if (ftype == 0) {  // nest from luma DC grid (FORMAT.md §6.1)
             const int BW = g.bw[0], BH = g.bh[0];
             for (int y = 0; y < g.nest_h; y++) {

@@ -59,7 +59,7 @@ from ..plans import FramePlan
 # scan), which makes every slot value an exclusive cumsum over meta-derived
 # counts — so slot arrays are host-side scratch and are NEVER uploaded: the
 # jitted step recomputes them from meta (see `_derive_slots`).
-_PLANE_KEYS = ("meta", "dc", "slot")
+_PLANE_KEYS = ("meta", "dc", "slot", "meta5")
 
 # Per-step motion-vector encoding (part of the step variant; each variant is
 # its own persistently-cached compiled step):
@@ -521,7 +521,9 @@ class MultiStreamDecoder:
             for s in range(self._shards):
                 planes = [{"meta": np.zeros((nvl, bh, bw), np.uint8),
                            "dc": np.full((nvl, bh, bw), 128, np.uint8),
-                           "slot": np.zeros((nvl, bh, bw), np.uint32)}
+                           "slot": np.zeros((nvl, bh, bw), np.uint32),
+                           "meta5": np.zeros(
+                               (nvl, (bh * bw + 4) // 5), np.uint32)}
                           for bh, bw in cfg.block_grids]
                 # per-stream CONTIGUOUS pool scratch (planner stride 1);
                 # `_assemble` copies each stream's exact used prefix into
@@ -555,6 +557,7 @@ class MultiStreamDecoder:
             buf = {"staging": staging, "shards": shards,
                    "stream_views": stream_views,
                    "raw_used": 0, "desc_used": 0, "dc_used": 0,
+                   "mv_or": 0, "mv_fit": True,
                    "slot_used": np.zeros((self._shards * nvl, 3), np.int64),
                    "variant": None, "sizes": None}
             if native:
@@ -600,6 +603,8 @@ class MultiStreamDecoder:
         sh, lv = self._shard_of(buf, v)
         for pp in sh["planes"]:
             pp["meta"][lv] = 0x20   # cls=1 mode=0 refsel=0: copy, no payload
+            # the same byte in the packed 5-per-u32 upload form
+            pp["meta5"][lv] = 0x20820820
             pp["dc"][lv] = 128
         # stale vectors from the buffer's previous use must not force the
         # step into a wider mv variant (the device masks them, but
@@ -643,6 +648,13 @@ class MultiStreamDecoder:
                     desc_blk[by, bx, :k]
                 desc_slot += k
             pp["slot"][lv] = slot
+            m = pp["meta"][lv].reshape(-1)
+            nb = m.size
+            if nb % 5:
+                m = np.pad(m, (0, 5 - nb % 5))
+            m5 = m.reshape(-1, 5).astype(np.uint32)
+            pp["meta5"][lv] = (m5[:, 0] | (m5[:, 1] << 6) | (m5[:, 2] << 12)
+                               | (m5[:, 3] << 18) | (m5[:, 4] << 24))
         # per-MB vectors: the luma plan carries them unshifted, one MB = a
         # 2x2 luma block group, so its top-left block is the MB's vector;
         # packed (y16 << 16 | x16) into the u32 arena
@@ -651,6 +663,13 @@ class MultiStreamDecoder:
             mb = mvs[::2, ::2]
             sh[key][lv] = (((mb[..., 1].astype(np.uint32) & 0xFFFF) << 16)
                            | (mb[..., 0].astype(np.uint32) & 0xFFFF))
+        mv_all = np.concatenate([plan.planes[0].mv.reshape(-1, 2),
+                                 plan.planes[0].mv2.reshape(-1, 2)])
+        any_nz = bool(mv_all.any())
+        any2 = bool(plan.planes[0].mv2.any())
+        fits = bool((mv_all >= -128).all() and (mv_all <= 127).all())
+        buf["mv_or"] |= (1 if any_nz else 0) | (4 if any2 else 0)
+        buf["mv_fit"] &= fits
         return raw_slot, desc_slot, dc_slot
 
     def plan_step(self):
@@ -664,6 +683,8 @@ class MultiStreamDecoder:
         buf["raw_used"] = 0
         buf["desc_used"] = 0
         buf["dc_used"] = 0
+        buf["mv_or"] = 0
+        buf["mv_fit"] = True
         buf["slot_used"][:] = 0
         buf, metas, valid = self._plan_super(buf)
         self._assemble(buf)
@@ -727,6 +748,9 @@ class MultiStreamDecoder:
                 buf["raw_used"] = max(buf["raw_used"], int(fout.raw_used))
                 buf["desc_used"] = max(buf["desc_used"], int(fout.desc_used))
                 buf["dc_used"] = max(buf["dc_used"], int(fout.dc_used))
+                flags = int(fout.mv_flags)
+                buf["mv_or"] |= flags
+                buf["mv_fit"] &= bool(flags & 2)
                 metas[k][si] = FrameMeta(fchar, int(fout.display_id))
                 valid[k][si] = True
             return buf, metas, valid
@@ -774,23 +798,15 @@ class MultiStreamDecoder:
         desc_cap = _pick_tier(buf["desc_used"], self._desc_cap_full)
         dc_cap = _pick_tier(buf["dc_used"], self._dc_cap_full)
         has_nest = any(bool(sh["is_i"].any()) for sh in buf["shards"])
-        mv_mode = _MV_NONE
-        any_mv2 = False
-        for sh in buf["shards"]:
-            for key in ("mv", "mv2"):
-                v = sh[key]
-                if not v.any():
-                    continue
-                any_mv2 |= key == "mv2"
-                x = (v.view(np.int32) << 16) >> 16
-                y = v.view(np.int32) >> 16
-                if (x.min() >= -128 and x.max() <= 127
-                        and y.min() >= -128 and y.max() <= 127):
-                    mv_mode = max(mv_mode, _MV_PACKED)
-                else:
-                    mv_mode = _MV_WIDE
-        if mv_mode == _MV_PACKED and not any_mv2:
-            mv_mode = _MV_PACKED8  # halve again: two MBs per u32
+        # mv variant from the planner's per-frame flags (no grid re-scans)
+        if not (buf["mv_or"] & 1):
+            mv_mode = _MV_NONE
+        elif not buf["mv_fit"]:
+            mv_mode = _MV_WIDE
+        elif buf["mv_or"] & 4:
+            mv_mode = _MV_PACKED
+        else:
+            mv_mode = _MV_PACKED8  # two MBs per u32, no second vectors
         u8l, u32l, size8, size32 = _layout(cfg, nvl, raw_cap, desc_cap,
                                            dc_cap, mv_mode, has_nest)
         st8, st32 = buf["staging"]["u8"], buf["staging"]["u32"]
@@ -819,16 +835,9 @@ class MultiStreamDecoder:
                 put(st8, s, u8l, "new_nest", sh["new_nest"])
             put(st8, s, u8l, "is_i", sh["is_i"])
             put(st8, s, u8l, "is_ref", sh["is_ref"])
-            for pi, (bh, bw) in enumerate(cfg.block_grids):
-                # 5 six-bit metas per u32 (meta uses bits 0-5 only)
-                m = sh["planes"][pi]["meta"].reshape(nvl, -1)
-                nb = m.shape[1]
-                if nb % 5:
-                    m = np.pad(m, [(0, 0), (0, 5 - nb % 5)])
-                m5 = m.reshape(nvl, -1, 5).astype(np.uint32)
-                w = (m5[:, :, 0] | (m5[:, :, 1] << 6) | (m5[:, :, 2] << 12)
-                     | (m5[:, :, 3] << 18) | (m5[:, :, 4] << 24))
-                put(st32, s, u32l, f"meta{pi}", w)
+            for pi in range(len(cfg.block_grids)):
+                # the planner already packed meta 5-per-u32: one row copy
+                put(st32, s, u32l, f"meta{pi}", sh["planes"][pi]["meta5"])
             if mv_mode == _MV_PACKED8:
                 v = sh["mv"].reshape(nvl, -1)
                 # per MB: x.s8 | y.s8<<8 (low bytes of the s16 halves)
