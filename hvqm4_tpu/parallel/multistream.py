@@ -15,26 +15,28 @@ corrupt streams are masked inactive and decode a trivial plan (SURVEY.md §5
 "fail per-stream without killing the batch").
 
 Host-side cost engineering:
-- the batch plan tensors live in typed host **arenas** per ping-pong slot;
-  the native planner writes every stream's field slices and sparse pools in
-  place via one batch C call per step — no per-frame allocation or copies;
-- each step uploads the arenas as two dtype-homogeneous transfers (one
-  host→device round-trip each instead of ~20 — interconnect latency, not
-  bandwidth, dominated the per-field path) and the jitted step slices field
-  views out of them;
+- one batch C call per step plans every stream into per-stream contiguous
+  scratch (plan fields, sparse raw/desc/dc pools, upload-form packed meta,
+  per-frame mv-variant flags) — no per-frame allocation;
+- `_assemble` then packs two dtype-homogeneous staging buffers (u8 + u32)
+  in the step's VARIANT layout — pool regions at exact used lengths inside
+  a tier ladder, vectors in the narrowest of four encodings, nest only on
+  I-carrying steps — so each step is two h2d transfers (interconnect
+  latency, not bandwidth, dominated the ~20-transfer per-field path) and
+  54-165 KB/frame at 640×480 (was 224 in round 2);
 - device state buffers are donated to the step so XLA updates them in place;
 - `run_pipelined` plans step k+1 on a worker thread (the C++ planner releases
   the GIL) while the device executes step k.
 
-Sharding (ONE code path with single-chip): the arenas are allocated as
-(S, arena_len) — one row per shard of the mesh axis carrying the stream
-dimension, each row laid out exactly like the single-chip arena for the
+Sharding (ONE code path with single-chip): the staging buffers are
+(S, row_len) — one row per shard of the mesh axis carrying the stream
+dimension, each row laid out exactly like the single-chip row for the
 shard's n/S streams. The jitted mesh step is `jax.shard_map` of the *same*
-step body over that axis, so every chip runs the identical arena unpack +
-decode the single-chip benchmark runs, and no cross-chip communication
-exists on the decode path (the correct answer for this workload —
-SURVEY.md §2.6: streams are independent; collectives only appear downstream,
-e.g. tensor-parallel ViT).
+step body over that axis, so every chip runs the identical unpack + decode
+the single-chip benchmark runs, and no cross-chip communication exists on
+the decode path (the correct answer for this workload — SURVEY.md §2.6:
+streams are independent; collectives only appear downstream, e.g.
+tensor-parallel ViT).
 """
 
 from __future__ import annotations
