@@ -215,7 +215,11 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001 - must still emit JSON
             failures[prefix + "oracle"] = repr(e)[:200]
             return base_fps
-        for phase in ("pipeline", "device", "hash"):
+        # hash first: the bit-exactness verdict is the most important field
+        # and the cheapest phase — run it on the freshest tunnel state
+        # (the throughput phases push hundreds of MB each; the tunnel's
+        # remote side recovers between clients but lags under bursts)
+        for phase in ("hash", "pipeline", "device"):
             print(f"bench: phase {prefix}{phase}", file=sys.stderr, flush=True)
             env = dict(os.environ, HVQM4_BENCH_CLIP=str(clip_path),
                        **phase_env.get(phase, {}))
@@ -233,7 +237,7 @@ def main() -> None:
                 failures[prefix + phase] = "timeout"
             except Exception as e:  # noqa: BLE001 - must still emit JSON
                 failures[prefix + phase] = repr(e)[:200]
-            time.sleep(15)  # let the tunnel settle between clients
+            time.sleep(30)  # let the tunnel settle between clients
         return base_fps
 
     ref_clip = pathlib.Path(os.environ.get(
