@@ -150,12 +150,10 @@ def phase_hash(n_streams: int) -> dict:
     hauling ~100 MB of frames through the dev tunnel into a Python
     per-byte FNV loop (VERDICT r2 weak #1). CI still covers the full
     byte-compare + FNV path (tests/test_oracle_diff.py)."""
-    import jax
-
-    from hvqm4_tpu.utils.hashing import frame_csum
+    from hvqm4_tpu.utils.hashing import batch_csum_fn, oracle_csums
 
     _cfg, clip_path, make_ms, _pn = _setup(n_streams)
-    csum_jit = jax.jit(jax.vmap(lambda y, u, v: frame_csum([y, u, v])))
+    csum_jit = batch_csum_fn()
     ms = make_ms()
     per_stream: list[list[str]] = [[] for _ in range(n_streams)]
     # run_pipelined yields per single step for any fused-dispatch factor,
@@ -165,11 +163,7 @@ def phase_hash(n_streams: int) -> dict:
         for si in range(n_streams):
             per_stream[si].append(f"{cs[si]:08x}")
 
-    oracle = ensure_oracle()
-    res = subprocess.run([str(oracle), "--csum", str(clip_path), "/dev/null"],
-                         check=True, capture_output=True, text=True)
-    want = [line.split("csum=")[1] for line in res.stdout.splitlines()
-            if "csum=" in line]
+    want = oracle_csums(ensure_oracle(), clip_path)
     ok = all(h == want for h in per_stream)
     return {"bitexact": ok, "bitexact_streams": n_streams,
             "bitexact_frames": len(want)}

@@ -281,30 +281,22 @@ def _verify_device(cfg, data: bytes, clip_path: Path) -> int:
     """Batched-path bit-exactness via on-device checksums vs the C oracle
     (falls back to the host NumPy golden decoder when the oracle isn't
     built)."""
-    import jax
     import numpy as np
 
     from .parallel.multistream import MultiStreamDecoder
     from .planner import default_planner_factory
-    from .utils.hashing import frame_csum, wsum32
+    from .utils.hashing import batch_csum_fn, oracle_csums, wsum32
 
     oracle = Path(__file__).resolve().parent.parent / "oracle" / "hvqm4_oracle"
-    want = None
     golden = "C oracle"
     if oracle.exists():
-        import subprocess
-
-        res = subprocess.run([str(oracle), "--csum", str(clip_path),
-                              "/dev/null"],
-                             check=True, capture_output=True, text=True)
-        want = [line.split("csum=")[1] for line in res.stdout.splitlines()
-                if "csum=" in line]
+        want = oracle_csums(oracle, clip_path)
     else:
         golden = "NumPy golden"
         sess = DecoderSession(cfg, backend="numpy")
         want = [f"{wsum32(f.yuv_bytes()):08x}" for f in sess.decode_clip(data)]
 
-    csum_jit = jax.jit(jax.vmap(lambda y, u, v: frame_csum([y, u, v])))
+    csum_jit = batch_csum_fn()
     ms = MultiStreamDecoder(cfg, [data],
                             planner_factory=default_planner_factory())
     got = []

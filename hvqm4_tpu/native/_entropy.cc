@@ -33,6 +33,8 @@
 #include <atomic>
 #include <cstdint>
 #include <cstdlib>
+#include <memory>
+#include <mutex>
 #include <thread>
 #include <cstring>
 #include <stdexcept>
@@ -467,21 +469,51 @@ struct SliceDec {
 
 };
 
+// Per-call scratch (slice contexts with their Huffman tables, the MB grid,
+// compaction buffers), recycled through a mutex-guarded freelist so repeat
+// calls skip ~50-200 KB of allocations per frame. A freelist — NOT
+// thread_local — because hvqm4_plan_step spawns FRESH worker threads per
+// call when HVQM4_PLANNER_THREADS > 1, and heap hung off a thread_local
+// raw pointer would leak once per thread per call (advisor round-3
+// finding). The pool itself is intentionally never destroyed (a static
+// with a destructor in a dlopen'd library segfaults at interpreter
+// teardown); its size is bounded by the peak thread count.
+struct Scratch {
+    std::vector<SliceDec> slices;
+    std::vector<MBInfo> mbs;
+    std::vector<uint8_t> raw_scratch;
+    std::vector<uint32_t> desc_scratch;
+};
+
+std::mutex* g_scratch_mu = new std::mutex();
+std::vector<Scratch*>* g_scratch_pool = new std::vector<Scratch*>();
+
+struct ScratchLease {
+    Scratch* s;
+    ScratchLease() {
+        std::lock_guard<std::mutex> lk(*g_scratch_mu);
+        if (g_scratch_pool->empty()) {
+            s = new Scratch();
+        } else {
+            s = g_scratch_pool->back();
+            g_scratch_pool->pop_back();
+        }
+    }
+    ~ScratchLease() {
+        std::lock_guard<std::mutex> lk(*g_scratch_mu);
+        g_scratch_pool->push_back(s);
+    }
+};
+
 // Renumber pool slots into canonical order (plane-major, row-major block
 // scan) after threaded slice decode, rewriting the slot fields and moving
 // the pool payloads. Single-threaded decode allocates canonically by
 // construction; this pass makes the threaded path indistinguishable, so
 // the device can always derive slot indices from meta alone.
 void compact_pools(const Geometry& g, PlaneOut* planes, const PoolOut* pools,
-                   uint32_t raw_used, uint32_t desc_used) {
-    static thread_local std::vector<uint8_t>* raw_scratch_p = nullptr;
-    static thread_local std::vector<uint32_t>* desc_scratch_p = nullptr;
-    if (!raw_scratch_p) {  // leaked on purpose (dlopen teardown, see mbs_tls)
-        raw_scratch_p = new std::vector<uint8_t>();
-        desc_scratch_p = new std::vector<uint32_t>();
-    }
-    std::vector<uint8_t>& raw_scratch = *raw_scratch_p;
-    std::vector<uint32_t>& desc_scratch = *desc_scratch_p;
+                   uint32_t raw_used, uint32_t desc_used, Scratch& scr) {
+    std::vector<uint8_t>& raw_scratch = scr.raw_scratch;
+    std::vector<uint32_t>& desc_scratch = scr.desc_scratch;
     if (raw_scratch.size() < (size_t)raw_used * 16)
         raw_scratch.resize((size_t)raw_used * 16);
     if (desc_scratch.size() < desc_used) desc_scratch.resize(desc_used);
@@ -594,22 +626,15 @@ extern "C" int hvqm4_plan_frame(const uint8_t* payload, size_t n, int ftype,
         }
         if (off != n) throw Error("trailing bytes after streams");
 
-        // thread-local scratch: mb_rows() fully initializes every entry it
-        // covers, so no per-call zeroing is needed. Heap-allocated and
-        // intentionally leaked: a thread_local with a non-trivial destructor
-        // in a dlopen'd library segfaults at interpreter teardown.
-        static thread_local std::vector<MBInfo>* mbs_tls = nullptr;
-        if (!mbs_tls) mbs_tls = new std::vector<MBInfo>();
-        std::vector<MBInfo>& mbs = *mbs_tls;
+        // recycled scratch: mb_rows() fully initializes every entry it
+        // covers, so no per-call zeroing is needed; reusing SliceDec
+        // objects keeps their Huffman-table vectors' capacity (per-frame
+        // construction showed up as ~5% of planning)
+        ScratchLease lease;
+        std::vector<MBInfo>& mbs = lease.s->mbs;
         if (ftype != 0 && mbs.size() < (size_t)g.mh * g.mw)
             mbs.resize((size_t)g.mh * g.mw);
-
-        // reused across calls: constructing a SliceDec allocates its three
-        // Huff tables (~50 KB of vectors) — per-frame construction showed
-        // up as ~5% of planning
-        static thread_local std::vector<SliceDec>* slices_tls = nullptr;
-        if (!slices_tls) slices_tls = new std::vector<SliceDec>();
-        std::vector<SliceDec>& slices = *slices_tls;
+        std::vector<SliceDec>& slices = lease.s->slices;
         if ((int)slices.size() < S) slices.resize(S);
         for (int sl = 0; sl < S; sl++) {
             SliceDec& d = slices[sl];
@@ -679,7 +704,8 @@ extern "C" int hvqm4_plan_frame(const uint8_t* payload, size_t n, int ftype,
                 if (!e.empty()) throw Error(e);
             // threads allocate pool slots in nondeterministic order; restore
             // the canonical numbering the device recomputes from meta
-            compact_pools(g, planes, pools, raw_ctr.load(), desc_ctr.load());
+            compact_pools(g, planes, pools, raw_ctr.load(), desc_ctr.load(),
+                          *lease.s);
         } else {
             // plane-MAJOR order (not slice-major): pool slots are then
             // allocated in exactly the canonical block scan order — plane 0

@@ -20,16 +20,22 @@ import numpy as np
 _K = 2654435761  # Knuth multiplicative constant; weight_i = i*K + 1 (mod 2^32)
 
 
+_native_fnv = None   # unresolved; False = unavailable (failure cached —
+                     # retrying would re-run the g++ build per call)
+
+
 def fnv1a(data: bytes) -> int:
     # the recurrence h' = (h ^ b) * p is byte-serial by construction; the
     # native planner exports a C implementation (fnv1a in _entropy.cc) that
     # the CLI prefers — this pure-Python form is the always-available fallback
-    try:
-        from ..native import native_fnv1a
-
-        return native_fnv1a(data)
-    except Exception:
-        pass
+    global _native_fnv
+    if _native_fnv is None:
+        try:
+            from ..native import native_fnv1a as _native_fnv
+        except Exception:
+            _native_fnv = False
+    if _native_fnv:
+        return _native_fnv(data)
     h = 2166136261
     for b in data:
         h = ((h ^ b) * 16777619) & 0xFFFFFFFF
@@ -51,6 +57,27 @@ def wsum32(data: bytes, off: int = 0) -> int:
 
 def wsum32_hex(data: bytes) -> str:
     return f"{wsum32(data):08x}"
+
+
+def oracle_csums(oracle_path, clip_path) -> list[str]:
+    """Per-frame `csum=%08x` digests from `oracle --csum` — the ONE parse
+    of that output format (bench's hash phase and `cli verify --device`
+    both compare against it)."""
+    import subprocess
+
+    res = subprocess.run([str(oracle_path), "--csum", str(clip_path),
+                          "/dev/null"],
+                         check=True, capture_output=True, text=True)
+    return [line.split("csum=")[1] for line in res.stdout.splitlines()
+            if "csum=" in line]
+
+
+def batch_csum_fn():
+    """Jitted (Y, U, V) batched-frame checksum: (N,H,W) planes → (N,) u32,
+    each element == `oracle --csum` for that stream's frame."""
+    import jax
+
+    return jax.jit(jax.vmap(lambda y, u, v: frame_csum([y, u, v])))
 
 
 def frame_csum(planes):

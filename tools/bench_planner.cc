@@ -18,6 +18,7 @@ struct PlaneOut {
     uint8_t* meta;
     uint8_t* dc;
     uint32_t* slot;
+    uint32_t* meta5;
 };
 struct PoolOut {
     uint8_t* raw_pool;
@@ -31,7 +32,7 @@ struct FrameOut {
     // keep in sync with native/_entropy.cc FrameOut (ABI mirror for the
     // JAX-free micro-bench): mv/mv2 are per-MB PACKED u32 (y16<<16 | x16)
     uint32_t display_id, dc_shift, nest_x, nest_y, raw_used, desc_used,
-        dc_used;
+        dc_used, mv_flags;
     uint8_t* nest;
     uint32_t* mv;
     uint32_t* mv2;
@@ -66,7 +67,7 @@ int main(int argc, char** argv) {
 
     const int total_blocks = (int)(w * h / 16 + 2 * ((w / hs) * (h / vs) / 16));
     std::vector<uint8_t> meta[3], dc[3];
-    std::vector<uint32_t> slot[3];
+    std::vector<uint32_t> slot[3], meta5[3];
     PlaneOut planes[3];
     const int bw[3] = {(int)w / 4, (int)(w / hs) / 4, (int)(w / hs) / 4};
     const int bh[3] = {(int)h / 4, (int)(h / vs) / 4, (int)(h / vs) / 4};
@@ -75,7 +76,9 @@ int main(int argc, char** argv) {
         meta[p].resize(nb);
         dc[p].resize(nb);
         slot[p].resize(nb);
-        planes[p] = {meta[p].data(), dc[p].data(), slot[p].data()};
+        meta5[p].resize((nb + 4) / 5);
+        planes[p] = {meta[p].data(), dc[p].data(), slot[p].data(),
+                     meta5[p].data()};
     }
     std::vector<uint8_t> raw_pool((size_t)total_blocks * 16);
     std::vector<uint32_t> desc_pool((size_t)total_blocks * 4);
