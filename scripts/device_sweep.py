@@ -76,12 +76,19 @@ def main() -> None:
     step_bytes = [b["sizes"][0] + b["sizes"][1] * 4 for b in bufs]
     mb_per_step = sum(step_bytes) / steps / 1e6
 
-    # ---- warm every tier's executable (compile/persistent-cache load) -----
+    # ---- warm each VARIANT's executable once (compile/persistent-cache
+    # load) — not every step: at 64 streams a full warm pass alone pushes
+    # ~300 MB through the tunnel and eats the wedge budget the timed pass
+    # needs (the ref640 n=64 row measured 672 fps for exactly this reason)
     full = None
     if args.phase in ("all", "full"):
         ms2 = make_ms()
         last = None
+        seen = set()
         for buf in bufs:
+            if buf["variant"] in seen:
+                continue
+            seen.add(buf["variant"])
             last = ms2.device_step(buf)
         jax.block_until_ready(last)
 
