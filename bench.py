@@ -218,9 +218,14 @@ def main() -> None:
             env = dict(os.environ, HVQM4_BENCH_CLIP=str(clip_path),
                        **phase_env.get(phase, {}))
             try:
+                # generous per-phase budget: a warm hash/pipeline phase is
+                # ~0.5 s of compute but 3-8 MINUTES of tunnel round-trip
+                # latency (measured: 275 s wall, 5.7 s CPU standalone; worse
+                # after other phases' transfers) — 900 s produced spurious
+                # "timeout" verdicts on otherwise-passing phases
                 r = subprocess.run(
                     [sys.executable, __file__, "--phase", phase],
-                    capture_output=True, text=True, timeout=900, env=env)
+                    capture_output=True, text=True, timeout=1500, env=env)
                 if r.returncode != 0:
                     print(r.stderr[-2000:], file=sys.stderr)
                     failures[prefix + phase] = f"rc={r.returncode}"
