@@ -194,8 +194,7 @@ def main() -> None:
     failures: dict[str, str] = {}
     merged: dict = {}
 
-    def run_clip(prefix: str, clip_path: pathlib.Path, phase_env: dict):
-        base_fps = 0.0
+    def oracle_fps_for(prefix: str, clip_path: pathlib.Path) -> float:
         try:
             oracle = ensure_oracle()
             if prefix == "":
@@ -205,48 +204,57 @@ def main() -> None:
             res = subprocess.run(
                 [str(oracle), "--bench", "5", str(clip_path)],
                 check=True, capture_output=True, text=True)
-            base_fps = float(json.loads(res.stdout)["fps"])
+            return float(json.loads(res.stdout)["fps"])
         except Exception as e:  # noqa: BLE001 - must still emit JSON
             failures[prefix + "oracle"] = repr(e)[:200]
-            return base_fps
-        # hash first: the bit-exactness verdict is the most important field
-        # and the cheapest phase — run it on the freshest tunnel state
-        # (the throughput phases push hundreds of MB each; the tunnel's
-        # remote side recovers between clients but lags under bursts)
-        for phase in ("hash", "pipeline", "device"):
-            print(f"bench: phase {prefix}{phase}", file=sys.stderr, flush=True)
-            env = dict(os.environ, HVQM4_BENCH_CLIP=str(clip_path),
-                       **phase_env.get(phase, {}))
-            try:
-                # generous per-phase budget: a warm hash/pipeline phase is
-                # ~0.5 s of compute but 3-8 MINUTES of tunnel round-trip
-                # latency (measured: 275 s wall, 5.7 s CPU standalone; worse
-                # after other phases' transfers) — 900 s produced spurious
-                # "timeout" verdicts on otherwise-passing phases
-                r = subprocess.run(
-                    [sys.executable, __file__, "--phase", phase],
-                    capture_output=True, text=True, timeout=1500, env=env)
-                if r.returncode != 0:
-                    print(r.stderr[-2000:], file=sys.stderr)
-                    failures[prefix + phase] = f"rc={r.returncode}"
-                else:
-                    res = json.loads(r.stdout.strip().splitlines()[-1])
-                    merged.update({prefix + k: v for k, v in res.items()})
-            except subprocess.TimeoutExpired:
-                failures[prefix + phase] = "timeout"
-            except Exception as e:  # noqa: BLE001 - must still emit JSON
-                failures[prefix + phase] = repr(e)[:200]
-            time.sleep(30)  # let the tunnel settle between clients
-        return base_fps
+            return 0.0
+
+    def run_phase(prefix: str, clip_path: pathlib.Path, phase: str,
+                  extra_env: dict) -> None:
+        print(f"bench: phase {prefix}{phase}", file=sys.stderr, flush=True)
+        env = dict(os.environ, HVQM4_BENCH_CLIP=str(clip_path), **extra_env)
+        try:
+            # generous per-phase budget: a warm hash/pipeline phase is
+            # ~0.5 s of compute but 3-8 MINUTES of tunnel round-trip
+            # latency (measured: 275 s wall, 5.7 s CPU standalone; worse
+            # after other phases' transfers) — 900 s produced spurious
+            # "timeout" verdicts on otherwise-passing phases
+            r = subprocess.run(
+                [sys.executable, __file__, "--phase", phase],
+                capture_output=True, text=True, timeout=1500, env=env)
+            if r.returncode != 0:
+                print(r.stderr[-2000:], file=sys.stderr)
+                failures[prefix + phase] = f"rc={r.returncode}"
+            else:
+                res = json.loads(r.stdout.strip().splitlines()[-1])
+                merged.update({prefix + k: v for k, v in res.items()})
+        except subprocess.TimeoutExpired:
+            failures[prefix + phase] = "timeout"
+        except Exception as e:  # noqa: BLE001 - must still emit JSON
+            failures[prefix + phase] = repr(e)[:200]
+        time.sleep(30)  # let the tunnel settle between clients
 
     ref_clip = pathlib.Path(os.environ.get(
         "HVQM4_BENCH_CLIP", str(REPO / "testdata" / "ref640.h4m")))
-    base_fps = run_clip("", ref_clip, {})
-    # retail point: device + hash run the fused-dispatch config (K=8, the
-    # measured best realized-throughput operating point on this chip)
+    retail_clip = REPO / "testdata" / "retail640.h4m"
+    base_fps = oracle_fps_for("", ref_clip)
+    retail_base = oracle_fps_for("retail_", retail_clip)
+    # BOTH hash phases before any throughput phase: the bit-exactness
+    # verdicts are the most important fields and the cheapest transfers —
+    # they get the freshest tunnel state (the throughput phases push
+    # hundreds of MB each and degrade it; retail's hash runs the fused
+    # K=8 production config)
     k8 = {"HVQM4_STEPS_PER_DISPATCH": "8"}
-    retail_base = run_clip("retail_", REPO / "testdata" / "retail640.h4m",
-                           {"device": k8, "hash": k8})
+    jobs = [("", ref_clip, "hash", {}),
+            ("retail_", retail_clip, "hash", k8),
+            ("", ref_clip, "pipeline", {}),
+            ("retail_", retail_clip, "pipeline", {}),
+            ("", ref_clip, "device", {}),
+            ("retail_", retail_clip, "device", k8)]
+    for prefix, clip_path, phase, extra in jobs:
+        if prefix + "oracle" in failures:
+            continue
+        run_phase(prefix, clip_path, phase, extra)
 
     try:
         from hvqm4_tpu.container import Demuxer
