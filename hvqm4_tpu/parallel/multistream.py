@@ -43,6 +43,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -457,11 +458,20 @@ class MultiStreamDecoder:
     def __init__(self, cfg: SeqConfig, clips: list[bytes],
                  planner_factory=Planner, sharding=None,
                  record_lists: list | None = None,
-                 steps_per_dispatch: int = 1):
+                 steps_per_dispatch: int = 1,
+                 plan_ahead: int | None = None):
         self.cfg = cfg
         self.planner = planner_factory(cfg)
         self.sharding = sharding
         self._k = max(int(steps_per_dispatch), 1)
+        if plan_ahead is None:
+            plan_ahead = int(os.environ.get("HVQM4_PLAN_AHEAD", "1"))
+        # planning lookahead depth: how many steps may be planned (or in
+        # flight) ahead of the device. 1 = the classic ping-pong overlap;
+        # >1 sizes the staging ring so a multi-core host can keep several
+        # planning workers busy (see run_pipelined). Each extra slot costs
+        # one max-variant staging buffer of host RAM.
+        self._depth = max(int(plan_ahead), 1)
         self.streams = []
         if record_lists is not None:
             for recs in record_lists:
@@ -514,7 +524,7 @@ class MultiStreamDecoder:
         if native:
             from ..native import StepPlanner, make_pool_struct
         self._bufs = []
-        for _ in range(2):
+        for _ in range(self._depth + 1):
             staging = {"u8": np.zeros((self._shards, max8), np.uint8),
                        "u32": np.zeros((self._shards, max32), np.uint32)}
             shards = []
@@ -681,28 +691,18 @@ class MultiStreamDecoder:
         plans the next K lock-step frames of every stream and metas/valid
         are nested per step: metas[k][si]. K == 1 is the same machinery
         with the step axis flattened away."""
-        buf = self._bufs[self._cur]
-        buf["raw_used"] = 0
-        buf["desc_used"] = 0
-        buf["dc_used"] = 0
-        buf["mv_or"] = 0
-        buf["mv_fit"] = True
-        buf["slot_used"][:] = 0
-        buf, metas, valid = self._plan_super(buf)
-        self._assemble(buf)
+        buf, metas, valid, _failures = self._plan_step_into(
+            self._bufs[self._cur], self._dequeue_jobs())
         if self._k == 1:
             return buf, metas[0], valid[0]
         return buf, metas, valid
 
-    def _plan_super(self, buf):
-        """Plan the next K lock-step steps of every stream into one fused
-        arena (virtual slot `_slot(si, k)` = stream si's k-th frame ahead).
-
-        With the native planner, one GIL-released C call plans every slot
-        (threaded); a failing slot poisons its stream FROM THAT FRAME ON —
-        frames planned before the failure stay valid — and the step is
-        replanned without the dropped slots (rare; replanning is
-        deterministic). Returns (buf, metas[k][si], valid[k][si])."""
+    def _dequeue_jobs(self) -> list:
+        """Serially advance every stream's cursor, assigning its next K
+        lock-step records to virtual slots. Cheap (cursor walk only, no
+        entropy work) — but stateful, so it MUST run in step order; the
+        heavy planning of the returned jobs (`_plan_step_into`) may then
+        run on any thread."""
         n, K = self.n, self._k
         slot_jobs: list = [None] * (K * n)
         for si, s in enumerate(self.streams):
@@ -722,6 +722,39 @@ class MultiStreamDecoder:
                     s.anchors += 1
                 slot_jobs[self._slot(si, k)] = s.records[s.pos]
                 s.pos += 1
+        return slot_jobs
+
+    def _plan_step_into(self, buf, slot_jobs):
+        """Plan pre-dequeued jobs into `buf` and assemble its staging variant.
+
+        Thread-safe across DISTINCT buffers (the native planner's C call
+        has no shared mutable state beyond a mutex-guarded scratch
+        freelist), so a worker pool can plan several steps concurrently on
+        a multi-core host. Returns (buf, metas[k][si], valid[k][si],
+        failures) where failures lists (si, k) streams newly poisoned by
+        THIS step — the pipelined consumer uses it to invalidate frames of
+        later steps that were dequeued before the failure was known."""
+        buf["raw_used"] = 0
+        buf["desc_used"] = 0
+        buf["dc_used"] = 0
+        buf["mv_or"] = 0
+        buf["mv_fit"] = True
+        buf["slot_used"][:] = 0
+        metas, valid, failures = self._plan_super(buf, slot_jobs)
+        self._assemble(buf)
+        return buf, metas, valid, failures
+
+    def _plan_super(self, buf, slot_jobs):
+        """Plan one step's dequeued jobs into one fused arena (virtual slot
+        `_slot(si, k)` = stream si's k-th frame of this dispatch).
+
+        With the native planner, one GIL-released C call plans every slot
+        (threaded); a failing slot poisons its stream FROM THAT FRAME ON —
+        frames planned before the failure stay valid — and the step is
+        replanned without the dropped slots (rare; replanning is
+        deterministic). Returns (metas[k][si], valid[k][si], failures)."""
+        n, K = self.n, self._k
+        failures: list[tuple[int, int]] = []
         metas = [[None] * n for _ in range(K)]
         valid = [[False] * n for _ in range(K)]
         if "step_planner" in buf:
@@ -734,6 +767,7 @@ class MultiStreamDecoder:
                     break
                 si, kf = self._slot_inv(rc - 1)
                 self.streams[si].failed = True
+                failures.append((si, kf))
                 for k in range(kf, K):  # earlier frames stay valid
                     jobs[self._slot(si, k)] = None
             for v, job in enumerate(jobs):
@@ -755,7 +789,7 @@ class MultiStreamDecoder:
                 buf["mv_fit"] &= bool(flags & 2)
                 metas[k][si] = FrameMeta(fchar, int(fout.display_id))
                 valid[k][si] = True
-            return buf, metas, valid
+            return metas, valid, failures
         poisoned_at = [K] * n  # first dropped step per stream
         for v, job in enumerate(slot_jobs):
             si, k = self._slot_inv(v)
@@ -768,13 +802,14 @@ class MultiStreamDecoder:
             except PlannerError:
                 # poison from this slot on; earlier slots stay valid
                 self.streams[si].failed = True
+                failures.append((si, k))
                 poisoned_at[si] = k
                 self._fill_trivial(buf, v)
                 continue
             self._set_flags(buf, v, fchar)
             metas[k][si] = meta
             valid[k][si] = True
-        return buf, metas, valid
+        return metas, valid, failures
 
     def _plan_into(self, buf, v: int, fchar: str, payload: bytes) -> FrameMeta:
         plan: FramePlan = self.planner.plan_frame(fchar, payload)
@@ -922,31 +957,68 @@ class MultiStreamDecoder:
             return None
         buf, metas, valid = self.plan_step()
         frames = self.device_step(buf)
-        self._cur ^= 1
+        self._cur = (self._cur + 1) % len(self._bufs)
         return frames, metas, valid
 
-    def run_pipelined(self):
+    def run_pipelined(self, plan_workers: int | None = None):
         """Generator over steps with host/device overlap (SURVEY.md §2.6).
 
-        While the device executes step k from one ping-pong arena, a worker
-        thread plans step k+1 into the other (the native planner releases the
-        GIL inside ctypes, so entropy decode genuinely overlaps device
-        dispatch/transfer). Yields (frames, metas, valid) per SINGLE step
-        regardless of the fused-dispatch factor (stacked frames are sliced
-        lazily — device-side views, no transfer)."""
+        While the device executes step t, worker threads plan steps
+        t+1..t+`plan_ahead` into the other slots of the staging ring (the
+        native planner releases the GIL inside ctypes, so entropy decode
+        genuinely overlaps device dispatch/transfer — and, with
+        `plan_workers` > 1 on a multi-core host, overlaps itself across
+        steps). Job dequeue stays serial in this generator (stream cursors
+        are stateful); only the entropy-heavy planning fans out. Defaults
+        (`plan_ahead=1`, one worker) reproduce the classic ping-pong
+        schedule exactly — on a 1-vCPU host extra workers only add context
+        switches (BASELINE.md "Host-scaling").
+
+        A stream that poisons at step t may already have frames dequeued
+        into steps > t; those are masked invalid here so the caller sees
+        the same per-stream validity as the unpipelined path.
+
+        Yields (frames, metas, valid) per SINGLE step regardless of the
+        fused-dispatch factor (stacked frames are sliced lazily —
+        device-side views, no transfer)."""
+        import collections
         import concurrent.futures as cf
 
-        with cf.ThreadPoolExecutor(max_workers=1) as ex:
-            if not any(self.active):
-                return
-            fut = ex.submit(self.plan_step)
-            while fut is not None:
-                buf, metas, valid = fut.result()
-                self._cur ^= 1
-                fut = ex.submit(self.plan_step) if any(self.active) else None
+        if plan_workers is None:
+            plan_workers = int(os.environ.get("HVQM4_PLAN_WORKERS", "0")) \
+                or min(self._depth, os.cpu_count() or 1)
+        ring = len(self._bufs)
+        next_buf = self._cur
+        pending: collections.deque = collections.deque()
+        dead = [False] * self.n
+
+        with cf.ThreadPoolExecutor(max_workers=max(plan_workers, 1)) as ex:
+            def submit() -> bool:
+                nonlocal next_buf
+                if not any(self.active):
+                    return False
+                jobs = self._dequeue_jobs()       # serial, in step order
+                buf = self._bufs[next_buf]
+                next_buf = (next_buf + 1) % ring
+                pending.append(ex.submit(self._plan_step_into, buf, jobs))
+                return True
+
+            for _ in range(self._depth):
+                if not submit():
+                    break
+            while pending:
+                buf, metas, valid, failures = pending.popleft().result()
+                submit()
                 frames = self.device_step(buf)
+                for si in range(self.n):
+                    if dead[si]:    # poisoned at an earlier step: frames
+                        for k in range(self._k):   # planned ahead are void
+                            metas[k][si] = None
+                            valid[k][si] = False
+                for si, _kf in failures:
+                    dead[si] = True
                 if self._k == 1:
-                    yield frames, metas, valid
+                    yield frames, metas[0], valid[0]
                 else:
                     for k in range(self._k):
                         if not any(valid[k]) and k > 0:

@@ -365,3 +365,52 @@ def test_trivial_filler_consumes_no_pools():
         ms.device_step(buf)
         ms._cur ^= 1
     assert dc_useds and all(d == 0 for d in dc_useds)
+
+
+# -- planning worker pool / prefetch ring (ROADMAP "multi-core host") --------
+
+def test_prefetch_pool_matches_single():
+    """plan_ahead > 1 with concurrent planning workers decodes identically:
+    the staging ring and out-of-order heavy planning must not change a
+    byte (job dequeue stays serial; only entropy work fans out)."""
+    clips = [make_clip(CFG, ["IPBPB", "IPP"], seed=61) for _ in range(2)]
+    clips.append(make_clip(CFG, ["IPP"], seed=62))  # shorter: masks out early
+    expected = [_single_stream_frames(CFG, c) for c in clips]
+    for k, depth in ((1, 3), (2, 2)):
+        got = _pipelined_frames(CFG, clips, steps_per_dispatch=k,
+                                plan_ahead=depth)
+        for si in range(len(clips)):
+            assert got[si] == expected[si], f"K={k} depth={depth} stream {si}"
+
+
+def test_prefetch_pool_native_planner():
+    from hvqm4_tpu.native import NativePlanner
+
+    clips = [make_clip(CFG, ["IBBPBP", "IPP"], seed=63) for _ in range(3)]
+    expected = [_single_stream_frames(CFG, c) for c in clips]
+    ms = MultiStreamDecoder(CFG, clips, planner_factory=NativePlanner,
+                            plan_ahead=3)
+    per_stream = [[] for _ in clips]
+    for frames, _metas, valid in ms.run_pipelined(plan_workers=2):
+        fnp = [np.asarray(p) for p in frames]
+        for si, ok in enumerate(valid):
+            if ok:
+                per_stream[si].append(
+                    b"".join(fnp[pi][si].tobytes() for pi in range(3)))
+    for si in range(len(clips)):
+        assert per_stream[si] == expected[si], f"stream {si}"
+
+
+def test_prefetch_pool_poisons_failed_stream_only():
+    """With lookahead, a stream that poisons at step t may already have
+    frames dequeued into steps > t; those must come back masked invalid —
+    the caller-visible validity equals the depth-1 path's."""
+    good = make_clip(CFG, ["IPPPPPPP"], seed=64)
+    bad = bytearray(make_clip(CFG, ["IPPPPPPP"], seed=65))
+    for i in range(len(bad) // 2, len(bad) // 2 + 40):
+        bad[i] ^= 0xA5
+    clips = [good, bytes(bad)]
+    baseline = _pipelined_frames(CFG, clips)  # depth-1 reference
+    got = _pipelined_frames(CFG, clips, plan_ahead=4)
+    assert got[0] == _single_stream_frames(CFG, good)
+    assert got[1] == baseline[1]  # same valid prefix, nothing after poison
