@@ -21,14 +21,30 @@ Protocol (all integers little-endian u32):
     authed:   [4: magic 'H4MA'][4: token_len][token]
               [4: mode][4: clip_len][clip bytes]
               mode 0 = YUV frames, 1 = RGB frames, 2 = ViT embeddings,
-              3 = metrics snapshot (clip_len 0; no auth state mutated)
+              3 = metrics snapshot (clip_len 0; no auth state mutated),
+              4 = metrics in Prometheus text exposition format
     response: [4: magic 'H4MR'][4: status][4: n_chunks]
               then per chunk: [4: len][payload]
               status 0 = ok; 1 = error; 2 = busy (retry later);
               3 = auth required/failed (1/2/3: single UTF-8 chunk)
 
+Multiplexed sessions (ROADMAP §8 "stream multiplexing"): one connection
+carries many concurrent requests, completing OUT OF ORDER — a client
+pipelines clips without per-request TCP/auth setup, and a slow clip does
+not head-of-line-block a fast one (each in-flight request decodes on its
+own worker; with batching on, concurrent submissions from ONE connection
+coalesce into one device batch):
+    session:  [4: magic 'H4MX'][4: token_len][token]  (len 0 = no auth)
+    request:  [4: req_id][4: mode][4: clip_len][clip bytes]   (repeated)
+              req_id 0xFFFFFFFF = goodbye (drain in-flight, close)
+    response: [4: magic 'H4MS'][4: req_id][4: status][4: n_chunks]
+              then chunks as above; responses arrive in completion order.
+              A session-level auth failure is reported once with
+              req_id 0xFFFFFFFF and the connection closes.
+
 Run:  python -m hvqm4_tpu.serve --port 8907 [--auth-token T] [--max-pending K]
-Client helper: `decode_remote(host, port, clip, mode, token=...)`.
+Client helpers: `decode_remote(host, port, clip, mode, token=...)` and
+`MuxClient(host, port, token=...)` (submit/result/decode over one socket).
 """
 
 from __future__ import annotations
@@ -50,10 +66,14 @@ import numpy as np
 MAGIC_Q = b"H4MQ"
 MAGIC_A = b"H4MA"
 MAGIC_R = b"H4MR"
+MAGIC_X = b"H4MX"  # multiplexed session open
+MAGIC_S = b"H4MS"  # multiplexed response frame
 
-MODE_YUV, MODE_RGB, MODE_EMBED, MODE_METRICS = 0, 1, 2, 3
+MODE_YUV, MODE_RGB, MODE_EMBED, MODE_METRICS, MODE_METRICS_PROM = 0, 1, 2, 3, 4
 
 STATUS_OK, STATUS_ERROR, STATUS_BUSY, STATUS_AUTH = 0, 1, 2, 3
+
+GOODBYE = 0xFFFFFFFF  # mux sentinel req_id: client done / session-level error
 
 
 def _recv_exact(sock, n: int) -> bytes:
@@ -83,6 +103,9 @@ class _Handler(socketserver.BaseRequestHandler):
             self.request.settimeout(srv.socket_timeout_s)
             magic = _recv_exact(self.request, 4)
             token = b""
+            if magic == MAGIC_X:
+                self._handle_mux()
+                return
             if magic == MAGIC_A:
                 (tlen,) = struct.unpack("<I", _recv_exact(self.request, 4))
                 if tlen > 1024:
@@ -100,6 +123,9 @@ class _Handler(socketserver.BaseRequestHandler):
                 return
             if mode == MODE_METRICS:
                 self._reply(STATUS_OK, [srv.metrics_json()])
+                return
+            if mode == MODE_METRICS_PROM:
+                self._reply(STATUS_OK, [srv.metrics_prometheus()])
                 return
             if mode not in (MODE_YUV, MODE_RGB, MODE_EMBED):
                 raise ValueError(f"bad mode {mode}")
@@ -143,6 +169,99 @@ class _Handler(socketserver.BaseRequestHandler):
             if ingress:
                 srv.ingress.release()
 
+    # -- multiplexed session ---------------------------------------------------
+
+    def _handle_mux(self) -> None:
+        """Serve one 'H4MX' session: a serial reader keeps the request stream
+        in frame sync (headers + clip bodies), while each request decodes on
+        a session worker and replies under a write lock in COMPLETION order.
+        Admission semantics match the single-request path (shed with
+        status=busy per request); ingress backpressure is exerted by simply
+        not reading the next clip until a buffer slot frees (TCP flow
+        control reaches the client — no bytes are dropped)."""
+        import concurrent.futures as cf
+
+        srv = self.server
+        wlock = threading.Lock()
+
+        def reply(req_id: int, status: int, chunks: list[bytes]) -> None:
+            with wlock:
+                self.request.sendall(
+                    MAGIC_S + struct.pack("<III", req_id, status, len(chunks)))
+                for c in chunks:
+                    self.request.sendall(struct.pack("<I", len(c)) + c)
+
+        (tlen,) = struct.unpack("<I", _recv_exact(self.request, 4))
+        if tlen > 1024:
+            raise ValueError("token too long")
+        token = _recv_exact(self.request, tlen)
+        if srv.auth_token and not hmac.compare_digest(token, srv.auth_token):
+            srv.count("auth_failures")
+            reply(GOODBYE, STATUS_AUTH, [b"authentication required"])
+            return
+        srv.count("mux_sessions")
+        with cf.ThreadPoolExecutor(max_workers=srv.mux_workers) as ex:
+            while True:
+                try:
+                    hdr = _recv_exact(self.request, 12)
+                except ConnectionError:
+                    break  # clean close between frames == implicit goodbye
+                req_id, mode, clip_len = struct.unpack("<III", hdr)
+                if req_id == GOODBYE:
+                    break  # executor __exit__ drains in-flight requests
+                if clip_len > srv.max_clip_bytes:
+                    # cannot skip an oversized body without buffering it;
+                    # fail the request and the session (frame sync is lost)
+                    srv.count("errors")
+                    reply(req_id, STATUS_ERROR, [b"clip too large"])
+                    break
+                srv.ingress.acquire()  # blocking: backpressure via TCP
+                try:
+                    clip = _recv_exact(self.request, clip_len)
+                except BaseException:
+                    srv.ingress.release()
+                    raise
+                ex.submit(self._mux_one, reply, req_id, mode, clip)
+
+    def _mux_one(self, reply, req_id: int, mode: int, clip: bytes) -> None:
+        """Decode one multiplexed request (ingress slot held by caller)."""
+        srv = self.server
+        t0 = time.monotonic()
+        admitted = False
+        try:
+            try:
+                if mode == MODE_METRICS:
+                    reply(req_id, STATUS_OK, [srv.metrics_json()])
+                    return
+                if mode == MODE_METRICS_PROM:
+                    reply(req_id, STATUS_OK, [srv.metrics_prometheus()])
+                    return
+                if mode not in (MODE_YUV, MODE_RGB, MODE_EMBED):
+                    raise ValueError(f"bad mode {mode}")
+                admitted = srv.admission.acquire(blocking=False)
+                if not admitted:
+                    srv.count("busy_rejections")
+                    reply(req_id, STATUS_BUSY, [b"server busy, retry later"])
+                    return
+                if srv.batching:
+                    chunks = srv.decode_batched(clip, mode)
+                else:
+                    chunks = srv.decode(clip, mode)
+                srv.record_success(mode, len(clip), sum(map(len, chunks)),
+                                   len(chunks), time.monotonic() - t0)
+                srv.count("mux_requests")
+                reply(req_id, STATUS_OK, chunks)
+            except Exception as e:  # fail THIS request; session keeps going
+                srv.count("errors")
+                try:
+                    reply(req_id, STATUS_ERROR, [str(e).encode()[:1000]])
+                except OSError:
+                    pass
+        finally:
+            if admitted:
+                srv.admission.release()
+            srv.ingress.release()
+
 
 class DecodeServer(socketserver.ThreadingTCPServer):
     allow_reuse_address = True
@@ -153,7 +272,8 @@ class DecodeServer(socketserver.ThreadingTCPServer):
                  auth_token: bytes | str = b"", max_pending: int = 8,
                  max_pixels: int = 4096 * 4096, max_sessions: int = 16,
                  socket_timeout_s: float = 120.0,
-                 batch_window_s: float = 0.0, max_batch: int = 8):
+                 batch_window_s: float = 0.0, max_batch: int = 8,
+                 mux_workers: int = 4):
         super().__init__(addr, _Handler)
         self.backend = backend
         self.max_clip_bytes = max_clip_bytes
@@ -164,6 +284,10 @@ class DecodeServer(socketserver.ThreadingTCPServer):
         self.batching = batch_window_s > 0 and backend == "jax"
         self.batch_window_s = batch_window_s
         self.max_batch = max(max_batch, 1)
+        # per-session decode concurrency for multiplexed ('H4MX') clients;
+        # in-flight requests beyond this queue inside the session's pool
+        # (global admission still bounds actual decode concurrency)
+        self.mux_workers = max(mux_workers, 1)
         # with batching, at least max_batch requests must be admissible at
         # once or batches can never fill
         slots = max(1 + max(max_pending, 0),
@@ -184,6 +308,7 @@ class DecodeServer(socketserver.ThreadingTCPServer):
             "auth_failures": 0, "frames_served": 0, "bytes_in": 0,
             "bytes_out": 0, "latency_last_s": 0.0, "latency_sum_s": 0.0,
             "batches": 0, "batched_requests": 0, "batch_size_last": 0,
+            "mux_sessions": 0, "mux_requests": 0,
             "by_mode": {"yuv": 0, "rgb": 0, "embed": 0},
         }
         self._bq: list = []
@@ -230,6 +355,31 @@ class DecodeServer(socketserver.ThreadingTCPServer):
         n = m["requests_total"]
         m["latency_avg_s"] = round(m.pop("latency_sum_s") / n, 6) if n else 0.0
         return json.dumps(m).encode()
+
+    def metrics_prometheus(self) -> bytes:
+        """The same snapshot in Prometheus text exposition format (scrapable
+        by any standard collector; served as mode=4 / MODE_METRICS_PROM)."""
+        m = json.loads(self.metrics_json())
+        counters = ["requests_total", "errors", "busy_rejections",
+                    "auth_failures", "frames_served", "bytes_in", "bytes_out",
+                    "batches", "batched_requests", "mux_sessions",
+                    "mux_requests"]
+        gauges = ["latency_last_s", "latency_avg_s", "uptime_s",
+                  "batch_size_last"]
+        lines = []
+        for key in counters:
+            name = f"hvqm4_serve_{key}"
+            if not name.endswith("_total"):
+                name += "_total"
+            lines += [f"# TYPE {name} counter", f"{name} {m[key]}"]
+        for key in gauges:
+            name = f"hvqm4_serve_{key}"
+            lines += [f"# TYPE {name} gauge", f"{name} {m[key]}"]
+        lines.append("# TYPE hvqm4_serve_requests_by_mode_total counter")
+        for mode, n in m["by_mode"].items():
+            lines.append(
+                f'hvqm4_serve_requests_by_mode_total{{mode="{mode}"}} {n}')
+        return ("\n".join(lines) + "\n").encode()
 
     # -- decode ----------------------------------------------------------------
 
@@ -434,17 +584,108 @@ def decode_remote(host: str, port: int, clip: bytes,
         for _ in range(n_chunks):
             (ln,) = struct.unpack("<I", _recv_exact(s, 4))
             chunks.append(_recv_exact(s, ln))
-        if status == STATUS_BUSY:
-            raise BusyError(chunks[0].decode())
-        if status == STATUS_AUTH:
-            raise PermissionError(chunks[0].decode())
-        if status != 0:
-            raise RuntimeError(f"server error: {chunks[0].decode()}")
-        return chunks
+        return _raise_for_status(status, chunks)
+
+
+def _raise_for_status(status: int, chunks: list[bytes]) -> list[bytes]:
+    if status == STATUS_BUSY:
+        raise BusyError(chunks[0].decode())
+    if status == STATUS_AUTH:
+        raise PermissionError(chunks[0].decode())
+    if status != STATUS_OK:
+        raise RuntimeError(f"server error: {chunks[0].decode()}")
+    return chunks
 
 
 class BusyError(RuntimeError):
     """The server shed this request (admission queue full); retry later."""
+
+
+class MuxClient:
+    """Multiplexed decode session: many concurrent clips over ONE socket.
+
+    `submit()` pipelines a request and returns immediately with its id;
+    `result()` blocks for that id (responses complete out of order — a
+    background reader thread files them). `decode()` = submit + result.
+    Usable as a context manager; `close()` sends the goodbye sentinel so
+    the server drains in-flight work before the socket drops."""
+
+    def __init__(self, host: str, port: int, token: bytes | str = b"",
+                 timeout: float = 600.0):
+        token = token.encode() if isinstance(token, str) else token
+        self._sock = socket.create_connection((host, port), timeout=timeout)
+        self._sock.sendall(MAGIC_X + struct.pack("<I", len(token)) + token)
+        self._next_id = 1
+        self._lock = threading.Lock()       # id allocation + request writes
+        self._cond = threading.Condition()  # guards _results / _reader_exc
+        self._results: dict[int, tuple[int, list[bytes]]] = {}
+        self._reader_exc: Exception | None = None
+        self._reader = threading.Thread(target=self._read_loop, daemon=True,
+                                        name="mux-reader")
+        self._reader.start()
+
+    def _read_loop(self) -> None:
+        try:
+            while True:
+                head = _recv_exact(self._sock, 16)
+                if head[:4] != MAGIC_S:
+                    raise ValueError("bad mux response magic")
+                req_id, status, n = struct.unpack("<III", head[4:])
+                chunks = []
+                for _ in range(n):
+                    (ln,) = struct.unpack("<I", _recv_exact(self._sock, 4))
+                    chunks.append(_recv_exact(self._sock, ln))
+                if req_id == GOODBYE:  # session-level failure (e.g. auth)
+                    _raise_for_status(status, chunks)
+                with self._cond:
+                    self._results[req_id] = (status, chunks)
+                    self._cond.notify_all()
+        except Exception as e:  # noqa: BLE001 - delivered to every waiter
+            with self._cond:
+                self._reader_exc = e
+                self._cond.notify_all()
+
+    def submit(self, clip: bytes, mode: int = MODE_YUV) -> int:
+        with self._cond:
+            if self._reader_exc is not None:
+                raise self._reader_exc
+        with self._lock:
+            req_id = self._next_id
+            self._next_id += 1
+            self._sock.sendall(
+                struct.pack("<III", req_id, mode, len(clip)) + clip)
+        return req_id
+
+    def result(self, req_id: int, timeout: float = 600.0) -> list[bytes]:
+        deadline = time.monotonic() + timeout
+        with self._cond:
+            while req_id not in self._results:
+                if self._reader_exc is not None:
+                    raise self._reader_exc
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    raise TimeoutError(f"mux request {req_id} timed out")
+                self._cond.wait(timeout=remaining)
+            status, chunks = self._results.pop(req_id)
+        return _raise_for_status(status, chunks)
+
+    def decode(self, clip: bytes, mode: int = MODE_YUV,
+               timeout: float = 600.0) -> list[bytes]:
+        return self.result(self.submit(clip, mode), timeout=timeout)
+
+    def close(self) -> None:
+        try:
+            with self._lock:
+                self._sock.sendall(struct.pack("<III", GOODBYE, 0, 0))
+        except OSError:
+            pass
+        self._sock.close()
+
+    def __enter__(self) -> "MuxClient":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
 
 
 def fetch_metrics(host: str, port: int, token: bytes | str = b"") -> dict:
@@ -475,6 +716,9 @@ def main(argv=None) -> int:
                          "window into one multi-stream batch (0 = off)")
     ap.add_argument("--max-batch", type=int, default=8,
                     help="max requests per coalesced batch")
+    ap.add_argument("--mux-workers", type=int, default=4,
+                    help="per-connection decode concurrency for multiplexed "
+                         "('H4MX') sessions")
     args = ap.parse_args(argv)
     srv = DecodeServer((args.host, args.port), backend=args.backend,
                        auth_token=args.auth_token,
@@ -483,7 +727,8 @@ def main(argv=None) -> int:
                        max_sessions=args.max_sessions,
                        socket_timeout_s=args.socket_timeout,
                        batch_window_s=args.batch_window_ms / 1000.0,
-                       max_batch=args.max_batch)
+                       max_batch=args.max_batch,
+                       mux_workers=args.mux_workers)
     # shutdown() must not run on the thread blocked in serve_forever() (it
     # waits for that loop to exit -> deadlock), and signal handlers run on
     # the main thread; hand it to a helper thread instead

@@ -198,6 +198,94 @@ def test_serve_session_lru_eviction():
         srv.shutdown()
 
 
+def test_serve_mux_pipelined_out_of_order(server):
+    """One connection, several pipelined clips; results retrievable in any
+    order and each bit-exact. A garbage clip fails only its own req_id and
+    the session keeps serving."""
+    host, port = server
+    cfg = SeqConfig(64, 48)
+    clips = [make_clip(cfg, ["IPB"], seed=120 + i) for i in range(3)]
+    with serve.MuxClient(host, port) as mc:
+        ids = [mc.submit(c) for c in clips]
+        bad_id = mc.submit(b"not a container at all")
+        for i, rid in reversed(list(enumerate(ids))):  # out-of-order reads
+            got = mc.result(rid, timeout=120)
+            assert got == [f.tobytes() for f in golden_decode(cfg, clips[i])]
+        with pytest.raises(RuntimeError, match="server error"):
+            mc.result(bad_id, timeout=120)
+        # session survives the failed request
+        extra = make_clip(cfg, ["I"], seed=124)
+        assert mc.decode(extra, timeout=120) == [
+            f.tobytes() for f in golden_decode(cfg, extra)]
+    m = serve.fetch_metrics(host, port)
+    assert m["mux_sessions"] >= 1
+    assert m["mux_requests"] >= 4
+
+
+def test_serve_mux_auth():
+    srv = serve.DecodeServer(("127.0.0.1", 0), backend="numpy",
+                             auth_token="sekrit")
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        host, port = srv.server_address
+        cfg = SeqConfig(64, 48)
+        clip = make_clip(cfg, ["I"], seed=125)
+        with serve.MuxClient(host, port, token="wrong") as mc:
+            rid = mc.submit(clip)
+            with pytest.raises((PermissionError, ConnectionError)):
+                mc.result(rid, timeout=30)
+        with serve.MuxClient(host, port, token="sekrit") as mc:
+            assert mc.decode(clip, timeout=60) == [
+                f.tobytes() for f in golden_decode(cfg, clip)]
+    finally:
+        srv.shutdown()
+
+
+def test_serve_mux_batching_coalesces():
+    """Concurrent submissions from ONE mux connection coalesce into one
+    device batch when batching is on (the mux path feeds decode_batched)."""
+    cfg = SeqConfig(64, 48)
+    clips = [make_clip(cfg, ["IP"], seed=130 + i) for i in range(3)]
+    srv = serve.DecodeServer(("127.0.0.1", 0), backend="jax",
+                             batch_window_s=0.25, max_batch=4)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        host, port = srv.server_address
+        with serve.MuxClient(host, port) as mc:
+            ids = [mc.submit(c) for c in clips]
+            for i, rid in enumerate(ids):
+                got = mc.result(rid, timeout=180)
+                assert got == [f.tobytes()
+                               for f in golden_decode(cfg, clips[i])], i
+        m = serve.fetch_metrics(host, port)
+        assert m["batched_requests"] == 3
+        assert 1 <= m["batches"] <= 2, m
+    finally:
+        srv.shutdown()
+
+
+def test_serve_metrics_prometheus(server):
+    host, port = server
+    cfg = SeqConfig(64, 48)
+    clip = make_clip(cfg, ["I"], seed=126)
+    serve.decode_remote(host, port, clip)
+    (raw,) = serve.decode_remote(host, port, b"",
+                                 mode=serve.MODE_METRICS_PROM)
+    text = raw.decode()
+    assert "# TYPE hvqm4_serve_requests_total counter" in text
+    assert "hvqm4_serve_frames_served_total " in text
+    assert 'hvqm4_serve_requests_by_mode_total{mode="yuv"}' in text
+    assert "# TYPE hvqm4_serve_uptime_s gauge" in text
+    # every sample line parses as "name[{labels}] value"
+    for line in text.strip().splitlines():
+        if line.startswith("#"):
+            continue
+        name, val = line.rsplit(" ", 1)
+        assert name and float(val) >= 0
+
+
 def test_serve_busy_shedding():
     """With max_pending=0, a request arriving while one is active is shed
     with status=busy instead of queueing."""
