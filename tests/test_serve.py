@@ -266,6 +266,49 @@ def test_serve_mux_batching_coalesces():
         srv.shutdown()
 
 
+def test_serve_protocol_fuzz(server):
+    """Garbage, truncated, or adversarial wire bytes must never kill or
+    wedge the server: every connection ends with an error reply or a clean
+    close, and a valid request still succeeds afterwards."""
+    import random
+    import socket
+    import struct
+
+    host, port = server
+    rng = random.Random(0xF00D)
+    payloads = [
+        b"",                                          # connect-and-close
+        b"XXXX",                                      # bad magic
+        serve.MAGIC_A + struct.pack("<I", 4096),      # oversized token decl
+        serve.MAGIC_Q + struct.pack("<I", 0),         # truncated header
+        serve.MAGIC_Q + struct.pack("<II", 99, 4) + b"abcd",       # bad mode
+        serve.MAGIC_Q + struct.pack("<II", 0, 2**31 - 1),  # huge clip decl
+        serve.MAGIC_X + struct.pack("<I", 2**31 - 1),  # huge mux token decl
+        serve.MAGIC_X + struct.pack("<I", 0)           # mux clip too large
+        + struct.pack("<III", 1, 0, 2**31 - 1),
+        serve.MAGIC_X + struct.pack("<I", 0)           # truncated mux body
+        + struct.pack("<III", 1, 0, 100) + b"short",
+    ] + [bytes(rng.randrange(256) for _ in range(rng.randrange(1, 64)))
+         for _ in range(10)]
+    for pl in payloads:
+        with socket.create_connection((host, port), timeout=30) as s:
+            s.sendall(pl)
+            try:
+                s.shutdown(socket.SHUT_WR)  # EOF: server must not wait forever
+            except OSError:
+                pass  # server already closed on us — also a clean outcome
+            s.settimeout(30)
+            try:
+                while s.recv(4096):  # drain any reply until close; no hang
+                    pass
+            except OSError:
+                pass
+    cfg = SeqConfig(64, 48)
+    clip = make_clip(cfg, ["I"], seed=140)
+    assert serve.decode_remote(host, port, clip) == [
+        f.tobytes() for f in golden_decode(cfg, clip)]
+
+
 def test_serve_metrics_prometheus(server):
     host, port = server
     cfg = SeqConfig(64, 48)
