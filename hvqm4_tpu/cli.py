@@ -6,6 +6,7 @@
     python -m hvqm4_tpu.cli hash    clip.h4m            # oracle-compatible hashes
     python -m hvqm4_tpu.cli audio   clip.h4m out.wav
     python -m hvqm4_tpu.cli stats   clip.h4m            # per-clip mode histograms
+    python -m hvqm4_tpu.cli remote  HOST:PORT clip.h4m out.yuv   # decode-service client
 """
 
 from __future__ import annotations
@@ -324,6 +325,57 @@ def _select_platform(platform: str | None) -> None:
         jax.config.update("jax_platforms", platform)
 
 
+def cmd_remote(args) -> int:
+    """Client for the decode service (`python -m hvqm4_tpu.serve`)."""
+    import json
+
+    from . import serve
+
+    host, _, port_s = args.server.rpartition(":")
+    if not host or not port_s.isdigit():
+        print("hvqm4_tpu: error: server must be HOST:PORT", file=sys.stderr)
+        return 1
+    port = int(port_s)
+    try:
+        if args.metrics:
+            if args.clip or args.output:
+                print("hvqm4_tpu: error: --metrics takes no clip/output",
+                      file=sys.stderr)
+                return 1
+            if args.prometheus:
+                (raw,) = serve.decode_remote(host, port, b"",
+                                             mode=serve.MODE_METRICS_PROM,
+                                             token=args.token)
+                sys.stdout.write(raw.decode())
+            else:
+                print(json.dumps(serve.fetch_metrics(host, port,
+                                                     token=args.token),
+                                 indent=2))
+            return 0
+        if not args.clip:
+            print("hvqm4_tpu: error: clip required unless --metrics",
+                  file=sys.stderr)
+            return 1
+        mode = {"yuv": serve.MODE_YUV, "rgb": serve.MODE_RGB,
+                "embed": serve.MODE_EMBED}[args.mode]
+        chunks = serve.decode_remote(host, port,
+                                     Path(args.clip).read_bytes(),
+                                     mode=mode, timeout=args.timeout,
+                                     token=args.token)
+    except (serve.BusyError, RuntimeError, PermissionError,
+            ConnectionError) as e:
+        print(f"hvqm4_tpu: error: {e}", file=sys.stderr)
+        return 1
+    if args.output:
+        with open(args.output, "wb") as f:
+            for c in chunks:
+                f.write(c)
+    what = "embeddings" if args.mode == "embed" else "frames"
+    print(f"received {len(chunks)} {what} "
+          f"({sum(map(len, chunks))} bytes)", file=sys.stderr)
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="hvqm4_tpu")
     ap.add_argument("--platform", choices=["cpu", "tpu", "axon"],
@@ -402,6 +454,19 @@ def main(argv=None) -> int:
     p = sub.add_parser("stats")
     p.add_argument("clip")
     p.set_defaults(fn=cmd_stats)
+
+    p = sub.add_parser("remote")
+    p.add_argument("server", help="decode-service address HOST:PORT")
+    p.add_argument("clip", nargs="?")
+    p.add_argument("output", nargs="?")
+    p.add_argument("--mode", default="yuv", choices=["yuv", "rgb", "embed"])
+    p.add_argument("--token", default="", help="shared auth token")
+    p.add_argument("--timeout", type=float, default=600.0)
+    p.add_argument("--metrics", action="store_true",
+                   help="fetch the server metrics snapshot instead")
+    p.add_argument("--prometheus", action="store_true",
+                   help="with --metrics: Prometheus text format")
+    p.set_defaults(fn=cmd_remote)
 
     p = sub.add_parser("verify")
     p.add_argument("clip")

@@ -127,3 +127,42 @@ def test_cli_transcode_target_kb(tmp_path, oracle_bin):
                    "--target-kb", "3"])
     assert rc == 0
     assert 0 < out.stat().st_size
+
+
+def test_cli_remote_roundtrip(tmp_path, capsys, clip_path):
+    """`cli remote` decodes through a live service and writes the YUV."""
+    import threading
+
+    from hvqm4_tpu import serve
+
+    srv = serve.DecodeServer(("127.0.0.1", 0), backend="numpy")
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        host, port = srv.server_address
+        out = tmp_path / "remote.yuv"
+        rc = cli.main(["remote", f"{host}:{port}", str(clip_path), str(out)])
+        assert rc == 0
+        from .conftest import golden_decode
+
+        cfg = SeqConfig(64, 48)
+        want = b"".join(f.tobytes()
+                        for f in golden_decode(cfg, clip_path.read_bytes()))
+        assert out.read_bytes() == want
+        # metrics paths (JSON + Prometheus)
+        assert cli.main(["remote", f"{host}:{port}", "--metrics"]) == 0
+        assert '"requests_total"' in capsys.readouterr().out
+        rc = cli.main(["remote", f"{host}:{port}", "--metrics",
+                       "--prometheus"])
+        assert rc == 0
+        assert "hvqm4_serve_requests_total" in capsys.readouterr().out
+    finally:
+        srv.shutdown()
+
+
+def test_cli_remote_errors(capsys, clip_path):
+    # unreachable server: clean one-line error, no traceback
+    rc = cli.main(["remote", "127.0.0.1:1", str(clip_path), "/dev/null"])
+    assert rc == 1
+    assert "error" in capsys.readouterr().err
+    # malformed address
+    assert cli.main(["remote", "nocolon", str(clip_path)]) == 1
