@@ -332,8 +332,9 @@ def cmd_remote(args) -> int:
     from . import serve
 
     host, _, port_s = args.server.rpartition(":")
-    if not host or not port_s.isdigit():
-        print("hvqm4_tpu: error: server must be HOST:PORT", file=sys.stderr)
+    if not host or not port_s.isdigit() or not 1 <= int(port_s) <= 65535:
+        print("hvqm4_tpu: error: server must be HOST:PORT (port 1-65535)",
+              file=sys.stderr)
         return 1
     port = int(port_s)
     try:

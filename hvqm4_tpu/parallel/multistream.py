@@ -988,18 +988,20 @@ class MultiStreamDecoder:
             plan_workers = int(os.environ.get("HVQM4_PLAN_WORKERS", "0")) \
                 or min(self._depth, os.cpu_count() or 1)
         ring = len(self._bufs)
-        next_buf = self._cur
         pending: collections.deque = collections.deque()
         dead = [False] * self.n
 
         with cf.ThreadPoolExecutor(max_workers=max(plan_workers, 1)) as ex:
             def submit() -> bool:
-                nonlocal next_buf
+                # advance self._cur (not a local cursor) so a later step()/
+                # plan_step() on this decoder continues the ring from where
+                # the pipelined run left off — a stale _cur could rewrite
+                # the staging slot of a still-in-flight device_step
                 if not any(self.active):
                     return False
                 jobs = self._dequeue_jobs()       # serial, in step order
-                buf = self._bufs[next_buf]
-                next_buf = (next_buf + 1) % ring
+                buf = self._bufs[self._cur]
+                self._cur = (self._cur + 1) % ring
                 pending.append(ex.submit(self._plan_step_into, buf, jobs))
                 return True
 

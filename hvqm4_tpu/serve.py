@@ -94,7 +94,6 @@ class _Handler(socketserver.BaseRequestHandler):
 
     def handle(self) -> None:  # one request per connection
         srv = self.server
-        admitted = False
         ingress = False
         t0 = time.monotonic()
         try:
@@ -104,7 +103,13 @@ class _Handler(socketserver.BaseRequestHandler):
             magic = _recv_exact(self.request, 4)
             token = b""
             if magic == MAGIC_X:
-                self._handle_mux()
+                try:
+                    self._handle_mux()
+                except Exception:
+                    # never answer on the single-shot H4MR framing: the
+                    # peer parses H4MS frames, so an injected error reply
+                    # would desync its reader (e.g. an idle socket timeout)
+                    srv.count("errors")
                 return
             if magic == MAGIC_A:
                 (tlen,) = struct.unpack("<I", _recv_exact(self.request, 4))
@@ -121,11 +126,8 @@ class _Handler(socketserver.BaseRequestHandler):
                 srv.count("auth_failures")
                 self._reply(STATUS_AUTH, [b"authentication required"])
                 return
-            if mode == MODE_METRICS:
-                self._reply(STATUS_OK, [srv.metrics_json()])
-                return
-            if mode == MODE_METRICS_PROM:
-                self._reply(STATUS_OK, [srv.metrics_prometheus()])
+            if mode in (MODE_METRICS, MODE_METRICS_PROM):
+                self._process(lambda s, c: self._reply(s, c), mode, b"", t0)
                 return
             if mode not in (MODE_YUV, MODE_RGB, MODE_EMBED):
                 raise ValueError(f"bad mode {mode}")
@@ -140,12 +142,42 @@ class _Handler(socketserver.BaseRequestHandler):
                 self._reply(STATUS_BUSY, [b"server busy, retry later"])
                 return
             clip = _recv_exact(self.request, clip_len)
+            self._process(lambda s, c: self._reply(s, c), mode, clip, t0)
+        except Exception as e:  # controlled error response, keep serving
+            srv.count("errors")
+            msg = str(e).encode()[:1000]
+            try:
+                self._reply(STATUS_ERROR, [msg])
+            except OSError:
+                pass
+        finally:
+            if ingress:
+                srv.ingress.release()
+
+    def _process(self, reply, mode: int, clip: bytes, t0: float) -> None:
+        """Shared request body for the single-shot and mux paths.
+
+        `reply(status, chunks)` owns the wire framing. Decode/validation
+        failures become a STATUS_ERROR reply; reply-TRANSPORT failures
+        propagate to the caller (the caller decides whether the connection
+        is salvageable — the mux path kills the whole session)."""
+        srv = self.server
+        if mode == MODE_METRICS:
+            reply(STATUS_OK, [srv.metrics_json()])
+            return
+        if mode == MODE_METRICS_PROM:
+            reply(STATUS_OK, [srv.metrics_prometheus()])
+            return
+        admitted = False
+        try:
+            if mode not in (MODE_YUV, MODE_RGB, MODE_EMBED):
+                raise ValueError(f"bad mode {mode}")
             # admission control: the device is serial; beyond 1 active +
             # max_pending waiters, shed load instead of queueing unboundedly
             admitted = srv.admission.acquire(blocking=False)
             if not admitted:
                 srv.count("busy_rejections")
-                self._reply(STATUS_BUSY, [b"server busy, retry later"])
+                reply(STATUS_BUSY, [b"server busy, retry later"])
                 return
             if srv.batching:
                 chunks = srv.decode_batched(clip, mode)
@@ -155,19 +187,14 @@ class _Handler(socketserver.BaseRequestHandler):
             # its own request in a subsequent metrics snapshot
             srv.record_success(mode, len(clip), sum(map(len, chunks)),
                                len(chunks), time.monotonic() - t0)
-            self._reply(STATUS_OK, chunks)
-        except Exception as e:  # controlled error response, keep serving
+        except Exception as e:  # controlled error reply, keep serving
             srv.count("errors")
-            msg = str(e).encode()[:1000]
-            try:
-                self._reply(STATUS_ERROR, [msg])
-            except OSError:
-                pass
+            reply(STATUS_ERROR, [str(e).encode()[:1000]])
+            return
         finally:
             if admitted:
                 srv.admission.release()
-            if ingress:
-                srv.ingress.release()
+        reply(STATUS_OK, chunks)
 
     # -- multiplexed session ---------------------------------------------------
 
@@ -183,13 +210,29 @@ class _Handler(socketserver.BaseRequestHandler):
 
         srv = self.server
         wlock = threading.Lock()
+        dead = threading.Event()
 
         def reply(req_id: int, status: int, chunks: list[bytes]) -> None:
             with wlock:
-                self.request.sendall(
-                    MAGIC_S + struct.pack("<III", req_id, status, len(chunks)))
-                for c in chunks:
-                    self.request.sendall(struct.pack("<I", len(c)) + c)
+                if dead.is_set():
+                    raise ConnectionError("mux session dead")
+                try:
+                    self.request.sendall(
+                        MAGIC_S + struct.pack("<III",
+                                              req_id, status, len(chunks)))
+                    for c in chunks:
+                        self.request.sendall(struct.pack("<I", len(c)) + c)
+                except BaseException:
+                    # a partially-written frame permanently desyncs the
+                    # stream: kill the session instead of writing more
+                    # (later replies raise above); shutdown() wakes the
+                    # session reader blocked in recv
+                    dead.set()
+                    try:
+                        self.request.shutdown(socket.SHUT_RDWR)
+                    except OSError:
+                        pass
+                    raise
 
         (tlen,) = struct.unpack("<I", _recv_exact(self.request, 4))
         if tlen > 1024:
@@ -204,8 +247,12 @@ class _Handler(socketserver.BaseRequestHandler):
             while True:
                 try:
                     hdr = _recv_exact(self.request, 12)
-                except ConnectionError:
-                    break  # clean close between frames == implicit goodbye
+                except OSError:
+                    # clean close between frames == implicit goodbye; also
+                    # covers an idle socket timeout (TimeoutError) and the
+                    # reply-failure shutdown above — none of which may leak
+                    # to handle() (it would inject an H4MR frame)
+                    break
                 req_id, mode, clip_len = struct.unpack("<III", hdr)
                 if req_id == GOODBYE:
                     break  # executor __exit__ drains in-flight requests
@@ -226,40 +273,15 @@ class _Handler(socketserver.BaseRequestHandler):
     def _mux_one(self, reply, req_id: int, mode: int, clip: bytes) -> None:
         """Decode one multiplexed request (ingress slot held by caller)."""
         srv = self.server
-        t0 = time.monotonic()
-        admitted = False
+        srv.count("mux_requests")
         try:
-            try:
-                if mode == MODE_METRICS:
-                    reply(req_id, STATUS_OK, [srv.metrics_json()])
-                    return
-                if mode == MODE_METRICS_PROM:
-                    reply(req_id, STATUS_OK, [srv.metrics_prometheus()])
-                    return
-                if mode not in (MODE_YUV, MODE_RGB, MODE_EMBED):
-                    raise ValueError(f"bad mode {mode}")
-                admitted = srv.admission.acquire(blocking=False)
-                if not admitted:
-                    srv.count("busy_rejections")
-                    reply(req_id, STATUS_BUSY, [b"server busy, retry later"])
-                    return
-                if srv.batching:
-                    chunks = srv.decode_batched(clip, mode)
-                else:
-                    chunks = srv.decode(clip, mode)
-                srv.record_success(mode, len(clip), sum(map(len, chunks)),
-                                   len(chunks), time.monotonic() - t0)
-                srv.count("mux_requests")
-                reply(req_id, STATUS_OK, chunks)
-            except Exception as e:  # fail THIS request; session keeps going
-                srv.count("errors")
-                try:
-                    reply(req_id, STATUS_ERROR, [str(e).encode()[:1000]])
-                except OSError:
-                    pass
+            self._process(lambda s, c: reply(req_id, s, c), mode, clip,
+                          time.monotonic())
+        except Exception:
+            # reply-transport failure: reply() already marked the session
+            # dead and woke the reader; nothing salvageable per-request
+            srv.count("errors")
         finally:
-            if admitted:
-                srv.admission.release()
             srv.ingress.release()
 
 
@@ -673,12 +695,20 @@ class MuxClient:
                timeout: float = 600.0) -> list[bytes]:
         return self.result(self.submit(clip, mode), timeout=timeout)
 
-    def close(self) -> None:
+    def close(self, drain_timeout: float = 30.0) -> None:
+        """Send the goodbye sentinel, then wait (up to `drain_timeout`) for
+        the server to drain in-flight work and close its end before dropping
+        the socket — closing immediately would RST the connection and turn
+        the server's drained replies into write errors."""
         try:
             with self._lock:
                 self._sock.sendall(struct.pack("<III", GOODBYE, 0, 0))
         except OSError:
             pass
+        else:
+            # the reader exits when the server, done draining, closes the
+            # connection (EOF -> ConnectionError in _recv_exact)
+            self._reader.join(timeout=drain_timeout)
         self._sock.close()
 
     def __enter__(self) -> "MuxClient":

@@ -232,8 +232,12 @@ def test_serve_mux_auth():
         cfg = SeqConfig(64, 48)
         clip = make_clip(cfg, ["I"], seed=125)
         with serve.MuxClient(host, port, token="wrong") as mc:
-            rid = mc.submit(clip)
-            with pytest.raises((PermissionError, ConnectionError)):
+            # the server replies GOODBYE/STATUS_AUTH and closes right away;
+            # depending on timing the reader files PermissionError before
+            # submit() runs (submit re-raises it) or the closed socket
+            # resets mid-send — so submit() sits inside the raises block too
+            with pytest.raises((PermissionError, ConnectionError, OSError)):
+                rid = mc.submit(clip)
                 mc.result(rid, timeout=30)
         with serve.MuxClient(host, port, token="sekrit") as mc:
             assert mc.decode(clip, timeout=60) == [
