@@ -12,6 +12,7 @@
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 from pathlib import Path
 
@@ -482,6 +483,12 @@ def main(argv=None) -> int:
         return args.fn(args)
     # user-input errors print one clean line (tracebacks are for bugs):
     # malformed clips, missing/unreadable files, bad argument combinations
+    except BrokenPipeError:
+        # downstream pipe closed early (e.g. `... | head`): the Unix
+        # convention is a silent death, not an error line; dup devnull
+        # over stdout so the interpreter's shutdown flush can't raise again
+        os.dup2(os.open(os.devnull, os.O_WRONLY), sys.stdout.fileno())
+        return 141  # 128 + SIGPIPE, matching shell-killed processes
     except (ContainerError, PlannerError, OSError) as e:
         print(f"hvqm4_tpu: error: {e}", file=sys.stderr)
         return 1

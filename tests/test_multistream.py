@@ -414,3 +414,16 @@ def test_prefetch_pool_poisons_failed_stream_only():
     got = _pipelined_frames(CFG, clips, plan_ahead=4)
     assert got[0] == _single_stream_frames(CFG, good)
     assert got[1] == baseline[1]  # same valid prefix, nothing after poison
+
+
+def test_ring_cursor_continues_after_pipelined_run():
+    """run_pipelined advances self._cur (not a local cursor): a later
+    plan_step()/step() on the same decoder must stage into the NEXT ring
+    slot, never rewrite the slot consumed by the run's final device_step."""
+    clip = make_clip(CFG, ["IPPP"], seed=77)
+    ms = MultiStreamDecoder(CFG, [clip, clip])
+    ring = len(ms._bufs)
+    start = ms._cur
+    steps = sum(1 for _ in ms.run_pipelined())
+    assert steps == 4
+    assert ms._cur == (start + steps) % ring

@@ -375,3 +375,55 @@ def test_serve_busy_shedding():
     finally:
         gate.set()
         srv.shutdown()
+
+
+def test_serve_mux_idle_timeout_clean_close():
+    """An idle mux session past socket_timeout_s must end with a clean
+    server-side close — NOT an injected single-shot (H4MR) error frame,
+    which would desync the client's H4MS reader — and must not count as a
+    server error."""
+    srv = serve.DecodeServer(("127.0.0.1", 0), backend="numpy",
+                             socket_timeout_s=0.5)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        host, port = srv.server_address
+        cfg = SeqConfig(64, 48)
+        clip = make_clip(cfg, ["I"], seed=140)
+        mc = serve.MuxClient(host, port)
+        assert mc.decode(clip, timeout=60) == [
+            f.tobytes() for f in golden_decode(cfg, clip)]
+        # idle past the server's socket timeout: the session reader times
+        # out and the server closes; the client sees EOF (ConnectionError),
+        # never a bad-magic ValueError from a stray H4MR frame
+        mc._reader.join(timeout=10)
+        assert not mc._reader.is_alive()
+        assert isinstance(mc._reader_exc, (ConnectionError, OSError))
+        assert not isinstance(mc._reader_exc, ValueError)
+        mc._sock.close()
+        assert serve.fetch_metrics(host, port)["errors"] == 0
+    finally:
+        srv.shutdown()
+
+
+def test_serve_mux_close_drains_inflight():
+    """close() right after pipelined submits must let the server drain and
+    reply (goodbye + wait for server EOF), not RST the socket — the server
+    records zero errors and all requests as served."""
+    srv = serve.DecodeServer(("127.0.0.1", 0), backend="numpy")
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        host, port = srv.server_address
+        cfg = SeqConfig(64, 48)
+        clip = make_clip(cfg, ["IP"], seed=141)
+        with serve.MuxClient(host, port) as mc:
+            for _ in range(3):
+                mc.submit(clip)
+            # no result() calls: __exit__ sends goodbye and drains
+        m = serve.fetch_metrics(host, port)
+        assert m["errors"] == 0
+        assert m["mux_requests"] == 3
+        assert m["requests_total"] >= 3  # all three decoded and replied
+    finally:
+        srv.shutdown()
