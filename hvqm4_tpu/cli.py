@@ -3,6 +3,7 @@
     python -m hvqm4_tpu.cli info    clip.h4m
     python -m hvqm4_tpu.cli decode  clip.h4m out.yuv [--backend jax|numpy]
                                     [--ppm DIR] [--start-block K] [--profile]
+                                    [--start-time SEC] [--frames N] [--y4m]
     python -m hvqm4_tpu.cli hash    clip.h4m            # oracle-compatible hashes
     python -m hvqm4_tpu.cli audio   clip.h4m out.wav
     python -m hvqm4_tpu.cli stats   clip.h4m            # per-clip mode histograms
@@ -44,9 +45,37 @@ def cmd_info(args) -> int:
     return 0
 
 
+_Y4M_CHROMA = {(2, 2): "420jpeg", (2, 1): "422", (1, 1): "444"}
+
+
+def _y4m_header(info) -> bytes:
+    """YUV4MPEG2 stream header for this clip's geometry and frame rate."""
+    from fractions import Fraction
+
+    chroma = _Y4M_CHROMA.get((info.cfg.h_samp, info.cfg.v_samp))
+    if chroma is None:
+        raise ValueError(
+            f"chroma sampling {info.cfg.h_samp}x{info.cfg.v_samp} has no "
+            f"Y4M equivalent")
+    fps = Fraction(1_000_000, info.usec_per_frame)
+    return (f"YUV4MPEG2 W{info.cfg.width} H{info.cfg.height} "
+            f"F{fps.numerator}:{fps.denominator} Ip A1:1 "
+            f"C{chroma}\n").encode()
+
+
 def cmd_decode(args) -> int:
     data = Path(args.clip).read_bytes()
-    cfg = Demuxer(data).info.cfg
+    demux = Demuxer(data)
+    cfg = demux.info.cfg
+    if args.start_time is not None:
+        if args.start_block:
+            print("hvqm4_tpu: error: --start-time and --start-block are "
+                  "mutually exclusive", file=sys.stderr)
+            return 1
+        args.start_block = demux.block_for_time(args.start_time)
+    if args.y4m:
+        # presentation container: frames must land in display order
+        args.display_order = True
     if args.gop_parallel:
         from .parallel.multistream import decode_clip_gop_parallel
 
@@ -55,7 +84,10 @@ def cmd_decode(args) -> int:
         # otherwise silently ignore
         for flag, name in ((args.ppm, "--ppm"),
                            (args.start_block, "--start-block"),
+                           (args.start_time is not None, "--start-time"),
                            (args.display_order, "--display-order"),
+                           (args.y4m, "--y4m"),
+                           (args.frames is not None, "--frames"),
                            (args.profile, "--profile"),
                            (args.backend != "jax", "--backend")):
             if flag:
@@ -73,19 +105,30 @@ def cmd_decode(args) -> int:
         print(f"decoded {n} frames (gop-parallel)", file=sys.stderr)
         return 0
     sess = DecoderSession(cfg, backend=args.backend, profile=args.profile)
-    out = open(args.output, "wb") if args.output else None
+    if args.y4m:
+        # Y4M goes to the output path, or stdout for `| mpv -` piping
+        out = open(args.output, "wb") if args.output else sys.stdout.buffer
+        out.write(_y4m_header(demux.info))
+    else:
+        out = open(args.output, "wb") if args.output else None
     n = 0
     it = (sess.decode_clip_display_order(data, start_block=args.start_block)
           if args.display_order else
           sess.decode_clip(data, start_block=args.start_block))
     for frame in it:
+        if args.frames is not None and n >= args.frames:
+            break
         if out:
+            if args.y4m:
+                out.write(b"FRAME\n")
             out.write(frame.yuv_bytes())
         if args.ppm:
             _write_ppm(frame, cfg, Path(args.ppm) / f"frame{n:05d}.ppm")
         n += 1
-    if out:
+    if out is not None and out is not sys.stdout.buffer:
         out.close()
+    elif out is sys.stdout.buffer:
+        out.flush()
     print(f"decoded {n} frames", file=sys.stderr)
     if args.profile:
         print(sess.timer.report(), file=sys.stderr)
@@ -394,6 +437,14 @@ def main(argv=None) -> int:
     p.add_argument("--backend", default="jax", choices=["jax", "numpy"])
     p.add_argument("--ppm", help="also dump RGB .ppm frames into DIR")
     p.add_argument("--start-block", type=int, default=0)
+    p.add_argument("--start-time", type=float, metavar="SEC",
+                   help="seek to the GOP block containing this time")
+    p.add_argument("--frames", type=int, metavar="N",
+                   help="stop after N frames")
+    p.add_argument("--y4m", action="store_true",
+                   help="write YUV4MPEG2 instead of raw YUV (to OUTPUT, or "
+                        "stdout for piping to ffmpeg/mpv; implies "
+                        "--display-order)")
     p.add_argument("--display-order", action="store_true",
                    help="emit frames in presentation order (default: decode order)")
     p.add_argument("--gop-parallel", action="store_true",

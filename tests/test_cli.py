@@ -166,3 +166,65 @@ def test_cli_remote_errors(capsys, clip_path):
     assert "error" in capsys.readouterr().err
     # malformed address
     assert cli.main(["remote", "nocolon", str(clip_path)]) == 1
+
+
+def test_cli_decode_y4m_and_frames(tmp_path):
+    """--y4m wraps display-order frames in YUV4MPEG2; --frames truncates."""
+    cfg = SeqConfig(64, 48)
+    clip = tmp_path / "c.h4m"
+    clip.write_bytes(make_clip(cfg, ["IPB", "IP"], seed=56))
+    out = tmp_path / "o.y4m"
+    assert cli.main(["decode", str(clip), str(out), "--backend", "numpy",
+                     "--y4m"]) == 0
+    data = out.read_bytes()
+    header, rest = data.split(b"\n", 1)
+    # 33366 usec/frame -> 1000000/33366 reduced
+    from fractions import Fraction
+    from hvqm4_tpu.container import Demuxer
+
+    usec = Demuxer(clip.read_bytes()).info.usec_per_frame
+    fps = Fraction(1_000_000, usec)
+    assert header == (f"YUV4MPEG2 W64 H48 F{fps.numerator}:{fps.denominator} "
+                      f"Ip A1:1 C420jpeg").encode()
+    frame_size = 64 * 48 * 3 // 2
+    frames = rest.split(b"FRAME\n")
+    assert frames[0] == b""  # header is followed directly by the first FRAME
+    assert len(frames) == 6 and all(len(f) == frame_size for f in frames[1:])
+    # y4m implies display order: payload equals the display-order raw decode
+    raw = tmp_path / "o.yuv"
+    assert cli.main(["decode", str(clip), str(raw), "--backend", "numpy",
+                     "--display-order"]) == 0
+    assert b"".join(frames[1:]) == raw.read_bytes()
+    # --frames truncation
+    out2 = tmp_path / "t.yuv"
+    assert cli.main(["decode", str(clip), str(out2), "--backend", "numpy",
+                     "--frames", "2"]) == 0
+    assert len(out2.read_bytes()) == 2 * frame_size
+
+
+def test_cli_decode_start_time(tmp_path, capsys):
+    """--start-time seeks to the containing GOP block (== --start-block)."""
+    cfg = SeqConfig(64, 48)
+    clip = tmp_path / "c.h4m"
+    clip.write_bytes(make_clip(cfg, ["IPP", "IP"], seed=57))
+    from hvqm4_tpu.container import Demuxer
+
+    usec = Demuxer(clip.read_bytes()).info.usec_per_frame
+    a = tmp_path / "a.yuv"
+    b = tmp_path / "b.yuv"
+    # a time inside frame 4 (second block starts at frame 3)
+    t = 3.5 * usec / 1e6
+    assert cli.main(["decode", str(clip), str(a), "--backend", "numpy",
+                     "--start-time", str(t)]) == 0
+    assert cli.main(["decode", str(clip), str(b), "--backend", "numpy",
+                     "--start-block", "1"]) == 0
+    assert a.read_bytes() == b.read_bytes()
+    # past-the-end clamps to the last block; negative is a clean error
+    assert cli.main(["decode", str(clip), str(a), "--backend", "numpy",
+                     "--start-time", "9999"]) == 0
+    assert cli.main(["decode", str(clip), str(a), "--backend", "numpy",
+                     "--start-time", "-1"]) == 1
+    assert "non-negative" in capsys.readouterr().err
+    # mutually exclusive with --start-block
+    assert cli.main(["decode", str(clip), str(a), "--backend", "numpy",
+                     "--start-time", "0", "--start-block", "1"]) == 1
