@@ -122,19 +122,28 @@ def phase_device(n_streams: int) -> dict:
         all_bufs.append(ms.snapshot_step(buf))
         ms._cur ^= 1
         frames_planned += int(np.sum(valid))
-    # warm EVERY pool-tier executable the clip touches (a tier's first use
-    # pays compile/persistent-cache load; that must not land in the timing)
+    # warm each pool-tier VARIANT's executable once (compile/persistent-
+    # cache load must not land in the timing) — not every step: a full
+    # warm pass at high stream counts burns the tunnel's ~600 MB wedge
+    # budget before the timed passes run (device_sweep.py learned this)
     ms2 = make_ms()
+    last, seen = None, set()
     for buf in all_bufs:
+        if buf["variant"] in seen:
+            continue
+        seen.add(buf["variant"])
         last = ms2.device_step(buf)
     jax.block_until_ready(last)
-    # best of 3 timed passes: tunnel round-trip latency swings ±30-50%
+    # best of N timed passes: tunnel round-trip latency swings ±30-50%
     # with recent transfer history (BASELINE.md variance note), and a
     # single unlucky pass under-reports the realized throughput by 2x;
     # each pass re-uploads every step's staging prefix, so the best pass
-    # is still a full upload+dispatch+compute measurement
+    # is still a full upload+dispatch+compute measurement. N adapts to
+    # the per-pass transfer so the phase total stays under the wedge.
+    pass_mb = sum(b["sizes"][0] + b["sizes"][1] * 4 for b in all_bufs) / 1e6
+    repeats = 3 if 3 * pass_mb < 450 else (2 if 2 * pass_mb < 450 else 1)
     best = 0.0
-    for _ in range(3):
+    for _ in range(repeats):
         ms3 = make_ms()
         t0 = time.perf_counter()
         last = None
@@ -142,7 +151,8 @@ def phase_device(n_streams: int) -> dict:
             last = ms3.device_step(buf)
         jax.block_until_ready(last)
         best = max(best, frames_planned / (time.perf_counter() - t0))
-    return {"device_fps": round(best, 2)}
+    return {"device_fps": round(best, 2), "device_streams": n_streams,
+            "device_passes": repeats}
 
 
 def phase_hash(n_streams: int) -> dict:
@@ -252,11 +262,15 @@ def main() -> None:
     # hundreds of MB each and degrade it; retail's hash runs the fused
     # K=8 production config)
     k8 = {"HVQM4_STEPS_PER_DISPATCH": "8"}
+    # device phases run at each clip's measured-best realized operating
+    # point (BASELINE.md sweep): heavy = 32 streams / K=1 (wide batch
+    # amortizes dispatch; K>1 enlarges per-transfer chunks past the
+    # tunnel's sweet spot for 165 KB/frame plans), retail = 8 / K=8
     jobs = [("", ref_clip, "hash", {}),
             ("retail_", retail_clip, "hash", k8),
             ("", ref_clip, "pipeline", {}),
             ("retail_", retail_clip, "pipeline", {}),
-            ("", ref_clip, "device", {}),
+            ("", ref_clip, "device", {"HVQM4_BENCH_STREAMS": "32"}),
             ("retail_", retail_clip, "device", k8)]
     for prefix, clip_path, phase, extra in jobs:
         if prefix + "oracle" in failures:
