@@ -610,12 +610,15 @@ def decode_remote(host: str, port: int, clip: bytes,
 
 
 def _raise_for_status(status: int, chunks: list[bytes]) -> list[bytes]:
+    # a conforming server always sends one UTF-8 chunk with a non-OK
+    # status, but the client must not crash on a hostile/buggy peer
+    msg = chunks[0].decode("utf-8", "replace") if chunks else "(no detail)"
     if status == STATUS_BUSY:
-        raise BusyError(chunks[0].decode())
+        raise BusyError(msg)
     if status == STATUS_AUTH:
-        raise PermissionError(chunks[0].decode())
+        raise PermissionError(msg)
     if status != STATUS_OK:
-        raise RuntimeError(f"server error: {chunks[0].decode()}")
+        raise RuntimeError(f"server error: {msg}")
     return chunks
 
 

@@ -427,3 +427,18 @@ def test_serve_mux_close_drains_inflight():
         assert m["requests_total"] >= 3  # all three decoded and replied
     finally:
         srv.shutdown()
+
+
+def test_raise_for_status_tolerates_chunkless_errors():
+    """A hostile/buggy peer may send a non-OK status with zero chunks; the
+    client must raise the TYPED error, not IndexError."""
+    with pytest.raises(serve.BusyError):
+        serve._raise_for_status(serve.STATUS_BUSY, [])
+    with pytest.raises(PermissionError):
+        serve._raise_for_status(serve.STATUS_AUTH, [])
+    with pytest.raises(RuntimeError, match="no detail"):
+        serve._raise_for_status(serve.STATUS_ERROR, [])
+    # invalid UTF-8 in the detail chunk must not raise UnicodeDecodeError
+    with pytest.raises(RuntimeError):
+        serve._raise_for_status(serve.STATUS_ERROR, [b"\xff\xfe bad"])
+    assert serve._raise_for_status(serve.STATUS_OK, [b"x"]) == [b"x"]
