@@ -209,39 +209,123 @@ def cmd_transcode(args) -> int:
         out, lam = encode_to_size(cfg, frames, gops,
                                   int(args.target_kb * 1024),
                                   slices=args.slices,
-                                  dc_shift=args.dc_shift)
+                                  dc_shift=args.dc_shift,
+                                  usec_per_frame=d.info.usec_per_frame)
         print(f"rate control: lambda={lam:.3f}", file=sys.stderr)
     else:
         out = VideoEncoder(cfg, lambda_bits=args.quality, slices=args.slices,
                            dc_shift=args.dc_shift).encode(
-            frames, gops, audio=audio, audio_rate=audio_rate)
+            frames, gops, usec_per_frame=d.info.usec_per_frame,
+            audio=audio, audio_rate=audio_rate)
     Path(args.output).write_bytes(out)
     print(f"transcoded {len(frames)} frames: {len(data)} -> {len(out)} bytes"
           f" ({len(out) / max(len(data), 1):.2f}x)", file=sys.stderr)
     return 0
 
 
+_Y4M_SAMP = {"420jpeg": 2, "420mpeg2": 2, "420paldv": 2, "420": 2, "444": 1}
+
+
+def _parse_y4m(data: bytes):
+    """YUV4MPEG2 stream → (width, height, samp, usec_per_frame, frames).
+
+    Self-describing encoder input (the inverse of decode --y4m): geometry,
+    chroma sampling, and frame rate come from the stream header, so
+    `ffmpeg -i anything -f yuv4mpegpipe` feeds the encoder directly.
+    Chroma siting tags (jpeg/mpeg2/paldv) are accepted as plain 4:2:0."""
+    nl = data.find(b"\n")
+    if nl < 0:
+        raise ValueError("truncated y4m header")
+    fields = data[:nl].decode("ascii", "replace").split()
+    w = h = None
+    num, den = 30000, 1001
+    chroma = "420jpeg"
+    for f in fields[1:]:
+        tag, val = f[:1], f[1:]
+        try:
+            if tag == "W":
+                w = int(val)
+            elif tag == "H":
+                h = int(val)
+            elif tag == "F":
+                num, den = map(int, val.split(":"))
+            elif tag == "C":
+                chroma = val
+        except ValueError:
+            raise ValueError(f"bad y4m header field {f!r}") from None
+    samp = _Y4M_SAMP.get(chroma)
+    if samp is None:
+        raise ValueError(f"unsupported y4m chroma C{chroma} "
+                         f"(supported: {'/'.join(sorted(_Y4M_SAMP))})")
+    if not w or not h or w <= 0 or h <= 0 or num <= 0 or den <= 0:
+        raise ValueError("y4m header missing/invalid W/H/F")
+    cfg = SeqConfig(w, h, samp, samp)
+    shapes, fb = cfg.plane_shapes, cfg.frame_bytes
+    frames = []
+    off = nl + 1
+    while off < len(data):
+        fnl = data.find(b"\n", off)
+        if fnl < 0 or not data[off:fnl].startswith(b"FRAME"):
+            raise ValueError(f"bad y4m FRAME marker at byte {off}")
+        off = fnl + 1
+        if off + fb > len(data):
+            raise ValueError("truncated y4m frame payload")
+        planes, poff = [], off
+        for ph, pw in shapes:
+            planes.append(np.frombuffer(data, np.uint8,
+                                        ph * pw, poff).reshape(ph, pw))
+            poff += ph * pw
+        frames.append(planes)
+        off += fb
+    return w, h, samp, round(1_000_000 * den / num), frames
+
+
 def cmd_encode(args) -> int:
     from .encode import VideoEncoder
 
-    samp = 2 if args.sampling == "420" else 1
-    cfg = SeqConfig(args.width, args.height, samp, samp)
     raw = Path(args.input).read_bytes()
-    fb = cfg.frame_bytes
-    if len(raw) % fb:
-        print(f"hvqm4_tpu: error: input not a multiple of {fb} bytes",
-              file=sys.stderr)
-        return 1
-    n = len(raw) // fb
-    shapes = cfg.plane_shapes
-    frames = []
-    for i in range(n):
-        off = i * fb
-        planes = []
-        for h, w in shapes:
-            planes.append(np.frombuffer(raw, np.uint8, h * w, off).reshape(h, w))
-            off += h * w
-        frames.append(planes)
+    usec = 33366
+    if raw.startswith(b"YUV4MPEG2"):
+        try:
+            w, h, samp, usec, frames = _parse_y4m(raw)
+        except ValueError as e:
+            print(f"hvqm4_tpu: error: {e}", file=sys.stderr)
+            return 1
+        if (args.width is not None and args.width != w) or \
+           (args.height is not None and args.height != h):
+            print(f"hvqm4_tpu: error: --width/--height conflict with the "
+                  f"y4m header ({w}x{h})", file=sys.stderr)
+            return 1
+        if args.sampling is not None and \
+                args.sampling != ("420" if samp == 2 else "444"):
+            print(f"hvqm4_tpu: error: --sampling conflicts with the y4m "
+                  f"header chroma", file=sys.stderr)
+            return 1
+        cfg = SeqConfig(w, h, samp, samp)
+        n = len(frames)
+    else:
+        if args.width is None or args.height is None:
+            print("hvqm4_tpu: error: --width/--height are required for raw "
+                  "YUV input (or feed a .y4m stream)", file=sys.stderr)
+            return 1
+        samp = 2 if (args.sampling or "420") == "420" else 1
+        cfg = SeqConfig(args.width, args.height, samp, samp)
+        fb = cfg.frame_bytes
+        if len(raw) % fb:
+            print(f"hvqm4_tpu: error: input not a multiple of {fb} bytes",
+                  file=sys.stderr)
+            return 1
+        n = len(raw) // fb
+        shapes = cfg.plane_shapes
+        frames = []
+        for i in range(n):
+            off = i * fb
+            planes = []
+            for h, w in shapes:
+                planes.append(
+                    np.frombuffer(raw, np.uint8, h * w, off).reshape(h, w))
+                off += h * w
+            frames.append(planes)
     gops = args.gops.split(",") if args.gops else _default_gops(n)
     enc = VideoEncoder(cfg, lambda_bits=args.quality, slices=args.slices,
                        dc_shift=args.dc_shift, psy=args.psy)
@@ -267,7 +351,7 @@ def cmd_encode(args) -> int:
                   "yet (video-only rate control)", file=sys.stderr)
             return 1
         if args.single_pass:
-            data = enc.encode(frames, gops,
+            data = enc.encode(frames, gops, usec_per_frame=usec,
                               target_bytes=int(args.target_kb * 1024))
             lam = enc.lam
         else:
@@ -275,10 +359,12 @@ def cmd_encode(args) -> int:
                                        int(args.target_kb * 1024),
                                        slices=args.slices,
                                        dc_shift=args.dc_shift,
-                                       psy=args.psy)
+                                       psy=args.psy,
+                                       usec_per_frame=usec)
         print(f"rate control: lambda={lam:.3f}", file=sys.stderr)
     else:
-        data = enc.encode(frames, gops, audio=audio, audio_rate=audio_rate)
+        data = enc.encode(frames, gops, usec_per_frame=usec,
+                          audio=audio, audio_rate=audio_rate)
     Path(args.output).write_bytes(data)
     print(f"encoded {n} frames -> {args.output} ({len(data)} bytes)",
           file=sys.stderr)
@@ -463,11 +549,15 @@ def main(argv=None) -> int:
     p.set_defaults(fn=cmd_audio)
 
     p = sub.add_parser("encode")
-    p.add_argument("input", help="raw planar YUV file (frames back-to-back)")
+    p.add_argument("input", help="raw planar YUV file (frames back-to-back) "
+                                 "or a YUV4MPEG2 (.y4m) stream, e.g. from "
+                                 "`ffmpeg -i in.mp4 -f yuv4mpegpipe in.y4m`")
     p.add_argument("output")
-    p.add_argument("--width", type=int, required=True)
-    p.add_argument("--height", type=int, required=True)
-    p.add_argument("--sampling", choices=["420", "444"], default="420")
+    p.add_argument("--width", type=int,
+                   help="frame width (required for raw YUV; .y4m is "
+                        "self-describing)")
+    p.add_argument("--height", type=int)
+    p.add_argument("--sampling", choices=["420", "444"], default=None)
     p.add_argument("--gops", help="display-order patterns, e.g. IPPP,IBPBP")
     p.add_argument("--quality", type=float, default=4.0,
                    help="lambda (bits weight); lower = higher quality")

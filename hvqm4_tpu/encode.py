@@ -827,7 +827,8 @@ class VideoEncoder:
 def encode_to_size(cfg: SeqConfig, frames: list, gops: list[str],
                    target_bytes: int, tolerance: float = 0.05,
                    iters: int = 6, lam_lo: float = 0.25,
-                   lam_hi: float = 64.0, **enc_kwargs):
+                   lam_hi: float = 64.0, usec_per_frame: int = 33366,
+                   **enc_kwargs):
     """Rate control: encode to a target clip size by bisecting lambda.
 
     Clip size is monotone decreasing in lambda (tools/rd_sweep.py), so a
@@ -845,7 +846,7 @@ def encode_to_size(cfg: SeqConfig, frames: list, gops: list[str],
 
     def enc_at(lam: float) -> bytes:
         return VideoEncoder(cfg, lambda_bits=lam, **enc_kwargs).encode(
-            frames, gops)
+            frames, gops, usec_per_frame=usec_per_frame)
 
     lo, hi = math.log(lam_lo), math.log(lam_hi)
     best = None

@@ -228,3 +228,46 @@ def test_cli_decode_start_time(tmp_path, capsys):
     # mutually exclusive with --start-block
     assert cli.main(["decode", str(clip), str(a), "--backend", "numpy",
                      "--start-time", "0", "--start-block", "1"]) == 1
+
+
+def test_cli_encode_from_y4m_roundtrip(tmp_path, capsys):
+    """decode --y4m -> encode (self-describing input) -> identical re-decode.
+
+    The y4m carries geometry/chroma/frame-rate, so encode needs no flags;
+    the emitted clip preserves the source's usec_per_frame."""
+    cfg = SeqConfig(64, 48)
+    src = tmp_path / "src.h4m"
+    src.write_bytes(make_clip(cfg, ["IPP"], seed=60))
+    y4m = tmp_path / "v.y4m"
+    assert cli.main(["decode", str(src), str(y4m), "--backend", "numpy",
+                     "--y4m"]) == 0
+    out = tmp_path / "re.h4m"
+    assert cli.main(["encode", str(y4m), str(out), "--quality", "0.5"]) == 0
+    from hvqm4_tpu.container import Demuxer
+
+    info = Demuxer(out.read_bytes()).info
+    assert (info.cfg.width, info.cfg.height) == (64, 48)
+    assert info.usec_per_frame == 33366  # from the y4m F tag, not a default
+    # conflicting explicit geometry is rejected
+    assert cli.main(["encode", str(y4m), str(out), "--width", "128",
+                     "--height", "96"]) == 1
+    assert "conflict" in capsys.readouterr().err
+    # raw input still requires explicit geometry
+    raw = tmp_path / "v.yuv"
+    raw.write_bytes(b"\x80" * (cfg.frame_bytes * 2))
+    assert cli.main(["encode", str(raw), str(out)]) == 1
+    assert "--width/--height are required" in capsys.readouterr().err
+    assert cli.main(["encode", str(raw), str(out), "--width", "64",
+                     "--height", "48"]) == 0
+
+
+def test_cli_transcode_preserves_frame_rate(tmp_path):
+    cfg = SeqConfig(64, 48)
+    src = tmp_path / "s.h4m"
+    src.write_bytes(make_clip(cfg, ["IPP"], seed=61, usec_per_frame=40000))
+    out = tmp_path / "t.h4m"
+    assert cli.main(["transcode", str(src), str(out), "--backend", "numpy",
+                     "--quality", "8"]) == 0
+    from hvqm4_tpu.container import Demuxer
+
+    assert Demuxer(out.read_bytes()).info.usec_per_frame == 40000
