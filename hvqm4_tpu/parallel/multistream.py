@@ -456,11 +456,18 @@ class MultiStreamDecoder:
     """
 
     def __init__(self, cfg: SeqConfig, clips: list[bytes],
-                 planner_factory=Planner, sharding=None,
+                 planner_factory=None, sharding=None,
                  record_lists: list | None = None,
                  steps_per_dispatch: int = 1,
                  plan_ahead: int | None = None):
         self.cfg = cfg
+        if planner_factory is None:
+            # default to the PRODUCTION planner: the pure-Python Planner is
+            # ~800x slower per frame, and a forgotten factory silently made
+            # whole pipelines host-bound (measured; see BASELINE.md)
+            from ..planner import default_planner_factory
+
+            planner_factory = default_planner_factory()
         self.planner = planner_factory(cfg)
         self.sharding = sharding
         self._k = max(int(steps_per_dispatch), 1)
