@@ -83,9 +83,28 @@ def one_case(oracle_bin, seed: int) -> str:
     return desc
 
 
+CHUNK = 50  # configs per subprocess: every random geometry JIT-compiles
+# several CPU executables, and one process accumulating hundreds of them
+# exhausts mmap regions ("LLVM compilation error: Cannot allocate memory"
+# observed at ~150+ configs with 124 GB RAM free) — recycle the address
+# space instead
+
+
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 100
     base = int(sys.argv[2]) if len(sys.argv) > 2 else 5000
+    if n > CHUNK and "--child" not in sys.argv:
+        done = 0
+        while done < n:
+            k = min(CHUNK, n - done)
+            r = subprocess.run([sys.executable, __file__, str(k),
+                                str(base + done), "--child"])
+            if r.returncode != 0:
+                sys.exit(r.returncode)
+            done += k
+            print(f"== {done}/{n} configs done ==", flush=True)
+        print(f"PASS: {n} randomized device-path configs bit-exact vs oracle")
+        return
     subprocess.run(["make", "-s", "-C", str(REPO / "oracle")], check=True)
     oracle_bin = REPO / "oracle" / "hvqm4_oracle"
     for i in range(n):
