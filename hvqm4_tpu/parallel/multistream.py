@@ -52,7 +52,7 @@ import numpy as np
 from ..config import MAX_BASES, SeqConfig
 from ..container import Demuxer
 from ..ops import device_core
-from ..planner import Planner, PlannerError
+from ..planner import PlannerError
 from ..plans import FramePlan
 
 # Per-plane packed fields handed to the C planner (ABI order). `slot` is the
