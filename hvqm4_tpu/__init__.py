@@ -48,4 +48,8 @@ def __getattr__(name):  # lazy: keep `import hvqm4_tpu` free of jax
         from .native import NativePlanner
 
         return NativePlanner
+    if name in ("VideoEncoder", "encode_to_size"):
+        from . import encode
+
+        return getattr(encode, name)
     raise AttributeError(name)
