@@ -256,6 +256,18 @@ def main() -> None:
     retail_clip = REPO / "testdata" / "retail640.h4m"
     base_fps = oracle_fps_for("", ref_clip)
     retail_base = oracle_fps_for("retail_", retail_clip)
+    # pre-flight: when the dev-tunnel relay is dead, jax.devices() hangs
+    # FOREVER in every fresh process — without this probe each phase burns
+    # its full 1500 s budget (observed 2026-08-17: relay process gone after
+    # hours of heavy transfer) and the bench risks outliving the driver's
+    # own timeout with no JSON emitted. A healthy backend answers in ~10-20 s.
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            capture_output=True, timeout=300, check=True)
+    except Exception as e:  # noqa: BLE001 - must still emit JSON
+        failures["backend_probe"] = ("timeout" if isinstance(
+            e, subprocess.TimeoutExpired) else repr(e)[:200])
     # BOTH hash phases before any throughput phase: the bit-exactness
     # verdicts are the most important fields and the cheapest transfers —
     # they get the freshest tunnel state (the throughput phases push
@@ -273,7 +285,7 @@ def main() -> None:
             ("", ref_clip, "device", {"HVQM4_BENCH_STREAMS": "32"}),
             ("retail_", retail_clip, "device", k8)]
     for prefix, clip_path, phase, extra in jobs:
-        if prefix + "oracle" in failures:
+        if prefix + "oracle" in failures or "backend_probe" in failures:
             continue
         run_phase(prefix, clip_path, phase, extra)
 
