@@ -31,6 +31,9 @@ def main() -> None:
     ap.add_argument("--image-size", type=int, default=224)
     args = ap.parse_args()
 
+    from hvqm4_tpu.utils.backend import probe_backend
+    probe_backend()
+
     import jax
     import numpy as np
 

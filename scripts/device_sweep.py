@@ -50,6 +50,9 @@ def main() -> None:
     args = ap.parse_args()
     n = args.n_streams
 
+    from hvqm4_tpu.utils.backend import probe_backend
+    probe_backend()
+
     import jax
     import jax.numpy as jnp
 

@@ -91,6 +91,9 @@ def main() -> None:
                     help="internal: run N passes in this process and exit")
     args = ap.parse_args()
 
+    if not args.child:
+        from hvqm4_tpu.utils.backend import probe_backend
+        probe_backend()
     if args.child:
         run_passes(args.child, args.streams)
         return
