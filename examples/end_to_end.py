@@ -52,7 +52,15 @@ def main() -> None:
     ap.add_argument("--height", type=int, default=96)
     ap.add_argument("--frames", type=int, default=10)
     ap.add_argument("--out", default="/tmp/e2e_demo.h4m")
+    ap.add_argument("--cpu", action="store_true",
+                    help="pin the CPU backend (the env's sitecustomize "
+                         "force-selects the TPU plugin even over "
+                         "JAX_PLATFORMS=cpu)")
     args = ap.parse_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     cfg = SeqConfig(args.width, args.height)
     frames = synth_video(cfg, args.frames)
