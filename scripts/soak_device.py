@@ -54,7 +54,8 @@ def one_case(oracle_bin, seed: int) -> str:
     w = 8 * int(rng.integers(2, 13))
     h = 8 * int(rng.integers(2, 13))
     samp = int(rng.choice([1, 2]))
-    cfg = SeqConfig(w, h, samp, samp)
+    version = str(rng.choice(["1.3", "1.5"]))
+    cfg = SeqConfig(w, h, samp, samp, version=version)
     mh = cfg.mb_grid[0]
     threads = int(rng.choice([1, 4]))
     os.environ["HVQM4_PLANNER_THREADS"] = str(threads)
@@ -67,7 +68,8 @@ def one_case(oracle_bin, seed: int) -> str:
         clips.append(make_clip(cfg, [pattern], seed=seed * 17 + si,
                                dc_shift=int(rng.integers(0, 8)),
                                slices=slices))
-    desc = (f"seed={seed} {w}x{h} samp={samp} streams={n_streams} "
+    desc = (f"seed={seed} {w}x{h} samp={samp} v{version} "
+            f"streams={n_streams} "
             f"slices={slices_used} threads={threads}")
     ms = MultiStreamDecoder(cfg, clips, planner_factory=NativePlanner)
     got = [b""] * n_streams
