@@ -427,3 +427,30 @@ def test_ring_cursor_continues_after_pipelined_run():
     steps = sum(1 for _ in ms.run_pipelined())
     assert steps == 4
     assert ms._cur == (start + steps) % ring
+
+
+def test_hd_resolution_bitexact(oracle_bin, tmp_path):
+    """1280x720 through the production path (native planner, sliced entropy,
+    threaded planning): the pool-tier ladder, slice sub-tables, and arena
+    sizing must hold at HD scale, not just the suite's small frames."""
+    import os
+
+    cfg = SeqConfig(1280, 720)
+    clip = make_clip(cfg, ["IPBPB"], seed=321, slices=8)
+    old = os.environ.get("HVQM4_PLANNER_THREADS")
+    os.environ["HVQM4_PLANNER_THREADS"] = "2"
+    try:
+        ms = MultiStreamDecoder(cfg, [clip])
+        got = b""
+        for frames, _m, valid in ms.run_pipelined():
+            if valid[0]:
+                got += b"".join(np.asarray(frames[pi])[0].tobytes()
+                                for pi in range(3))
+    finally:
+        if old is None:
+            os.environ.pop("HVQM4_PLANNER_THREADS", None)
+        else:
+            os.environ["HVQM4_PLANNER_THREADS"] = old
+    from .conftest import run_oracle
+
+    assert got == run_oracle(oracle_bin, clip, tmp_path)
