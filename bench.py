@@ -138,21 +138,42 @@ def phase_device(n_streams: int) -> dict:
     # with recent transfer history (BASELINE.md variance note), and a
     # single unlucky pass under-reports the realized throughput by 2x;
     # each pass re-uploads every step's staging prefix, so the best pass
-    # is still a full upload+dispatch+compute measurement. N adapts to
-    # the per-pass transfer so the phase total stays under the wedge.
+    # is still a full upload+dispatch+compute measurement. N adapts until
+    # the sample spread is tight (<10% half-width around the median) or a
+    # transfer/time budget is spent — never past the tunnel's wedge window
+    # (VERDICT r3 next-steps #3: reliable best-of-N with recorded spread).
     pass_mb = sum(b["sizes"][0] + b["sizes"][1] * 4 for b in all_bufs) / 1e6
-    repeats = 3 if 3 * pass_mb < 450 else (2 if 2 * pass_mb < 450 else 1)
-    best = 0.0
-    for _ in range(repeats):
+    budget_mb = float(os.environ.get("HVQM4_BENCH_DEVICE_MB", "450"))
+    budget_s = float(os.environ.get("HVQM4_BENCH_DEVICE_S", "600"))
+    t_phase = time.perf_counter()
+    samples: list[float] = []
+    transferred = 0.0
+    while True:
         ms3 = make_ms()
         t0 = time.perf_counter()
         last = None
         for buf in all_bufs:
             last = ms3.device_step(buf)
         jax.block_until_ready(last)
-        best = max(best, frames_planned / (time.perf_counter() - t0))
+        samples.append(frames_planned / (time.perf_counter() - t0))
+        transferred += pass_mb
+        if len(samples) >= 7 or transferred + pass_mb > budget_mb:
+            break
+        elapsed = time.perf_counter() - t_phase
+        if elapsed + elapsed / len(samples) > budget_s:
+            break
+        if len(samples) >= 3:
+            med = sorted(samples)[len(samples) // 2]
+            if (max(samples) - min(samples)) / 2 < 0.10 * med:
+                break
+    best = max(samples)
+    med = sorted(samples)[len(samples) // 2]
     return {"device_fps": round(best, 2), "device_streams": n_streams,
-            "device_passes": repeats}
+            "device_passes": len(samples),
+            "device_fps_samples": [round(s, 1) for s in samples],
+            "device_fps_spread": round(
+                (max(samples) - min(samples)) / 2 / med, 3),
+            "device_pass_mb": round(pass_mb, 1)}
 
 
 def phase_hash(n_streams: int) -> dict:
@@ -196,6 +217,14 @@ def main() -> None:
         parents=True, exist_ok=True)
     n_streams = int(os.environ.get("HVQM4_BENCH_STREAMS", "8"))
     if len(sys.argv) == 3 and sys.argv[1] == "--phase":
+        if os.environ.get("HVQM4_BENCH_FORCE_CPU") == "1":
+            # dead-relay fallback: pin the CPU backend before any backend
+            # init (env var alone is insufficient — the axon sitecustomize
+            # overrides jax_platforms to "axon,cpu" at interpreter startup)
+            os.environ["JAX_PLATFORMS"] = "cpu"
+            import jax
+
+            jax.config.update("jax_platforms", "cpu")
         out = {"pipeline": phase_pipeline, "device": phase_device,
                "hash": phase_hash}[sys.argv[2]](n_streams)
         print(json.dumps(out))
@@ -249,7 +278,8 @@ def main() -> None:
             failures[prefix + phase] = "timeout"
         except Exception as e:  # noqa: BLE001 - must still emit JSON
             failures[prefix + phase] = repr(e)[:200]
-        time.sleep(30)  # let the tunnel settle between clients
+        if extra_env.get("HVQM4_BENCH_FORCE_CPU") != "1":
+            time.sleep(30)  # let the tunnel settle between clients
 
     ref_clip = pathlib.Path(os.environ.get(
         "HVQM4_BENCH_CLIP", str(REPO / "testdata" / "ref640.h4m")))
@@ -260,34 +290,61 @@ def main() -> None:
     # FOREVER in every fresh process — without this probe each phase burns
     # its full 1500 s budget (observed 2026-08-17: relay process gone after
     # hours of heavy transfer) and the bench risks outliving the driver's
-    # own timeout with no JSON emitted. A healthy backend answers in ~10-20 s.
-    try:
-        subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
-            capture_output=True, timeout=300, check=True)
-    except Exception as e:  # noqa: BLE001 - must still emit JSON
-        failures["backend_probe"] = ("timeout" if isinstance(
-            e, subprocess.TimeoutExpired) else repr(e)[:200])
+    # own timeout with no JSON emitted. A healthy backend answers in
+    # ~10-20 s; a relay restored minutes later is caught by the retry loop
+    # (VERDICT r3 weak #3 — the old one-shot probe missed it).
+    from hvqm4_tpu.utils.backend import probe_backend_retry
+
+    probe_budget = float(os.environ.get("HVQM4_BENCH_PROBE_BUDGET_S", "900"))
+    tpu_ok = probe_backend_retry(probe_budget)
+    if not tpu_ok:
+        failures["backend_probe"] = (
+            f"no backend answer within {probe_budget:.0f}s (retried); "
+            "falling back to CPU-backend phases")
     # BOTH hash phases before any throughput phase: the bit-exactness
     # verdicts are the most important fields and the cheapest transfers —
     # they get the freshest tunnel state (the throughput phases push
     # hundreds of MB each and degrade it; retail's hash runs the fused
     # K=8 production config)
     k8 = {"HVQM4_STEPS_PER_DISPATCH": "8"}
-    # device phases run at each clip's measured-best realized operating
-    # point (BASELINE.md sweep): heavy = 32 streams / K=1 (wide batch
-    # amortizes dispatch; K>1 enlarges per-transfer chunks past the
-    # tunnel's sweet spot for 165 KB/frame plans), retail = 8 / K=8
-    jobs = [("", ref_clip, "hash", {}),
-            ("retail_", retail_clip, "hash", k8),
-            ("", ref_clip, "pipeline", {}),
-            ("retail_", retail_clip, "pipeline", {}),
-            ("", ref_clip, "device", {"HVQM4_BENCH_STREAMS": "32"}),
-            ("retail_", retail_clip, "device", k8)]
+    if tpu_ok:
+        # device phases run at each clip's measured-best realized operating
+        # point (BASELINE.md sweep): heavy = 32 streams / K=1 (wide batch
+        # amortizes dispatch; K>1 enlarges per-transfer chunks past the
+        # tunnel's sweet spot for 165 KB/frame plans), retail = 8 / K=8
+        jobs = [("", ref_clip, "hash", {}),
+                ("retail_", retail_clip, "hash", k8),
+                ("", ref_clip, "pipeline", {}),
+                ("retail_", retail_clip, "pipeline", {}),
+                ("", ref_clip, "device", {"HVQM4_BENCH_STREAMS": "32"}),
+                ("retail_", retail_clip, "device", k8)]
+    else:
+        # dead relay: bit-exactness is backend-independent (exact integer
+        # core — tests/conftest.py) and the pipeline number is still a real
+        # end-to-end measurement, just on the host CPU backend. A nonzero,
+        # honestly-labeled artifact beats a zero (VERDICT r3 missing #1).
+        cpu = {"HVQM4_BENCH_FORCE_CPU": "1"}
+        jobs = [("", ref_clip, "hash", cpu),
+                ("retail_", retail_clip, "hash", {**cpu, **k8}),
+                ("", ref_clip, "pipeline", cpu),
+                ("retail_", retail_clip, "pipeline", cpu)]
     for prefix, clip_path, phase, extra in jobs:
-        if prefix + "oracle" in failures or "backend_probe" in failures:
+        if prefix + "oracle" in failures:
             continue
         run_phase(prefix, clip_path, phase, extra)
+
+    if tpu_ok and not merged.get("pipeline_fps"):
+        # probe passed but the relay died mid-run (every device-touching
+        # phase failed): salvage a nonzero artifact from the CPU backend
+        cpu = {"HVQM4_BENCH_FORCE_CPU": "1"}
+        tpu_ok = False  # label the artifact honestly (backend + archive)
+        for prefix, clip_path, phase, extra in [
+                ("", ref_clip, "hash", cpu),
+                ("retail_", retail_clip, "hash", {**cpu, **k8}),
+                ("", ref_clip, "pipeline", cpu),
+                ("retail_", retail_clip, "pipeline", cpu)]:
+            if prefix + "oracle" not in failures:
+                run_phase(prefix, clip_path, phase, extra)
 
     try:
         from hvqm4_tpu.container import Demuxer
@@ -330,6 +387,12 @@ def main() -> None:
             merged.get("retail_device_fps", 0.0), retail_base),
         "retail_bitexact": merged.get("retail_bitexact", "not-run"),
     }
+    if not tpu_ok:
+        out["local_archive"] = (
+            "relay dead this run; last clean TPU contract runs on this chip "
+            "are archived in BENCH_local_r03.json (heavy: 1084 fps pipeline "
+            "/ 14862 fps device = 98.9x; retail: 2973 fps pipeline / "
+            "18.9-29.0k fps device = 75.9-100.2x; bitexact on both clips)")
     if failures:
         out["phase_failures"] = failures
     print(json.dumps(out))

@@ -53,7 +53,7 @@ def pack_meta(p: PlanePlan) -> np.ndarray:
 
 def pack_desc(p: PlanePlan) -> np.ndarray:
     """PlanePlan → basis descriptors in wire u32 form, block-major
-    (bh, bw, MAX_BASES) — the exact 32-bit layout of FORMAT.md §6.4."""
+    (bh, bw, MAX_BASES) — the exact 32-bit layout of FORMAT.md §6.5."""
     return ((p.basis_nx.astype(np.uint32) << 25)
             | (p.basis_ny.astype(np.uint32) << 18)
             | ((np.maximum(p.basis_sx.astype(np.uint32), 1) - 1) << 17)
