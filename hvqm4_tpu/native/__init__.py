@@ -97,6 +97,35 @@ class _PoolOut(ctypes.Structure):
                 ("dc_cap", ctypes.c_size_t)]
 
 
+class _AssembleArgs(ctypes.Structure):
+    # ABI mirror of _entropy.cc AssembleArgs (hvqm4_assemble_shard)
+    _fields_ = [
+        ("st8", ctypes.c_void_p), ("st32", ctypes.c_void_p),
+        ("raw", ctypes.c_void_p), ("desc", ctypes.c_void_p),
+        ("dcp", ctypes.c_void_p), ("slot_used", ctypes.c_void_p),
+        ("nvl", ctypes.c_uint64),
+        ("raw_cap_full", ctypes.c_uint64),
+        ("desc_cap_full", ctypes.c_uint64),
+        ("dc_cap_full", ctypes.c_uint64),
+        ("raw_cap", ctypes.c_uint64), ("desc_cap", ctypes.c_uint64),
+        ("dc_cap", ctypes.c_uint64),
+        ("new_nest", ctypes.c_void_p), ("nest_n", ctypes.c_uint64),
+        ("nest_off", ctypes.c_uint64),
+        ("is_i", ctypes.c_void_p), ("isi_off", ctypes.c_uint64),
+        ("is_ref", ctypes.c_void_p), ("isref_off", ctypes.c_uint64),
+        ("meta5_0", ctypes.c_void_p), ("meta5_n0", ctypes.c_uint64),
+        ("meta5_off0", ctypes.c_uint64),
+        ("meta5_1", ctypes.c_void_p), ("meta5_n1", ctypes.c_uint64),
+        ("meta5_off1", ctypes.c_uint64),
+        ("meta5_2", ctypes.c_void_p), ("meta5_n2", ctypes.c_uint64),
+        ("meta5_off2", ctypes.c_uint64),
+        ("mv", ctypes.c_void_p), ("mv2", ctypes.c_void_p),
+        ("mv_per_stream", ctypes.c_uint64),
+        ("mv_mode", ctypes.c_int32), ("_pad", ctypes.c_int32),
+        ("mv_off", ctypes.c_uint64), ("mv2_off", ctypes.c_uint64),
+    ]
+
+
 class _FrameOut(ctypes.Structure):
     _fields_ = [("display_id", ctypes.c_uint32),
                 ("dc_shift", ctypes.c_uint32),
@@ -140,6 +169,8 @@ def _load():
         lib.hvqm4_fnv1a.restype = ctypes.c_uint32
         lib.hvqm4_fnv1a.argtypes = [
             ctypes.c_char_p, ctypes.c_size_t, ctypes.c_uint32]
+        lib.hvqm4_assemble_shard.restype = None
+        lib.hvqm4_assemble_shard.argtypes = [ctypes.POINTER(_AssembleArgs)]
         lib.hvqm4_plan_step.restype = ctypes.c_int
         lib.hvqm4_plan_step.argtypes = [
             ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_size_t),
@@ -256,6 +287,54 @@ def unpack_plane(d: dict[str, np.ndarray], raw_pool: np.ndarray,
         mv2=mv2_blocks,
         refsel=refsel.astype(np.uint8),
     )
+
+
+def assemble_shard(st8_row: np.ndarray, st32_row: np.ndarray, *,
+                   raw: np.ndarray, desc: np.ndarray, dcp: np.ndarray,
+                   slot_used: np.ndarray,
+                   raw_caps: tuple[int, int], desc_caps: tuple[int, int],
+                   dc_caps: tuple[int, int],
+                   u8l: dict, u32l: dict,
+                   new_nest: np.ndarray | None,
+                   is_i: np.ndarray, is_ref: np.ndarray,
+                   meta5s: list[np.ndarray],
+                   mv: np.ndarray, mv2: np.ndarray, mv_mode: int) -> None:
+    """Pack one shard's planned scratch into its staging rows — the C-side
+    mirror of `multistream._assemble`'s per-shard numpy loop (pool prefixes
+    into tier regions, dense fields at their layout offsets, vectors in the
+    step's mv encoding). `*_caps` are (scratch capacity, chosen tier cap);
+    offsets come from `multistream._layout` for the chosen variant."""
+    nvl = len(is_i)
+    mv_offs = {0: (0, 0), 1: ("mvp8", 0), 2: ("mvp", 0), 3: ("mv", "mv2")}
+    k1, k2 = mv_offs[mv_mode]
+    m5 = list(meta5s) + [None] * (3 - len(meta5s))
+    args = _AssembleArgs(
+        st8=_ptr(st8_row), st32=_ptr(st32_row),
+        raw=_ptr(raw), desc=_ptr(desc), dcp=_ptr(dcp),
+        slot_used=_ptr(slot_used), nvl=nvl,
+        raw_cap_full=raw_caps[0], desc_cap_full=desc_caps[0],
+        dc_cap_full=dc_caps[0],
+        raw_cap=raw_caps[1], desc_cap=desc_caps[1], dc_cap=dc_caps[1],
+        new_nest=_ptr(new_nest) if new_nest is not None else None,
+        nest_n=new_nest.size if new_nest is not None else 0,
+        nest_off=u8l["new_nest"][0] if new_nest is not None else 0,
+        is_i=_ptr(is_i), isi_off=u8l["is_i"][0],
+        is_ref=_ptr(is_ref), isref_off=u8l["is_ref"][0],
+        meta5_0=_ptr(m5[0]) if m5[0] is not None else None,
+        meta5_n0=m5[0].size if m5[0] is not None else 0,
+        meta5_off0=u32l["meta0"][0] if m5[0] is not None else 0,
+        meta5_1=_ptr(m5[1]) if m5[1] is not None else None,
+        meta5_n1=m5[1].size if m5[1] is not None else 0,
+        meta5_off1=u32l["meta1"][0] if m5[1] is not None else 0,
+        meta5_2=_ptr(m5[2]) if m5[2] is not None else None,
+        meta5_n2=m5[2].size if m5[2] is not None else 0,
+        meta5_off2=u32l["meta2"][0] if m5[2] is not None else 0,
+        mv=_ptr(mv), mv2=_ptr(mv2),
+        mv_per_stream=mv.size // max(nvl, 1),
+        mv_mode=mv_mode,
+        mv_off=u32l[k1][0] if isinstance(k1, str) else 0,
+        mv2_off=u32l[k2][0] if isinstance(k2, str) else 0)
+    _load().hvqm4_assemble_shard(ctypes.byref(args))
 
 
 class NativePlanner:

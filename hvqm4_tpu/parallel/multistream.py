@@ -836,7 +836,13 @@ class MultiStreamDecoder:
         """Post-planning: pick the step's variant (pool tiers, mv encoding,
         nest presence) and pack the scratch fields into the staging
         buffers: each stream's pools at their exact used lengths into the
-        tier regions, then the packed dense fields after the pool cut."""
+        tier regions, then the packed dense fields after the pool cut.
+
+        The packing itself is one C call per shard when the native planner
+        is active (`hvqm4_assemble_shard` — the Python per-stream loop cost
+        0.28-0.53 ms/step on the 1-vCPU box); `_assemble_numpy` is the
+        readable reference, the python-planner path, and the parity-test
+        golden (tests/test_multistream.py)."""
         cfg, nvl = self.cfg, self._nvl
         raw_cap = _pick_tier(buf["raw_used"], self._raw_cap_full)
         desc_cap = _pick_tier(buf["desc_used"], self._desc_cap_full)
@@ -853,6 +859,33 @@ class MultiStreamDecoder:
             mv_mode = _MV_PACKED8  # two MBs per u32, no second vectors
         u8l, u32l, size8, size32 = _layout(cfg, nvl, raw_cap, desc_cap,
                                            dc_cap, mv_mode, has_nest)
+        variant = (raw_cap, desc_cap, dc_cap, mv_mode, has_nest)
+        if "step_planner" in buf:
+            from .. import native
+
+            st8, st32 = buf["staging"]["u8"], buf["staging"]["u32"]
+            for s, sh in enumerate(buf["shards"]):
+                native.assemble_shard(
+                    st8[s], st32[s],
+                    raw=sh["pools"]["raw"], desc=sh["pools"]["desc"],
+                    dcp=sh["pools"]["dc"],
+                    slot_used=buf["slot_used"][s * nvl:(s + 1) * nvl],
+                    raw_caps=(self._raw_cap_full, raw_cap),
+                    desc_caps=(self._desc_cap_full, desc_cap),
+                    dc_caps=(self._dc_cap_full, dc_cap),
+                    u8l=u8l, u32l=u32l,
+                    new_nest=sh["new_nest"] if has_nest else None,
+                    is_i=sh["is_i"], is_ref=sh["is_ref"],
+                    meta5s=[pp["meta5"] for pp in sh["planes"]],
+                    mv=sh["mv"], mv2=sh["mv2"], mv_mode=mv_mode)
+        else:
+            self._assemble_numpy(buf, u8l, u32l, variant)
+        buf["variant"] = variant
+        buf["sizes"] = (size8, size32)
+
+    def _assemble_numpy(self, buf, u8l, u32l, variant) -> None:
+        nvl = self._nvl
+        raw_cap, desc_cap, dc_cap, mv_mode, has_nest = variant
         st8, st32 = buf["staging"]["u8"], buf["staging"]["u32"]
 
         def put(st, s, lay, name, arr):
@@ -879,7 +912,7 @@ class MultiStreamDecoder:
                 put(st8, s, u8l, "new_nest", sh["new_nest"])
             put(st8, s, u8l, "is_i", sh["is_i"])
             put(st8, s, u8l, "is_ref", sh["is_ref"])
-            for pi in range(len(cfg.block_grids)):
+            for pi in range(len(self.cfg.block_grids)):
                 # the planner already packed meta 5-per-u32: one row copy
                 put(st32, s, u32l, f"meta{pi}", sh["planes"][pi]["meta5"])
             if mv_mode == _MV_PACKED8:
@@ -899,8 +932,6 @@ class MultiStreamDecoder:
             elif mv_mode == _MV_WIDE:
                 put(st32, s, u32l, "mv", sh["mv"])
                 put(st32, s, u32l, "mv2", sh["mv2"])
-        buf["variant"] = (raw_cap, desc_cap, dc_cap, mv_mode, has_nest)
-        buf["sizes"] = (size8, size32)
 
     def snapshot_step(self, buf):
         """Minimal copyable upload payload of a planned step — what
