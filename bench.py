@@ -257,6 +257,7 @@ def main() -> None:
 
     def run_phase(prefix: str, clip_path: pathlib.Path, phase: str,
                   extra_env: dict) -> None:
+        t_phase = time.monotonic()
         print(f"bench: phase {prefix}{phase}", file=sys.stderr, flush=True)
         env = dict(os.environ, HVQM4_BENCH_CLIP=str(clip_path), **extra_env)
         try:
@@ -278,6 +279,9 @@ def main() -> None:
             failures[prefix + phase] = "timeout"
         except Exception as e:  # noqa: BLE001 - must still emit JSON
             failures[prefix + phase] = repr(e)[:200]
+        print(f"bench: phase {prefix}{phase} done in "
+              f"{time.monotonic() - t_phase:.0f}s", file=sys.stderr,
+              flush=True)
         if extra_env.get("HVQM4_BENCH_FORCE_CPU") != "1":
             time.sleep(30)  # let the tunnel settle between clients
 
@@ -324,8 +328,11 @@ def main() -> None:
         # end-to-end measurement, just on the host CPU backend. A nonzero,
         # honestly-labeled artifact beats a zero (VERDICT r3 missing #1).
         cpu = {"HVQM4_BENCH_FORCE_CPU": "1"}
+        # retail hash runs K=1 here (not the K=8 production config): a cold
+        # CPU compile of the fused 64-slot scan costs minutes, and K is a
+        # dispatch shape, not a decode semantic - bit-exactness is the same
         jobs = [("", ref_clip, "hash", cpu),
-                ("retail_", retail_clip, "hash", {**cpu, **k8}),
+                ("retail_", retail_clip, "hash", cpu),
                 ("", ref_clip, "pipeline", cpu),
                 ("retail_", retail_clip, "pipeline", cpu)]
     for prefix, clip_path, phase, extra in jobs:
@@ -340,7 +347,7 @@ def main() -> None:
         tpu_ok = False  # label the artifact honestly (backend + archive)
         for prefix, clip_path, phase, extra in [
                 ("", ref_clip, "hash", cpu),
-                ("retail_", retail_clip, "hash", {**cpu, **k8}),
+                ("retail_", retail_clip, "hash", cpu),
                 ("", ref_clip, "pipeline", cpu),
                 ("retail_", retail_clip, "pipeline", cpu)]:
             if prefix + "oracle" not in failures:
