@@ -300,17 +300,28 @@ def main() -> None:
     from hvqm4_tpu.utils.backend import probe_backend_retry
 
     probe_budget = float(os.environ.get("HVQM4_BENCH_PROBE_BUDGET_S", "900"))
-    tpu_ok = probe_backend_retry(probe_budget)
-    if not tpu_ok:
+    tpu_ok, probe_detail = probe_backend_retry(probe_budget)
+    probe_failed = not tpu_ok
+    if probe_failed:
         failures["backend_probe"] = (
-            f"no backend answer within {probe_budget:.0f}s (retried); "
-            "falling back to CPU-backend phases")
+            f"no backend answer within {probe_budget:.0f}s (retried; last: "
+            f"{probe_detail}); falling back to CPU-backend phases")
     # BOTH hash phases before any throughput phase: the bit-exactness
     # verdicts are the most important fields and the cheapest transfers —
     # they get the freshest tunnel state (the throughput phases push
     # hundreds of MB each and degrade it; retail's hash runs the fused
     # K=8 production config)
     k8 = {"HVQM4_STEPS_PER_DISPATCH": "8"}
+    # CPU-fallback job set, shared by the dead-relay and mid-run-salvage
+    # branches so their coverage can never drift apart. retail hash runs
+    # K=1 here (not the K=8 production config): a cold CPU compile of the
+    # fused 64-slot scan costs minutes, and K is a dispatch shape, not a
+    # decode semantic - bit-exactness is the same.
+    _cpu = {"HVQM4_BENCH_FORCE_CPU": "1"}
+    cpu_jobs = [("", ref_clip, "hash", _cpu),
+                ("retail_", retail_clip, "hash", _cpu),
+                ("", ref_clip, "pipeline", _cpu),
+                ("retail_", retail_clip, "pipeline", _cpu)]
     if tpu_ok:
         # device phases run at each clip's measured-best realized operating
         # point (BASELINE.md sweep): heavy = 32 streams / K=1 (wide batch
@@ -327,29 +338,21 @@ def main() -> None:
         # core — tests/conftest.py) and the pipeline number is still a real
         # end-to-end measurement, just on the host CPU backend. A nonzero,
         # honestly-labeled artifact beats a zero (VERDICT r3 missing #1).
-        cpu = {"HVQM4_BENCH_FORCE_CPU": "1"}
-        # retail hash runs K=1 here (not the K=8 production config): a cold
-        # CPU compile of the fused 64-slot scan costs minutes, and K is a
-        # dispatch shape, not a decode semantic - bit-exactness is the same
-        jobs = [("", ref_clip, "hash", cpu),
-                ("retail_", retail_clip, "hash", cpu),
-                ("", ref_clip, "pipeline", cpu),
-                ("retail_", retail_clip, "pipeline", cpu)]
+        jobs = cpu_jobs
     for prefix, clip_path, phase, extra in jobs:
         if prefix + "oracle" in failures:
             continue
         run_phase(prefix, clip_path, phase, extra)
 
+    salvaged = False
     if tpu_ok and not merged.get("pipeline_fps"):
-        # probe passed but the relay died mid-run (every device-touching
-        # phase failed): salvage a nonzero artifact from the CPU backend
-        cpu = {"HVQM4_BENCH_FORCE_CPU": "1"}
-        tpu_ok = False  # label the artifact honestly (backend + archive)
-        for prefix, clip_path, phase, extra in [
-                ("", ref_clip, "hash", cpu),
-                ("retail_", retail_clip, "hash", cpu),
-                ("", ref_clip, "pipeline", cpu),
-                ("retail_", retail_clip, "pipeline", cpu)]:
+        # probe passed but both pipeline phases failed on the live backend
+        # (e.g. relay died mid-run): salvage nonzero pipeline/hash fields
+        # from the CPU backend. Any device_fps already measured is real
+        # live-backend data and is kept; the `salvage` field explains the
+        # mixed provenance so the artifact stays self-consistent.
+        salvaged = True
+        for prefix, clip_path, phase, extra in cpu_jobs:
             if prefix + "oracle" not in failures:
                 run_phase(prefix, clip_path, phase, extra)
 
@@ -394,12 +397,18 @@ def main() -> None:
             merged.get("retail_device_fps", 0.0), retail_base),
         "retail_bitexact": merged.get("retail_bitexact", "not-run"),
     }
-    if not tpu_ok:
+    if probe_failed:
         out["local_archive"] = (
             "relay dead this run; last clean TPU contract runs on this chip "
             "are archived in BENCH_local_r03.json (heavy: 1084 fps pipeline "
             "/ 14862 fps device = 98.9x; retail: 2973 fps pipeline / "
             "18.9-29.0k fps device = 75.9-100.2x; bitexact on both clips)")
+    elif salvaged:
+        out["salvage"] = (
+            "live-backend pipeline phases failed mid-run; pipeline/hash "
+            "fields re-measured on the cpu backend (any nonzero device_fps "
+            "is live-backend data from before the failure); archived clean "
+            "TPU runs: BENCH_local_r03.json")
     if failures:
         out["phase_failures"] = failures
     print(json.dumps(out))

@@ -307,6 +307,8 @@ def assemble_shard(st8_row: np.ndarray, st32_row: np.ndarray, *,
     nvl = len(is_i)
     mv_offs = {0: (0, 0), 1: ("mvp8", 0), 2: ("mvp", 0), 3: ("mv", "mv2")}
     k1, k2 = mv_offs[mv_mode]
+    # the C AssembleArgs ABI has exactly 3 meta5 slots (Y, U, V)
+    assert len(meta5s) <= 3, f"{len(meta5s)} planes exceed the C ABI's 3"
     m5 = list(meta5s) + [None] * (3 - len(meta5s))
     args = _AssembleArgs(
         st8=_ptr(st8_row), st32=_ptr(st32_row),

@@ -42,17 +42,20 @@ def test_api_md_dotted_references_resolve():
         assert (REPO / rel).exists(), f"API.md references missing file {rel}"
 
     fmt = (REPO / "docs" / "FORMAT.md").read_text()
-    sections = set(re.findall(r"^#+\s*(?:§)?([\d.]+)\b", fmt, re.MULTILINE))
-    sections |= set(re.findall(r"^## ([\d.]+)", fmt, re.MULTILINE))
+    # headings are "## N. Title" / "### N.M Title": exact section ids
+    sections = {s.rstrip(".") for s in re.findall(
+        r"^#+\s*(?:§)?([\d.]+)", fmt, re.MULTILINE)}
     import subprocess
 
     out = subprocess.run(
         ["grep", "-rhoE", r"FORMAT\.md §[0-9.]+", "hvqm4_tpu", "tools",
          "oracle"],
         cwd=REPO, capture_output=True, text=True).stdout
+    assert out.strip(), "no FORMAT.md § citations found — grep broken?"
     for ref in set(out.split("\n")) - {""}:
         sec = ref.split("§")[1].rstrip(".")
-        assert any(s == sec or s.startswith(sec + ".") or sec.startswith(s)
-                   for s in sections), (
+        # exact section id only: a cited §6.99 must not pass because §6
+        # exists (that laxness would re-admit the §6.4/§6.5 drift class)
+        assert sec in sections, (
             f"code cites FORMAT.md §{sec}, which does not exist "
             f"(sections: {sorted(sections)})")
