@@ -60,6 +60,7 @@ def one_case(oracle_bin, seed: int) -> str:
     threads = int(rng.choice([1, 4]))
     os.environ["HVQM4_PLANNER_THREADS"] = str(threads)
     n_streams = int(rng.integers(1, 4))
+    k = int(rng.choice([1, 2, 4]))  # fused-dispatch factor (virtual slots)
     clips, slices_used = [], []
     for si in range(n_streams):
         pattern = "I" + str(rng.choice(["P", "BP", "BBP", "PBPB", ""]))
@@ -70,8 +71,9 @@ def one_case(oracle_bin, seed: int) -> str:
                                slices=slices))
     desc = (f"seed={seed} {w}x{h} samp={samp} v{version} "
             f"streams={n_streams} "
-            f"slices={slices_used} threads={threads}")
-    ms = MultiStreamDecoder(cfg, clips, planner_factory=NativePlanner)
+            f"slices={slices_used} threads={threads} K={k}")
+    ms = MultiStreamDecoder(cfg, clips, planner_factory=NativePlanner,
+                            steps_per_dispatch=k)
     got = [b""] * n_streams
     for frames, _metas, valid in ms.run_pipelined():
         fnp = [np.asarray(p) for p in frames]
