@@ -9,6 +9,8 @@ Measures, on the real chip:
   - device_fps:  device-side decode throughput with plans pre-built (isolates
                  the TPU core + transfer from the host entropy bound)
   - bitexact:    decoded frames hash-identical to the C oracle on this backend
+  - plan_fps:    host planning + C++ staging assembly only (backend-
+                 independent; always measured on the pinned-CPU path)
 
 Each measurement phase runs in its own subprocess: the axon test tunnel's
 PJRT client leaks per byte transferred and wedges under sustained traffic,
@@ -176,6 +178,29 @@ def phase_device(n_streams: int) -> dict:
             "device_pass_mb": round(pass_mb, 1)}
 
 
+def phase_plan(n_streams: int) -> dict:
+    """Host planning + C++ staging-assembly throughput (no device work).
+
+    Backend-independent: plan_step is numpy + the GIL-released C++ planner,
+    so this number is meaningful even when no chip is reachable — it is the
+    host-side bound of the full pipeline (BASELINE.md cores->fps model) and
+    gives a dead-relay artifact a real measurement of the design instead of
+    only the XLA-CPU availability floor."""
+    _cfg, _cp, make_ms, planner_name = _setup(n_streams)
+    ms = make_ms()  # warm pass: C++ scratch freelist + page cache
+    while any(ms.active):
+        ms.plan_step()
+    ms = make_ms()
+    t0 = time.perf_counter()
+    frames = 0
+    while any(ms.active):
+        _buf, _metas, valid = ms.plan_step()
+        frames += int(np.sum(valid))
+    fps = frames / (time.perf_counter() - t0)
+    return {"plan_fps": round(fps, 2), "plan_frames": frames,
+            "planner": planner_name}
+
+
 def phase_hash(n_streams: int) -> dict:
     """Bit-exactness vs the C oracle, verified on EVERY stream of the same
     batched configuration the throughput phases use (same compiled
@@ -226,7 +251,7 @@ def main() -> None:
 
             jax.config.update("jax_platforms", "cpu")
         out = {"pipeline": phase_pipeline, "device": phase_device,
-               "hash": phase_hash}[sys.argv[2]](n_streams)
+               "hash": phase_hash, "plan": phase_plan}[sys.argv[2]](n_streams)
         print(json.dumps(out))
         return
 
@@ -322,12 +347,17 @@ def main() -> None:
                 ("retail_", retail_clip, "hash", _cpu),
                 ("", ref_clip, "pipeline", _cpu),
                 ("retail_", retail_clip, "pipeline", _cpu)]
+    # planning is host-only and backend-independent: always measure it on
+    # the pinned-CPU path so it never touches (or waits on) the tunnel
+    plan_jobs = [("", ref_clip, "plan", _cpu),
+                 ("retail_", retail_clip, "plan", _cpu)]
     if tpu_ok:
         # device phases run at each clip's measured-best realized operating
         # point (BASELINE.md sweep): heavy = 32 streams / K=1 (wide batch
         # amortizes dispatch; K>1 enlarges per-transfer chunks past the
         # tunnel's sweet spot for 165 KB/frame plans), retail = 8 / K=8
-        jobs = [("", ref_clip, "hash", {}),
+        jobs = plan_jobs + [
+                ("", ref_clip, "hash", {}),
                 ("retail_", retail_clip, "hash", k8),
                 ("", ref_clip, "pipeline", {}),
                 ("retail_", retail_clip, "pipeline", {}),
@@ -338,7 +368,7 @@ def main() -> None:
         # core — tests/conftest.py) and the pipeline number is still a real
         # end-to-end measurement, just on the host CPU backend. A nonzero,
         # honestly-labeled artifact beats a zero (VERDICT r3 missing #1).
-        jobs = cpu_jobs
+        jobs = plan_jobs + cpu_jobs
     for prefix, clip_path, phase, extra in jobs:
         if prefix + "oracle" in failures:
             continue
@@ -396,6 +426,13 @@ def main() -> None:
         "retail_device_vs_baseline": ratio(
             merged.get("retail_device_fps", 0.0), retail_base),
         "retail_bitexact": merged.get("retail_bitexact", "not-run"),
+        # host planning + C++ assembly throughput (backend-independent; the
+        # host-side bound of the pipeline — meaningful even with no chip)
+        "plan_fps": merged.get("plan_fps", 0.0),
+        "plan_vs_baseline": ratio(merged.get("plan_fps", 0.0), base_fps),
+        "retail_plan_fps": merged.get("retail_plan_fps", 0.0),
+        "retail_plan_vs_baseline": ratio(
+            merged.get("retail_plan_fps", 0.0), retail_base),
     }
     if probe_failed:
         out["local_archive"] = (

@@ -1,0 +1,29 @@
+"""Driver-contract coverage for bench.py's cheap, backend-independent
+phase: `--phase plan` must emit one JSON line with the planning
+throughput regardless of tunnel state (it is part of every artifact,
+including the dead-relay CPU fallback). The heavy phases (pipeline/
+device/hash) are exercised by the full contract rehearsals, not unit
+tests — their compiles dominate a 1-vCPU box."""
+
+import json
+import os
+import pathlib
+import subprocess
+import sys
+
+REPO = pathlib.Path(__file__).resolve().parents[1]
+
+
+def test_phase_plan_emits_json():
+    env = dict(os.environ,
+               HVQM4_BENCH_FORCE_CPU="1",
+               HVQM4_BENCH_STREAMS="2",
+               HVQM4_BENCH_CLIP=str(REPO / "testdata" / "i320.h4m"))
+    r = subprocess.run(
+        [sys.executable, str(REPO / "bench.py"), "--phase", "plan"],
+        capture_output=True, text=True, timeout=300, env=env, cwd=REPO)
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["plan_fps"] > 0
+    assert out["plan_frames"] > 0
+    assert out["planner"] == "native"
