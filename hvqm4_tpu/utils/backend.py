@@ -35,6 +35,22 @@ def _probe_once(timeout_s: float) -> tuple[bool, str]:
         return False, repr(e)[:300]
 
 
+def cpu_cache_dir() -> str:
+    """Host-fingerprint-keyed persistent JAX compilation-cache dir for
+    pinned-CPU runs (tests and driver dry-runs share it so neither pays
+    the other's cold compiles). Keyed by host fingerprint because XLA:CPU
+    AOT artifacts bind to the compiling machine's ISA features — loading
+    another host's entries warns and risks SIGILL (hvqm4_tpu.native uses
+    the same key for its .so cache). Never imports jax."""
+    import os
+
+    from hvqm4_tpu.native import _fingerprint
+
+    cache = os.path.expanduser(f"~/.cache/jax-tests-cpu-{_fingerprint()}")
+    os.makedirs(cache, exist_ok=True)
+    return cache
+
+
 def probe_backend_ok(timeout_s: float = 300.0) -> bool:
     """One probe attempt; True if the backend answered within the timeout.
 

@@ -22,17 +22,12 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8").strip()
 
 # Persistent compilation cache: the suite is compile-dominated on this box
-# (measured: test_multistream 10m20s cold -> 1m48s warm). The dir is keyed
-# by host fingerprint because XLA:CPU AOT artifacts bind to the compiling
-# machine's ISA features — loading another host's entries warns and risks
-# SIGILL (hvqm4_tpu.native uses the same key for its .so cache).
+# (measured: test_multistream 10m20s cold -> 1m48s warm). Shared with the
+# driver dry-run via one helper so the key scheme can never diverge.
 if "JAX_COMPILATION_CACHE_DIR" not in os.environ:
-    from hvqm4_tpu.native import _fingerprint
+    from hvqm4_tpu.utils.backend import cpu_cache_dir
 
-    _cache = (pathlib.Path.home() / ".cache"
-              / f"jax-tests-cpu-{_fingerprint()}")
-    _cache.mkdir(parents=True, exist_ok=True)
-    os.environ["JAX_COMPILATION_CACHE_DIR"] = str(_cache)
+    os.environ["JAX_COMPILATION_CACHE_DIR"] = cpu_cache_dir()
 
 # The axon sitecustomize force-registers the TPU plugin and overrides the
 # jax_platforms config to "axon,cpu"; pin it back to cpu for the test session.

@@ -86,6 +86,11 @@ def test_native_assemble_matches_numpy_all_variants():
     mv_modes = {v[0] for v in seen}
     assert msm._MV_NONE in mv_modes          # all-I step
     assert msm._MV_WIDE in mv_modes          # forced escape tier
-    assert mv_modes & {msm._MV_PACKED8, msm._MV_PACKED}
+    # BOTH packed encodings must be parity-covered: PACKED8 (P steps, one
+    # byte-pair per MB) and PACKED (refsel-2 B steps merging mv2 into bits
+    # 16-31 — its C packer is a distinct branch that must not lose
+    # coverage silently if the encoder's refsel statistics drift)
+    assert msm._MV_PACKED8 in mv_modes
+    assert msm._MV_PACKED in mv_modes
     assert any(v[1] for v in seen)           # a nest-carrying step
     assert steps >= 4

@@ -37,6 +37,12 @@ def test_dryrun_multichip_driver_invocation():
     env["XLA_FLAGS"] = " ".join(
         f for f in env.get("XLA_FLAGS", "").split()
         if "xla_force_host_platform_device_count" not in f)
+    # bound the workload (dryrun budget < 300 selects the small clip set):
+    # only the internal budget gates work INSIDE the run, and a cold
+    # compilation cache on a fresh host could push the full-size workload
+    # past this test's hard timeout — the backend-selection path under
+    # test is identical either way
+    env["HVQM4_DRYRUN_BUDGET_S"] = "240"
     r = subprocess.run(
         [sys.executable, "-c",
          "import __graft_entry__ as g; g.dryrun_multichip(8)"],
@@ -45,3 +51,34 @@ def test_dryrun_multichip_driver_invocation():
     assert "bit-exact" in r.stdout, r.stdout
     # never touches the axon backend: no plugin/backend-init chatter
     assert "axon" not in r.stderr.lower(), r.stderr[-3000:]
+
+
+def test_dryrun_multichip_preinitialized_backend():
+    """A caller that already initialized JAX with too few devices: XLA
+    parses XLA_FLAGS once per process, so the device count cannot be
+    raised in-process — dryrun_multichip must recover by re-executing
+    itself in a fresh subprocess (not assert-fail, the pre-fix behavior).
+    """
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    # 1 pre-initialized device, recover to 2: the dp=1 x tp=2 mesh is the
+    # same executable shape test_dryrun_multichip_small_mesh compiles, so
+    # the re-executed child rides the warm persistent cache (a larger mesh
+    # here cold-compiles for minutes on a 1-vCPU box)
+    env["XLA_FLAGS"] = " ".join(
+        [f for f in env.get("XLA_FLAGS", "").split()
+         if "xla_force_host_platform_device_count" not in f]
+        + ["--xla_force_host_platform_device_count=1"])
+    env["HVQM4_DRYRUN_BUDGET_S"] = "240"
+    r = subprocess.run(
+        [sys.executable, "-c",
+         # the pre-initializing caller must itself pin CPU (the axon
+         # sitecustomize overrides JAX_PLATFORMS; with a dead relay a bare
+         # jax.devices() here would hang before dryrun is even reached)
+         "import jax; jax.config.update('jax_platforms', 'cpu'); "
+         "assert len(jax.devices()) == 1; "
+         "import __graft_entry__ as g; g.dryrun_multichip(2)"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=540)
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "re-executing in a fresh process" in r.stdout, r.stdout
+    assert "bit-exact" in r.stdout, r.stdout
