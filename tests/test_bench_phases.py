@@ -14,6 +14,21 @@ import sys
 REPO = pathlib.Path(__file__).resolve().parents[1]
 
 
+def test_phase_link_emits_json():
+    """--phase link must emit its probe fields on any backend (on the
+    pinned-CPU path it measures host memcpy, which is fine — the field
+    contract, not the number, is what the artifact machinery relies on)."""
+    env = dict(os.environ, HVQM4_BENCH_FORCE_CPU="1")
+    r = subprocess.run(
+        [sys.executable, str(REPO / "bench.py"), "--phase", "link"],
+        capture_output=True, text=True, timeout=300, env=env, cwd=REPO)
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["link_h2d_gbps"] > 0
+    assert len(out["link_h2d_gbps_samples"]) == 3
+    assert out["link_rtt_ms"] >= 0
+
+
 def test_phase_plan_emits_json():
     env = dict(os.environ,
                HVQM4_BENCH_FORCE_CPU="1",
