@@ -103,14 +103,13 @@ class _AssembleArgs(ctypes.Structure):
         ("st8", ctypes.c_void_p), ("st32", ctypes.c_void_p),
         ("raw", ctypes.c_void_p), ("desc", ctypes.c_void_p),
         ("dcp", ctypes.c_void_p), ("slot_used", ctypes.c_void_p),
+        ("offs", ctypes.c_void_p),
         ("nvl", ctypes.c_uint64),
         ("raw_cap_full", ctypes.c_uint64),
         ("desc_cap_full", ctypes.c_uint64),
         ("dc_cap_full", ctypes.c_uint64),
-        ("raw_cap", ctypes.c_uint64), ("desc_cap", ctypes.c_uint64),
-        ("dc_cap", ctypes.c_uint64),
-        ("new_nest", ctypes.c_void_p), ("nest_n", ctypes.c_uint64),
-        ("nest_off", ctypes.c_uint64),
+        ("offs_off", ctypes.c_uint64),
+        ("new_nest", ctypes.c_void_p), ("nest_elems", ctypes.c_uint64),
         ("is_i", ctypes.c_void_p), ("isi_off", ctypes.c_uint64),
         ("is_ref", ctypes.c_void_p), ("isref_off", ctypes.c_uint64),
         ("meta5_0", ctypes.c_void_p), ("meta5_n0", ctypes.c_uint64),
@@ -291,18 +290,18 @@ def unpack_plane(d: dict[str, np.ndarray], raw_pool: np.ndarray,
 
 def assemble_shard(st8_row: np.ndarray, st32_row: np.ndarray, *,
                    raw: np.ndarray, desc: np.ndarray, dcp: np.ndarray,
-                   slot_used: np.ndarray,
-                   raw_caps: tuple[int, int], desc_caps: tuple[int, int],
-                   dc_caps: tuple[int, int],
+                   slot_used: np.ndarray, offs: np.ndarray,
+                   raw_cap_full: int, desc_cap_full: int, dc_cap_full: int,
                    u8l: dict, u32l: dict,
                    new_nest: np.ndarray | None,
                    is_i: np.ndarray, is_ref: np.ndarray,
                    meta5s: list[np.ndarray],
                    mv: np.ndarray, mv2: np.ndarray, mv_mode: int) -> None:
     """Pack one shard's planned scratch into its staging rows — the C-side
-    mirror of `multistream._assemble`'s per-shard numpy loop (pool prefixes
-    into tier regions, dense fields at their layout offsets, vectors in the
-    step's mv encoding). `*_caps` are (scratch capacity, chosen tier cap);
+    mirror of `multistream._assemble`'s per-shard numpy loop (v5 layout:
+    pool prefixes at the precomputed per-slot packed bases in `offs`, nest
+    only on I slots, dense fields at their layout offsets, vectors in the
+    step's mv encoding). `*_cap_full` are the scratch strides; field
     offsets come from `multistream._layout` for the chosen variant."""
     nvl = len(is_i)
     mv_offs = {0: (0, 0), 1: ("mvp8", 0), 2: ("mvp", 0), 3: ("mv", "mv2")}
@@ -313,13 +312,13 @@ def assemble_shard(st8_row: np.ndarray, st32_row: np.ndarray, *,
     args = _AssembleArgs(
         st8=_ptr(st8_row), st32=_ptr(st32_row),
         raw=_ptr(raw), desc=_ptr(desc), dcp=_ptr(dcp),
-        slot_used=_ptr(slot_used), nvl=nvl,
-        raw_cap_full=raw_caps[0], desc_cap_full=desc_caps[0],
-        dc_cap_full=dc_caps[0],
-        raw_cap=raw_caps[1], desc_cap=desc_caps[1], dc_cap=dc_caps[1],
+        slot_used=_ptr(slot_used), offs=_ptr(offs), nvl=nvl,
+        raw_cap_full=raw_cap_full, desc_cap_full=desc_cap_full,
+        dc_cap_full=dc_cap_full,
+        offs_off=u32l["offs"][0],
         new_nest=_ptr(new_nest) if new_nest is not None else None,
-        nest_n=new_nest.size if new_nest is not None else 0,
-        nest_off=u8l["new_nest"][0] if new_nest is not None else 0,
+        nest_elems=(new_nest.size // max(nvl, 1)
+                    if new_nest is not None else 0),
         is_i=_ptr(is_i), isi_off=u8l["is_i"][0],
         is_ref=_ptr(is_ref), isref_off=u8l["is_ref"][0],
         meta5_0=_ptr(m5[0]) if m5[0] is not None else None,

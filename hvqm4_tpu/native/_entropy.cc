@@ -865,12 +865,13 @@ struct AssembleArgs {
     const uint32_t* desc;        // (nvl, desc_cap_full)
     const uint8_t* dcp;          // (nvl, dc_cap_full)
     const int64_t* slot_used;    // (nvl, 3): raw/desc/dc used per slot
+    const uint32_t* offs;        // (nvl, 4): packed bases per slot —
+                                 // raw B, dc B, nest B, desc elem
     uint64_t nvl;
     uint64_t raw_cap_full, desc_cap_full, dc_cap_full;
-    uint64_t raw_cap, desc_cap, dc_cap;       // chosen tier caps
-    const uint8_t* new_nest;     // nvl*nest_elems or null (no nest upload)
-    uint64_t nest_n;             // total u8 elements incl. nvl axis
-    uint64_t nest_off;
+    uint64_t offs_off;           // u32 layout offset of the offs field
+    const uint8_t* new_nest;     // (nvl, nest_elems) scratch or null
+    uint64_t nest_elems;         // per-slot nest size (nh*nw)
     const uint8_t* is_i;
     uint64_t isi_off;
     const uint8_t* is_ref;
@@ -887,23 +888,25 @@ struct AssembleArgs {
 };
 
 void hvqm4_assemble_shard(const AssembleArgs* a) {
-    const uint64_t dc_base = a->raw_cap * a->nvl * 16;
     for (uint64_t lv = 0; lv < a->nvl; lv++) {
         const int64_t ru = a->slot_used[lv * 3 + 0];
         const int64_t du = a->slot_used[lv * 3 + 1];
         const int64_t cu = a->slot_used[lv * 3 + 2];
+        const uint32_t* o = a->offs + lv * 4;
         if (ru)
-            std::memcpy(a->st8 + lv * a->raw_cap * 16,
+            std::memcpy(a->st8 + o[0],
                         a->raw + lv * a->raw_cap_full * 16, (size_t)ru * 16);
-        if (du)
-            std::memcpy(a->st32 + lv * a->desc_cap,
-                        a->desc + lv * a->desc_cap_full, (size_t)du * 4);
         if (cu)
-            std::memcpy(a->st8 + dc_base + lv * a->dc_cap,
+            std::memcpy(a->st8 + o[1],
                         a->dcp + lv * a->dc_cap_full, (size_t)cu);
+        if (a->new_nest && a->is_i[lv])
+            std::memcpy(a->st8 + o[2],
+                        a->new_nest + lv * a->nest_elems, a->nest_elems);
+        if (du)
+            std::memcpy(a->st32 + o[3],
+                        a->desc + lv * a->desc_cap_full, (size_t)du * 4);
     }
-    if (a->new_nest)
-        std::memcpy(a->st8 + a->nest_off, a->new_nest, a->nest_n);
+    std::memcpy(a->st32 + a->offs_off, a->offs, a->nvl * 4 * 4);
     std::memcpy(a->st8 + a->isi_off, a->is_i, a->nvl);
     std::memcpy(a->st8 + a->isref_off, a->is_ref, a->nvl);
     if (a->meta5_0)

@@ -19,11 +19,14 @@ Host-side cost engineering:
   scratch (plan fields, sparse raw/desc/dc pools, upload-form packed meta,
   per-frame mv-variant flags) — no per-frame allocation;
 - `_assemble` then packs two dtype-homogeneous staging buffers (u8 + u32)
-  in the step's VARIANT layout — pool regions at exact used lengths inside
-  a tier ladder, vectors in the narrowest of four encodings, nest only on
-  I-carrying steps — so each step is two h2d transfers (interconnect
-  latency, not bandwidth, dominated the ~20-transfer per-field path) and
-  54-165 KB/frame at 640×480 (was 224 in round 2);
+  in the step's VARIANT layout (v5 "offset-packed pools" — see `_layout`):
+  per-slot pool prefixes back-to-back at host-computed bases that travel
+  as data, vectors in the narrowest of four encodings, nest bytes only on
+  I slots — so each step is two h2d transfers (interconnect latency, not
+  bandwidth, dominated the ~20-transfer per-field path) carrying the SUM
+  of used prefixes (~54 KB/frame at 640×480 retail at ANY fused-dispatch
+  factor; the v4 per-slot tier regions paid window-max sizes, 92.6
+  KB/frame at K=8);
 - device state buffers are donated to the step so XLA updates them in place;
 - `run_pipelined` plans step k+1 on a worker thread (the C++ planner releases
   the GIL) while the device executes step k.
@@ -89,44 +92,40 @@ def _pool_caps(cfg: SeqConfig):
 
 
 @functools.lru_cache(maxsize=None)
-def _layout(cfg: SeqConfig, n: int, raw_cap: int, desc_cap: int,
-            dc_cap: int, mv_mode: int, has_nest: bool):
-    """Static element layout of the two staging uploads for one step variant.
+def _layout(cfg: SeqConfig, n: int, p8_cap: int, p32_cap: int,
+            mv_mode: int, has_nest: bool):
+    """Static element layout of the two staging uploads for one step variant
+    (v5 "offset-packed pools").
 
-    u8  = [raw pool (n, raw_cap, 16) | dc pool (n, dc_cap) |
-           new_nest (n,nh,nw)? | is_i | is_ref]
-    u32 = [desc pool (n, desc_cap) | meta planes (n,⌈bh*bw/5⌉) ×3 (5 six-bit
-           metas per u32) | mv field(s)]
+    u8  = [packed pool region, p8_cap bytes: per-slot segments back-to-back
+           (raw ru*16 B, 16-aligned | dc cu B | nest nh*nw B on I slots),
+           quantized to a ~1.33 ladder | is_i | is_ref]
+    u32 = [packed desc region, p32_cap elems: per-slot used prefixes
+           back-to-back | offs (n, 4): per-slot bases (raw B, dc B, nest B,
+           desc elem) | meta planes (n,⌈bh*bw/5⌉) ×3 (5 six-bit metas per
+           u32) | mv field(s)]
 
     Two dtype-homogeneous buffers → two h2d transfers per step (a single
     mixed-dtype buffer would need on-device reinterpretation, which hangs
     the TPU compiler at this size). The planner writes every field into
     per-stream CONTIGUOUS scratch (pool stride 1 — cache-friendly at any
     stream count); `_assemble` packs the staging buffers post-planning once
-    the step's tiers/modes are known: pools copied at their exact per-slot
-    used lengths into the tier regions, vectors packed per `mv_mode`, nest
-    present only on steps that carry an I frame. DC values ride a sparse
-    pool (one byte per intra non-raw block, slot derived from meta like
-    raw/desc): the dense dc grid is ~92% inter filler on typical content,
-    so this cuts ~26 KB/frame at 640×480. vs the round-2 layout the fixed
-    upload shrinks 98.7 → ~48 KB/frame and pools ride exact-used tiers.
+    the step's sizes/modes are known. Unlike the v4 layout — per-slot tier
+    REGIONS sized by the max used across every slot of the dispatch — the
+    packed region transfers the SUM of used prefixes: under fused K-step
+    dispatch one I frame no longer inflates all n*K slots to its intra-heavy
+    pool sizes (measured at 640×480 retail K=8: 92.6 → ~56 KB/frame, and
+    the device phase is link-bandwidth-bound, so bytes are fps). The
+    executable stays one-per-variant because the per-slot bases travel as
+    DATA (the `offs` field feeds the in-jit gathers), not as shapes; only
+    the two quantized region sizes are static.
 
     Returns ({u8 field → (elem_off, shape)}, {u32 ...}, size8, size32).
     """
-    u8: dict = {}
-    off = raw_cap * n * 16          # raw pool region: (n, raw_cap, 16)
-    off += dc_cap * n               # dc pool region: (n, dc_cap)
-    nh, nw = cfg.nest_shape
-    if has_nest:
-        u8["new_nest"] = (off, (n, nh, nw))
-        off += n * nh * nw
-    u8["is_i"] = (off, (n,))
-    off += n
-    u8["is_ref"] = (off, (n,))
-    off += n
-    size8 = off
-    u32: dict = {}
-    off = desc_cap * n              # desc pool region: (n, desc_cap)
+    u8: dict = {"is_i": (p8_cap, (n,)), "is_ref": (p8_cap + n, (n,))}
+    size8 = p8_cap + 2 * n
+    u32: dict = {"offs": (p32_cap, (n, 4))}
+    off = p32_cap + 4 * n
     for pi, (bh, bw) in enumerate(cfg.block_grids):
         nw5 = (bh * bw + 4) // 5    # meta is 6 bits: 5 blocks per u32
         u32[f"meta{pi}"] = (off, (n, nw5))
@@ -148,26 +147,33 @@ def _layout(cfg: SeqConfig, n: int, raw_cap: int, desc_cap: int,
     return u8, u32, size8, size32
 
 
-def _pool_tiers(cap: int):
-    """Capacity ladder: compact tiers for typical content, full for the
-    worst case. Each tier used by a run costs one (persistently cached)
-    compilation of the step; the ~1.33 ratio keeps the average upload
-    overshoot under ~15% while the ladder stays small. Tiers never exceed
-    cap (tiny frames have pools smaller than the 64-slot floor)."""
-    return tuple(sorted({min(max(int(cap / d), 64), cap)
-                         for d in (64, 48, 32, 24, 16, 12, 8, 6, 5, 4,
-                                   3, 2.5, 2, 1.5, 1.25, 1)}))
+@functools.lru_cache(maxsize=None)
+def _packed_tiers(full: int):
+    """Size ladder for a packed region: geometric 9/8 steps from a 4096
+    floor up to the worst case. A step's totals cluster within ±3% for
+    same-type frames, so the ladder's job is only to merge those clusters
+    into one (persistently cached) compiled step each; 9/8 keeps the mean
+    transfer overshoot ~6% (a 4/3 ladder measured +28-33% on the heavy
+    corpus — real megabytes at these region sizes). Values are
+    16-multiples so the u8 region keeps raw segments aligned at any
+    tier."""
+    ts, v = [], 4096
+    while v < full:
+        ts.append(v)
+        v = (v * 9 // 8 + 15) & ~15
+    ts.append(full)
+    return tuple(ts)
 
 
-def _pick_tier(used: int, cap: int) -> int:
-    for t in _pool_tiers(cap):
+def _pick_tier(used: int, full: int) -> int:
+    for t in _packed_tiers(full):
         if used <= t:
             return t
-    return cap
+    return full
 
 
 def _unpack_arena(cfg: SeqConfig, n: int, arenas: dict,
-                  raw_cap: int, desc_cap: int, dc_cap: int,
+                  p8_cap: int, p32_cap: int,
                   mv_mode: int, has_nest: bool):
     """In-jit: staging buffers → (plane plan dicts, new_nest|None, is_i,
     is_ref).
@@ -175,10 +181,15 @@ def _unpack_arena(cfg: SeqConfig, n: int, arenas: dict,
     Variant parameters are static (one compiled step per variant). Pool
     payloads are materialized in the device core's plane-layout contract
     (raw as (n, H, W) pixels, desc component-major (n, 4, bh, bw)) by
-    gathers straight from the flat pool regions — no intermediate ever
-    carries a trailing dim of 4/16 (TPU tiling would pad it to 128).
+    gathers straight from the packed pool regions — no intermediate ever
+    carries a trailing dim of 4/16 (TPU tiling would pad it to 128). Each
+    slot's pool bases come from the uploaded `offs` field (v5 layout):
+    the gather indices were already data-dependent (block slots derive
+    from meta cumsums), so a data-dependent base changes nothing about
+    how XLA compiles the gathers — while letting the upload carry exact
+    used prefixes instead of max-sized per-slot regions.
     """
-    u8l, u32l, _s8, _s32 = _layout(cfg, n, raw_cap, desc_cap, dc_cap,
+    u8l, u32l, _s8, _s32 = _layout(cfg, n, p8_cap, p32_cap,
                                    mv_mode, has_nest)
 
     def fld(group, lay, name):
@@ -233,15 +244,25 @@ def _unpack_arena(cfg: SeqConfig, n: int, arenas: dict,
             mvc[key] = (sra(v << 16, 16), sra(v, 16))
 
     extras = {name: fld("u8", u8l, name) for name in ("is_i", "is_ref")}
-    new_nest = fld("u8", u8l, "new_nest") if has_nest else None
 
-    # flat pool regions at offset 0; layouts (stream, slot, 16) /
-    # (stream, slot) / (stream, slot)
-    raw_flat = jax.lax.slice(arenas["u8"], (0,), (raw_cap * n * 16,))
-    dc_base = raw_cap * n * 16
-    dc_flat = jax.lax.slice(arenas["u8"], (dc_base,), (dc_base + dc_cap * n,))
-    desc_flat = jax.lax.slice(arenas["u32"], (0,), (desc_cap * n,))
-    sidx = jnp.arange(n, dtype=jnp.int32)
+    # packed pool regions + per-slot bases (offs columns: raw B, dc B,
+    # nest B, desc elem). Final indices are clipped into the region; for
+    # valid blocks they are in-bounds by construction, and every
+    # out-of-construction read (filler slots, non-carrying blocks, non-I
+    # nest rows) is masked downstream by meta/is_i.
+    pool8 = jax.lax.slice(arenas["u8"], (0,), (p8_cap,))
+    desc_flat = jax.lax.slice(arenas["u32"], (0,), (p32_cap,))
+    offs = fld("u32", u32l, "offs").astype(jnp.int32)
+    raw_b, dc_b = offs[:, 0], offs[:, 1]
+    nest_b, desc_e = offs[:, 2], offs[:, 3]
+
+    nh, nw = cfg.nest_shape
+    new_nest = None
+    if has_nest:
+        nidx = jnp.clip(nest_b[:, None] + jnp.arange(nh * nw,
+                                                     dtype=jnp.int32)[None],
+                        0, p8_cap - 1)
+        new_nest = jnp.take(pool8, nidx).reshape(n, nh, nw)
 
     slots, dc_slots = _derive_slots(cfg, n, [pp["meta"] for pp in planes])
     for pi, pp in enumerate(planes):
@@ -250,26 +271,29 @@ def _unpack_arena(cfg: SeqConfig, n: int, arenas: dict,
         y = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
         x = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
         blk = (y >> 2) * bw + (x >> 2)
-        slot = jnp.clip(slots[pi].astype(jnp.int32), 0, raw_cap - 1)
+        slot = slots[pi].astype(jnp.int32)
         # raw: one gather lands the pixels directly in plane layout
         slot_up = jax.vmap(lambda s: jnp.take(s.reshape(-1), blk))(slot)
         k = (y & 3) * 4 + (x & 3)
-        ridx = (sidx[:, None, None] * raw_cap + slot_up) * 16 + k[None]
-        pp["raw"] = jnp.take(raw_flat, ridx)
+        ridx = jnp.clip(raw_b[:, None, None] + slot_up * 16 + k[None],
+                        0, p8_cap - 1)
+        pp["raw"] = jnp.take(pool8, ridx)
         # desc: (n, 4, bh, bw) component-major
-        start = jnp.clip(slots[pi].astype(jnp.int32), 0, desc_cap - 1)
-        didx = jnp.clip(start[:, None] + jnp.arange(
-            4, dtype=jnp.int32)[None, :, None, None], 0, desc_cap - 1)
-        pp["desc"] = jnp.take(desc_flat,
-                              sidx[:, None, None, None] * desc_cap + didx)
+        start = slots[pi].astype(jnp.int32)
+        didx = jnp.clip(
+            desc_e[:, None, None, None] + start[:, None]
+            + jnp.arange(4, dtype=jnp.int32)[None, :, None, None],
+            0, p32_cap - 1)
+        pp["desc"] = jnp.take(desc_flat, didx)
         # dc grid: sparse pool gather for DC-carrying blocks (intra,
         # mode != 6), constant 128 elsewhere — exactly the planner's dense
         # grid semantics
         m = pp["meta"].astype(jnp.int32)
         is_dc = ((sra(m, 5) & 1) == 0) & ((m & 7) != 6)
-        ds = jnp.clip(dc_slots[pi].astype(jnp.int32), 0, dc_cap - 1)
-        dcv = jnp.take(dc_flat, sidx[:, None, None] * dc_cap + ds)
-        pp["dc"] = jnp.where(is_dc, dcv, 128).astype(jnp.uint8)
+        ds = jnp.clip(dc_b[:, None, None] + dc_slots[pi].astype(jnp.int32),
+                      0, p8_cap - 1)
+        pp["dc"] = jnp.where(is_dc, jnp.take(pool8, ds), 128
+                             ).astype(jnp.uint8)
         # chroma half-pel value shift on the shared MB-resolution vectors
         chroma_mb = pi > 0 and cfg.h_samp == 2
         for key in ("mv", "mv2"):
@@ -350,7 +374,7 @@ def multi_frame_step(plane_plans: list, nest, new_nest, is_i, is_ref,
 
 
 def _run_steps(cfg: SeqConfig, n: int, k_steps: int,
-               raw_cap: int, desc_cap: int, dc_cap: int,
+               p8_cap: int, p32_cap: int,
                mv_mode: int, has_nest: bool,
                arenas, nest, ref_prev, ref_last):
     """The shared step body (single-chip jit AND per-shard under shard_map):
@@ -367,7 +391,7 @@ def _run_steps(cfg: SeqConfig, n: int, k_steps: int,
     """
     nv = n * k_steps
     plane_plans, new_nest, is_i, is_ref = _unpack_arena(
-        cfg, nv, arenas, raw_cap, desc_cap, dc_cap, mv_mode, has_nest)
+        cfg, nv, arenas, p8_cap, p32_cap, mv_mode, has_nest)
     if k_steps == 1:
         return _step_body(plane_plans, nest, new_nest, is_i, is_ref,
                           ref_prev, ref_last)
@@ -391,13 +415,13 @@ def _run_steps(cfg: SeqConfig, n: int, k_steps: int,
 
 @functools.lru_cache(maxsize=None)
 def _arena_step(cfg: SeqConfig, n: int, k_steps: int,
-                raw_cap: int, desc_cap: int, dc_cap: int,
+                p8_cap: int, p32_cap: int,
                 mv_mode: int, has_nest: bool):
     """Jitted production step for one (pool tier, mv mode, nest, K) variant."""
 
     @functools.partial(jax.jit, donate_argnums=(1, 2, 3))
     def step(arenas, nest, ref_prev, ref_last):
-        return _run_steps(cfg, n, k_steps, raw_cap, desc_cap, dc_cap,
+        return _run_steps(cfg, n, k_steps, p8_cap, p32_cap,
                           mv_mode, has_nest,
                           arenas, nest, ref_prev, ref_last)
 
@@ -406,7 +430,7 @@ def _arena_step(cfg: SeqConfig, n: int, k_steps: int,
 
 @functools.lru_cache(maxsize=None)
 def _arena_step_sharded(cfg: SeqConfig, n_local: int, k_steps: int,
-                        raw_cap: int, desc_cap: int, dc_cap: int,
+                        p8_cap: int, p32_cap: int,
                         mv_mode: int, has_nest: bool, mesh, axis: str):
     """Jitted mesh step: `jax.shard_map` of the SAME `_run_steps` body over
     the stream-carrying mesh axis. Each shard sees one (1, arena_len) row —
@@ -417,7 +441,7 @@ def _arena_step_sharded(cfg: SeqConfig, n_local: int, k_steps: int,
 
     def local_fn(arenas, nest, ref_prev, ref_last):
         arenas = {g: a.reshape(-1) for g, a in arenas.items()}
-        return _run_steps(cfg, n_local, k_steps, raw_cap, desc_cap, dc_cap,
+        return _run_steps(cfg, n_local, k_steps, p8_cap, p32_cap,
                           mv_mode, has_nest,
                           arenas, nest, ref_prev, ref_last)
 
@@ -524,8 +548,12 @@ class MultiStreamDecoder:
         rcap, dcap, dccap = _pool_caps(cfg)
         self._raw_cap_full, self._desc_cap_full = rcap, dcap
         self._dc_cap_full = dccap
-        _u8l, _u32l, max8, max32 = _layout(cfg, nvl, rcap, dcap, dccap,
-                                           _MV_WIDE, True)
+        # worst-case packed regions: every slot at full pools + a nest,
+        # each slot segment padded to 16 (the assembler's alignment rule)
+        self._p8_full = nvl * ((rcap * 16 + dccap + nh * nw + 15) & ~15)
+        self._p32_full = nvl * dcap
+        _u8l, _u32l, max8, max32 = _layout(cfg, nvl, self._p8_full,
+                                           self._p32_full, _MV_WIDE, True)
         mh, mw = cfg.mb_grid
         native = hasattr(self.planner, "prepare")
         if native:
@@ -578,6 +606,7 @@ class MultiStreamDecoder:
                    "raw_used": 0, "desc_used": 0, "dc_used": 0,
                    "mv_or": 0, "mv_fit": True,
                    "slot_used": np.zeros((self._shards * nvl, 3), np.int64),
+                   "offs": np.zeros((self._shards, nvl, 4), np.uint32),
                    "variant": None, "sizes": None}
             if native:
                 buf["step_planner"] = StepPlanner(
@@ -844,10 +873,34 @@ class MultiStreamDecoder:
         readable reference, the python-planner path, and the parity-test
         golden (tests/test_multistream.py)."""
         cfg, nvl = self.cfg, self._nvl
-        raw_cap = _pick_tier(buf["raw_used"], self._raw_cap_full)
-        desc_cap = _pick_tier(buf["desc_used"], self._desc_cap_full)
-        dc_cap = _pick_tier(buf["dc_used"], self._dc_cap_full)
         has_nest = any(bool(sh["is_i"].any()) for sh in buf["shards"])
+        # per-slot packed bases (offs columns: raw B, dc B, nest B, desc
+        # elem), vectorized over each shard's slots: every slot's u8
+        # segment starts 16-aligned with raw first, so raw stays 16-strided
+        # at any base. Bases are shard-row-relative; the SAME quantized
+        # region sizes must hold across shards (shard_map rows are uniform)
+        # so the tier is picked from the max shard total.
+        nh, nw = cfg.nest_shape
+        nest_e = nh * nw
+        offs = buf["offs"]
+        tot8 = tot32 = 0
+        for s, sh in enumerate(buf["shards"]):
+            su = buf["slot_used"][s * nvl:(s + 1) * nvl]
+            ru16 = su[:, 0] * 16
+            nest_sz = (sh["is_i"].astype(np.int64) * nest_e) if has_nest \
+                else np.zeros(nvl, np.int64)
+            seg = (ru16 + su[:, 2] + nest_sz + 15) & ~np.int64(15)
+            base = np.concatenate(([0], np.cumsum(seg)[:-1]))
+            o = offs[s]
+            o[:, 0] = base
+            o[:, 1] = base + ru16
+            o[:, 2] = base + ru16 + su[:, 2]
+            du = su[:, 1]
+            o[:, 3] = np.concatenate(([0], np.cumsum(du)[:-1]))
+            tot8 = max(tot8, int(base[-1] + seg[-1]))
+            tot32 = max(tot32, int(o[-1, 3] + du[-1]))
+        p8_cap = _pick_tier(tot8, self._p8_full)
+        p32_cap = _pick_tier(tot32, self._p32_full)
         # mv variant from the planner's per-frame flags (no grid re-scans)
         if not (buf["mv_or"] & 1):
             mv_mode = _MV_NONE
@@ -857,9 +910,9 @@ class MultiStreamDecoder:
             mv_mode = _MV_PACKED
         else:
             mv_mode = _MV_PACKED8  # two MBs per u32, no second vectors
-        u8l, u32l, size8, size32 = _layout(cfg, nvl, raw_cap, desc_cap,
-                                           dc_cap, mv_mode, has_nest)
-        variant = (raw_cap, desc_cap, dc_cap, mv_mode, has_nest)
+        u8l, u32l, size8, size32 = _layout(cfg, nvl, p8_cap, p32_cap,
+                                           mv_mode, has_nest)
+        variant = (p8_cap, p32_cap, mv_mode, has_nest)
         if "step_planner" in buf:
             from .. import native
 
@@ -870,9 +923,10 @@ class MultiStreamDecoder:
                     raw=sh["pools"]["raw"], desc=sh["pools"]["desc"],
                     dcp=sh["pools"]["dc"],
                     slot_used=buf["slot_used"][s * nvl:(s + 1) * nvl],
-                    raw_caps=(self._raw_cap_full, raw_cap),
-                    desc_caps=(self._desc_cap_full, desc_cap),
-                    dc_caps=(self._dc_cap_full, dc_cap),
+                    offs=offs[s],
+                    raw_cap_full=self._raw_cap_full,
+                    desc_cap_full=self._desc_cap_full,
+                    dc_cap_full=self._dc_cap_full,
                     u8l=u8l, u32l=u32l,
                     new_nest=sh["new_nest"] if has_nest else None,
                     is_i=sh["is_i"], is_ref=sh["is_ref"],
@@ -885,31 +939,31 @@ class MultiStreamDecoder:
 
     def _assemble_numpy(self, buf, u8l, u32l, variant) -> None:
         nvl = self._nvl
-        raw_cap, desc_cap, dc_cap, mv_mode, has_nest = variant
+        _p8_cap, _p32_cap, mv_mode, has_nest = variant
         st8, st32 = buf["staging"]["u8"], buf["staging"]["u32"]
 
         def put(st, s, lay, name, arr):
             off, _shape = lay[name]
             st[s, off:off + arr.size] = arr.reshape(-1)
 
-        dc_base = raw_cap * nvl * 16
         for s, sh in enumerate(buf["shards"]):
-            # pool regions: stream-major (n, cap, ...), exact used prefixes
+            # packed pool regions: per-slot exact used prefixes at the
+            # precomputed bases (offs columns: raw B, dc B, nest B, desc e)
             rp, dp = sh["pools"]["raw"], sh["pools"]["desc"]
             cp = sh["pools"]["dc"]
             for lv in range(nvl):
                 ru, du, cu = buf["slot_used"][s * nvl + lv]
+                rb, cb, nb, de = buf["offs"][s, lv]
                 if ru:
-                    b0 = lv * raw_cap * 16
-                    st8[s, b0:b0 + ru * 16] = rp[lv, :ru].reshape(-1)
+                    st8[s, rb:rb + ru * 16] = rp[lv, :ru].reshape(-1)
                 if du:
-                    b0 = lv * desc_cap
-                    st32[s, b0:b0 + du] = dp[lv, :du]
+                    st32[s, de:de + du] = dp[lv, :du]
                 if cu:
-                    b0 = dc_base + lv * dc_cap
-                    st8[s, b0:b0 + cu] = cp[lv, :cu]
-            if has_nest:
-                put(st8, s, u8l, "new_nest", sh["new_nest"])
+                    st8[s, cb:cb + cu] = cp[lv, :cu]
+                if has_nest and sh["is_i"][lv]:
+                    st8[s, nb:nb + sh["new_nest"][lv].size] = \
+                        sh["new_nest"][lv].reshape(-1)
+            put(st32, s, u32l, "offs", buf["offs"][s])
             put(st8, s, u8l, "is_i", sh["is_i"])
             put(st8, s, u8l, "is_ref", sh["is_ref"])
             for pi in range(len(self.cfg.block_grids)):
@@ -952,7 +1006,7 @@ class MultiStreamDecoder:
 
         With fused dispatch (K > 1) the returned frames are stacked
         per step: [3 x (K, n, H, W)]."""
-        raw_cap, desc_cap, dc_cap, mv_mode, has_nest = buf["variant"]
+        p8_cap, p32_cap, mv_mode, has_nest = buf["variant"]
         size8, size32 = buf["sizes"]
         h8 = buf["staging"]["u8"][:, :size8]
         h32 = buf["staging"]["u32"][:, :size32]
@@ -965,8 +1019,8 @@ class MultiStreamDecoder:
                 # hand the device a private copy (TPU always transfers)
                 h8r, h32r = h8r.copy(), h32r.copy()
             arenas = {"u8": jnp.asarray(h8r), "u32": jnp.asarray(h32r)}
-            step_fn = _arena_step(self.cfg, self.n, self._k, raw_cap,
-                                  desc_cap, dc_cap, mv_mode, has_nest)
+            step_fn = _arena_step(self.cfg, self.n, self._k, p8_cap,
+                                  p32_cap, mv_mode, has_nest)
         else:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -980,8 +1034,8 @@ class MultiStreamDecoder:
             arenas = {"u8": jax.device_put(h8, ash),
                       "u32": jax.device_put(h32, ash)}
             step_fn = _arena_step_sharded(
-                self.cfg, self._n_local, self._k, raw_cap, desc_cap,
-                dc_cap, mv_mode, has_nest, self._mesh, self._axis)
+                self.cfg, self._n_local, self._k, p8_cap, p32_cap,
+                mv_mode, has_nest, self._mesh, self._axis)
         frames, self.nest, self.ref_prev, self.ref_last = step_fn(
             arenas, self.nest, self.ref_prev, self.ref_last)
         return frames

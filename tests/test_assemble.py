@@ -24,8 +24,7 @@ def _both_assemblies(ms, buf):
     size8, size32 = buf["sizes"]
     variant = buf["variant"]
     u8l, u32l, _s8, _s32 = msm._layout(
-        ms.cfg, ms._nvl, variant[0], variant[1], variant[2], variant[3],
-        variant[4])
+        ms.cfg, ms._nvl, variant[0], variant[1], variant[2], variant[3])
 
     buf["staging"]["u8"][:] = 0
     buf["staging"]["u32"][:] = 0
@@ -56,7 +55,7 @@ def test_native_assemble_matches_numpy_all_variants():
     steps = 0
     while any(ms.active):
         buf, _metas, _valid = ms.plan_step()
-        seen.add(buf["variant"][3:])
+        seen.add(buf["variant"][2:])
         (a8, a32), (b8, b32) = _both_assemblies(ms, buf)
         np.testing.assert_array_equal(a8, b8)
         np.testing.assert_array_equal(a32, b32)
@@ -67,8 +66,8 @@ def test_native_assemble_matches_numpy_all_variants():
             buf["mv_or"] |= 1
             buf["mv_fit"] = False
             ms._assemble(buf)
-            assert buf["variant"][3] == msm._MV_WIDE
-            seen.add(buf["variant"][3:])
+            assert buf["variant"][2] == msm._MV_WIDE
+            seen.add(buf["variant"][2:])
             (a8, a32), (b8, b32) = _both_assemblies(ms, buf)
             np.testing.assert_array_equal(a8, b8)
             np.testing.assert_array_equal(a32, b32)
@@ -78,7 +77,7 @@ def test_native_assemble_matches_numpy_all_variants():
     ms_i = msm.MultiStreamDecoder(
         cfg, [make_clip(cfg, ["I"], seed=9)], planner_factory=NativePlanner)
     buf, _m, _v = ms_i.plan_step()
-    seen.add(buf["variant"][3:])
+    seen.add(buf["variant"][2:])
     (a8, a32), (b8, b32) = _both_assemblies(ms_i, buf)
     np.testing.assert_array_equal(a8, b8)
     np.testing.assert_array_equal(a32, b32)

@@ -302,7 +302,7 @@ def test_wide_mv_variant_bitexact():
     saw_wide = False
     while any(ms.active):
         buf, _metas, valid = ms.plan_step()
-        saw_wide |= buf["variant"][3] == _MV_WIDE
+        saw_wide |= buf["variant"][2] == _MV_WIDE
         frames = ms.device_step(buf)
         ms._cur ^= 1
         fnp = [np.asarray(p) for p in frames]
@@ -327,7 +327,7 @@ def test_packed8_variant_on_p_steps():
     modes = []
     while any(ms.active):
         buf, _metas, valid = ms.plan_step()
-        modes.append((buf["variant"][3], buf["variant"][4]))  # (mv, nest)
+        modes.append((buf["variant"][2], buf["variant"][3]))  # (mv, nest)
         frames = ms.device_step(buf)
         ms._cur ^= 1
         fnp = [np.asarray(p) for p in frames]
