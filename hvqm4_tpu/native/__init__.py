@@ -170,6 +170,10 @@ def _load():
             ctypes.c_char_p, ctypes.c_size_t, ctypes.c_uint32]
         lib.hvqm4_assemble_shard.restype = None
         lib.hvqm4_assemble_shard.argtypes = [ctypes.POINTER(_AssembleArgs)]
+        lib.hvqm4_pack_offsets.restype = None
+        lib.hvqm4_pack_offsets.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint64,
+            ctypes.c_uint64, ctypes.c_void_p, ctypes.c_void_p]
         lib.hvqm4_plan_step.restype = ctypes.c_int
         lib.hvqm4_plan_step.argtypes = [
             ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_size_t),
@@ -286,6 +290,19 @@ def unpack_plane(d: dict[str, np.ndarray], raw_pool: np.ndarray,
         mv2=mv2_blocks,
         refsel=refsel.astype(np.uint8),
     )
+
+
+def pack_offsets(slot_used: np.ndarray, is_i: np.ndarray,
+                 nest_elems: int, offs: np.ndarray) -> tuple[int, int]:
+    """Fill one shard's (nvl, 4) packed-base table from its slot_used
+    rows (+ nest bytes on I slots); returns the exact (u8, u32-elem)
+    region totals the tier pick quantizes. C mirror of the numpy offset
+    pass in `multistream._assemble`."""
+    totals = np.zeros(2, np.uint64)
+    _load().hvqm4_pack_offsets(
+        _ptr(slot_used), _ptr(is_i), len(is_i), nest_elems,
+        _ptr(offs), _ptr(totals))
+    return int(totals[0]), int(totals[1])
 
 
 def assemble_shard(st8_row: np.ndarray, st32_row: np.ndarray, *,

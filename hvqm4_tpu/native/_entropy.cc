@@ -887,6 +887,32 @@ struct AssembleArgs {
     uint64_t mv_off, mv2_off;
 };
 
+// Per-slot packed bases + region totals for one shard (the v5 layout's
+// pre-assembly pass): raw first (16-aligned segment starts), then dc,
+// then nest bytes on I slots; desc bases are elem cumsums. Replaces
+// ~15 numpy ops per step in `multistream._assemble` (measured ~0.15
+// ms/step on the 1-vCPU box — real against a 2.2 ms/step C plan call).
+void hvqm4_pack_offsets(const int64_t* slot_used, const uint8_t* is_i,
+                        uint64_t nvl, uint64_t nest_elems,
+                        uint32_t* offs, uint64_t* totals) {
+    uint64_t o8 = 0, o32 = 0;
+    for (uint64_t lv = 0; lv < nvl; lv++) {
+        const uint64_t ru16 = (uint64_t)slot_used[lv * 3 + 0] * 16;
+        const uint64_t du = (uint64_t)slot_used[lv * 3 + 1];
+        const uint64_t cu = (uint64_t)slot_used[lv * 3 + 2];
+        const uint64_t ne = is_i[lv] ? nest_elems : 0;
+        uint32_t* o = offs + lv * 4;
+        o[0] = (uint32_t)o8;
+        o[1] = (uint32_t)(o8 + ru16);
+        o[2] = (uint32_t)(o8 + ru16 + cu);
+        o[3] = (uint32_t)o32;
+        o8 += (ru16 + cu + ne + 15) & ~(uint64_t)15;
+        o32 += du;
+    }
+    totals[0] = o8;
+    totals[1] = o32;
+}
+
 void hvqm4_assemble_shard(const AssembleArgs* a) {
     for (uint64_t lv = 0; lv < a->nvl; lv++) {
         const int64_t ru = a->slot_used[lv * 3 + 0];

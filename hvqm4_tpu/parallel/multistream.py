@@ -881,24 +881,32 @@ class MultiStreamDecoder:
         # region sizes must hold across shards (shard_map rows are uniform)
         # so the tier is picked from the max shard total.
         nh, nw = cfg.nest_shape
-        nest_e = nh * nw
+        nest_e = (nh * nw) if has_nest else 0
         offs = buf["offs"]
+        native_pack = "step_planner" in buf
+        if native_pack:
+            from .. import native
         tot8 = tot32 = 0
         for s, sh in enumerate(buf["shards"]):
             su = buf["slot_used"][s * nvl:(s + 1) * nvl]
-            ru16 = su[:, 0] * 16
-            nest_sz = (sh["is_i"].astype(np.int64) * nest_e) if has_nest \
-                else np.zeros(nvl, np.int64)
-            seg = (ru16 + su[:, 2] + nest_sz + 15) & ~np.int64(15)
-            base = np.concatenate(([0], np.cumsum(seg)[:-1]))
-            o = offs[s]
-            o[:, 0] = base
-            o[:, 1] = base + ru16
-            o[:, 2] = base + ru16 + su[:, 2]
-            du = su[:, 1]
-            o[:, 3] = np.concatenate(([0], np.cumsum(du)[:-1]))
-            tot8 = max(tot8, int(base[-1] + seg[-1]))
-            tot32 = max(tot32, int(o[-1, 3] + du[-1]))
+            if native_pack:
+                t8, t32 = native.pack_offsets(su, sh["is_i"], nest_e,
+                                              offs[s])
+            else:
+                ru16 = su[:, 0] * 16
+                nest_sz = sh["is_i"].astype(np.int64) * nest_e
+                seg = (ru16 + su[:, 2] + nest_sz + 15) & ~np.int64(15)
+                base = np.concatenate(([0], np.cumsum(seg)[:-1]))
+                o = offs[s]
+                o[:, 0] = base
+                o[:, 1] = base + ru16
+                o[:, 2] = base + ru16 + su[:, 2]
+                du = su[:, 1]
+                o[:, 3] = np.concatenate(([0], np.cumsum(du)[:-1]))
+                t8 = int(base[-1] + seg[-1])
+                t32 = int(o[-1, 3] + du[-1])
+            tot8 = max(tot8, t8)
+            tot32 = max(tot32, t32)
         p8_cap = _pick_tier(tot8, self._p8_full)
         p32_cap = _pick_tier(tot32, self._p32_full)
         # mv variant from the planner's per-frame flags (no grid re-scans)

@@ -20,21 +20,30 @@ pytest.importorskip("hvqm4_tpu.native")
 
 def _both_assemblies(ms, buf):
     """(native bytes, numpy bytes) for the same planned step, both from
-    zeroed staging so pool-slack bytes are deterministic."""
-    size8, size32 = buf["sizes"]
-    variant = buf["variant"]
-    u8l, u32l, _s8, _s32 = msm._layout(
-        ms.cfg, ms._nvl, variant[0], variant[1], variant[2], variant[3])
-
+    zeroed staging so pool-slack bytes are deterministic. Each side runs
+    the FULL `_assemble` (offset pass + tier pick + packing), so the C
+    `hvqm4_pack_offsets` and the numpy offset branch are parity-locked
+    along with the packing itself."""
     buf["staging"]["u8"][:] = 0
     buf["staging"]["u32"][:] = 0
     ms._assemble(buf)  # dispatches to the native path (step_planner in buf)
+    size8, size32 = buf["sizes"]
+    variant = buf["variant"]
     a8 = buf["staging"]["u8"][:, :size8].copy()
     a32 = buf["staging"]["u32"][:, :size32].copy()
+    a_offs = buf["offs"].copy()
 
     buf["staging"]["u8"][:] = 0
     buf["staging"]["u32"][:] = 0
-    ms._assemble_numpy(buf, u8l, u32l, variant)
+    buf["offs"][:] = 0
+    sp = buf.pop("step_planner")   # force the all-numpy path
+    try:
+        ms._assemble(buf)
+    finally:
+        buf["step_planner"] = sp
+    assert buf["variant"] == variant
+    assert buf["sizes"] == (size8, size32)
+    np.testing.assert_array_equal(a_offs, buf["offs"])
     b8 = buf["staging"]["u8"][:, :size8].copy()
     b32 = buf["staging"]["u32"][:, :size32].copy()
     return (a8, a32), (b8, b32)
