@@ -350,6 +350,34 @@ def test_odd_chroma_block_width():
         assert got[si] == expected[si], f"stream {si}"
 
 
+def test_fused_dispatch_upload_not_inflated():
+    """v5 offset-packed pools invariant: fusing K steps into one dispatch
+    must not inflate the uploaded bytes beyond the per-step sum plus the
+    size-ladder quantization (~12.5% worst per region). The v4 layout
+    violated this badly — a window-max tier applied to every slot made an
+    I frame inflate all n*K slots' dc region 64x (measured 92.6 vs 55.6
+    KB/frame on retail content at K=8)."""
+    from hvqm4_tpu.native import NativePlanner
+
+    clips = [make_clip(CFG, ["IPBPBPBP", "IPPP"], seed=s) for s in (3, 4)]
+
+    def total_bytes(k):
+        ms = MultiStreamDecoder(CFG, clips, planner_factory=NativePlanner,
+                                steps_per_dispatch=k)
+        tot = 0
+        while any(ms.active):
+            buf, _m, _v = ms.plan_step()
+            s8, s32 = buf["sizes"]
+            tot += s8 + s32 * 4
+            ms._cur ^= 1
+        return tot
+
+    t1, t4 = total_bytes(1), total_bytes(4)
+    # K=4 windows mix the I step with inter steps (the v4 worst case);
+    # allow ladder quantization + per-window mv/nest-flag widening
+    assert t4 < 1.3 * t1, f"fused upload inflated: K=4 {t4} vs K=1 {t1}"
+
+
 def test_trivial_filler_consumes_no_pools():
     """Finished streams' filler slots must not claim pool slots (an
     all-intra filler would add a dc-pool byte per block and blow the
