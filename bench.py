@@ -391,11 +391,20 @@ def main() -> None:
     # they get the freshest tunnel state (the throughput phases push
     # hundreds of MB each and degrade it; retail's hash runs the fused
     # K=8 production config)
-    k8 = {"HVQM4_STEPS_PER_DISPATCH": "8"}
+    # retail runs fused K=28 — the whole 28-frame bench clip in ONE
+    # dispatch per pass: the v5 packed layout made K free in bytes
+    # (53.1 KB/frame at K=28, below K=8's 56.1 — no filler slots), and
+    # at the link's fast window ~half the step time was dispatch
+    # latency; measured 39,875 (K=8) -> 63,836 fps (K=28) best-of-16,
+    # with the fast pass at 3.4 GB/s = the raw link peak. For clips
+    # that are not a K multiple the tail window pads with zero-cost
+    # filler slots (fixed fields only), so the setting is safe for any
+    # HVQM4_BENCH_CLIP.
+    k28 = {"HVQM4_STEPS_PER_DISPATCH": "28"}
     # CPU-fallback job set, shared by the dead-relay and mid-run-salvage
     # branches so their coverage can never drift apart. retail hash runs
-    # K=1 here (not the K=8 production config): a cold CPU compile of the
-    # fused 64-slot scan costs minutes, and K is a dispatch shape, not a
+    # K=1 here (not the K=28 production config): a cold CPU compile of the
+    # fused whole-clip scan costs minutes, and K is a dispatch shape, not a
     # decode semantic - bit-exactness is the same.
     _cpu = {"HVQM4_BENCH_FORCE_CPU": "1"}
     cpu_jobs = [("", ref_clip, "hash", _cpu),
@@ -407,8 +416,9 @@ def main() -> None:
     plan_jobs = [("", ref_clip, "plan", _cpu),
                  ("retail_", retail_clip, "plan", _cpu)]
     if tpu_ok:
-        # device phases run at each clip's chosen operating point: retail =
-        # 8 streams / K=8 (BASELINE.md sweep best). Heavy = 16 streams /
+        # device phases run at each clip's chosen operating point: retail
+        # = 8 streams / K=28 (whole-clip fused dispatch; see k28 above).
+        # Heavy = 16 streams /
         # K=1: on a stable-fast link 32 streams measured best (14.8k vs
         # 10.9k at 8, r03 archive), but the tunnel's throughput ramps over
         # ~6-10 passes of sustained traffic and swings pass-to-pass
@@ -425,11 +435,11 @@ def main() -> None:
         # state the throughput numbers were measured under.
         jobs = plan_jobs + [
                 ("", ref_clip, "hash", {}),
-                ("retail_", retail_clip, "hash", k8),
+                ("retail_", retail_clip, "hash", k28),
                 ("", ref_clip, "link", {}),
                 ("", ref_clip, "pipeline", {}),
                 ("retail_", retail_clip, "pipeline", {}),
-                ("retail_", retail_clip, "device", k8),
+                ("retail_", retail_clip, "device", k28),
                 ("", ref_clip, "device", {"HVQM4_BENCH_STREAMS": "16"})]
     else:
         # dead relay: bit-exactness is backend-independent (exact integer
