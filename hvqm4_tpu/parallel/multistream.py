@@ -99,7 +99,7 @@ def _layout(cfg: SeqConfig, n: int, p8_cap: int, p32_cap: int,
 
     u8  = [packed pool region, p8_cap bytes: per-slot segments back-to-back
            (raw ru*16 B, 16-aligned | dc cu B | nest nh*nw B on I slots),
-           quantized to a ~1.33 ladder | is_i | is_ref]
+           quantized to a 9/8 ladder | is_i | is_ref]
     u32 = [packed desc region, p32_cap elems: per-slot used prefixes
            back-to-back | offs (n, 4): per-slot bases (raw B, dc B, nest B,
            desc elem) | meta planes (n,⌈bh*bw/5⌉) ×3 (5 six-bit metas per
@@ -603,7 +603,6 @@ class MultiStreamDecoder:
                         for lv in range(nvl))
             buf = {"staging": staging, "shards": shards,
                    "stream_views": stream_views,
-                   "raw_used": 0, "desc_used": 0, "dc_used": 0,
                    "mv_or": 0, "mv_fit": True,
                    "slot_used": np.zeros((self._shards * nvl, 3), np.int64),
                    "offs": np.zeros((self._shards, nvl, 4), np.uint32),
@@ -770,9 +769,6 @@ class MultiStreamDecoder:
         failures) where failures lists (si, k) streams newly poisoned by
         THIS step — the pipelined consumer uses it to invalidate frames of
         later steps that were dequeued before the failure was known."""
-        buf["raw_used"] = 0
-        buf["desc_used"] = 0
-        buf["dc_used"] = 0
         buf["mv_or"] = 0
         buf["mv_fit"] = True
         buf["slot_used"][:] = 0
@@ -817,9 +813,6 @@ class MultiStreamDecoder:
                 buf["slot_used"][v] = (int(fout.raw_used),
                                        int(fout.desc_used),
                                        int(fout.dc_used))
-                buf["raw_used"] = max(buf["raw_used"], int(fout.raw_used))
-                buf["desc_used"] = max(buf["desc_used"], int(fout.desc_used))
-                buf["dc_used"] = max(buf["dc_used"], int(fout.dc_used))
                 flags = int(fout.mv_flags)
                 buf["mv_or"] |= flags
                 buf["mv_fit"] &= bool(flags & 2)
@@ -849,11 +842,7 @@ class MultiStreamDecoder:
 
     def _plan_into(self, buf, v: int, fchar: str, payload: bytes) -> FrameMeta:
         plan: FramePlan = self.planner.plan_frame(fchar, payload)
-        raw_used, desc_used, dc_used = self._pack_sparse(buf, v, plan)
-        buf["slot_used"][v] = (raw_used, desc_used, dc_used)
-        buf["raw_used"] = max(buf["raw_used"], raw_used)
-        buf["desc_used"] = max(buf["desc_used"], desc_used)
-        buf["dc_used"] = max(buf["dc_used"], dc_used)
+        buf["slot_used"][v] = self._pack_sparse(buf, v, plan)
         if plan.nest is not None:
             sh, lv = self._shard_of(buf, v)
             sh["new_nest"][lv] = plan.nest
@@ -921,9 +910,7 @@ class MultiStreamDecoder:
         u8l, u32l, size8, size32 = _layout(cfg, nvl, p8_cap, p32_cap,
                                            mv_mode, has_nest)
         variant = (p8_cap, p32_cap, mv_mode, has_nest)
-        if "step_planner" in buf:
-            from .. import native
-
+        if native_pack:
             st8, st32 = buf["staging"]["u8"], buf["staging"]["u32"]
             for s, sh in enumerate(buf["shards"]):
                 native.assemble_shard(
