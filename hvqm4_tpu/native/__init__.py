@@ -112,16 +112,22 @@ class _AssembleArgs(ctypes.Structure):
         ("new_nest", ctypes.c_void_p), ("nest_elems", ctypes.c_uint64),
         ("is_i", ctypes.c_void_p), ("isi_off", ctypes.c_uint64),
         ("is_ref", ctypes.c_void_p), ("isref_off", ctypes.c_uint64),
-        ("meta5_0", ctypes.c_void_p), ("meta5_n0", ctypes.c_uint64),
-        ("meta5_off0", ctypes.c_uint64),
-        ("meta5_1", ctypes.c_void_p), ("meta5_n1", ctypes.c_uint64),
-        ("meta5_off1", ctypes.c_uint64),
-        ("meta5_2", ctypes.c_void_p), ("meta5_n2", ctypes.c_uint64),
-        ("meta5_off2", ctypes.c_uint64),
+        ("meta_0", ctypes.c_void_p), ("meta_nb0", ctypes.c_uint64),
+        ("meta_off0", ctypes.c_uint64),
+        ("meta_1", ctypes.c_void_p), ("meta_nb1", ctypes.c_uint64),
+        ("meta_off1", ctypes.c_uint64),
+        ("meta_2", ctypes.c_void_p), ("meta_nb2", ctypes.c_uint64),
+        ("meta_off2", ctypes.c_uint64),
+        ("meta5_0", ctypes.c_void_p), ("meta5_1", ctypes.c_void_p),
+        ("meta5_2", ctypes.c_void_p),
+        ("meta_mask", ctypes.c_void_p),
+        ("cb_off", ctypes.c_uint64),
+        ("meta_bits", ctypes.c_int32), ("mv_mode", ctypes.c_int32),
+        ("mv_off", ctypes.c_uint64),
         ("mv", ctypes.c_void_p), ("mv2", ctypes.c_void_p),
         ("mv_per_stream", ctypes.c_uint64),
-        ("mv_mode", ctypes.c_int32), ("_pad", ctypes.c_int32),
-        ("mv_off", ctypes.c_uint64), ("mv2_off", ctypes.c_uint64),
+        ("mb_w", ctypes.c_uint64),
+        ("luma_bw", ctypes.c_uint64),
     ]
 
 
@@ -134,6 +140,9 @@ class _FrameOut(ctypes.Structure):
                 ("desc_used", ctypes.c_uint32),
                 ("dc_used", ctypes.c_uint32),
                 ("mv_flags", ctypes.c_uint32),
+                ("mv2_carriers", ctypes.c_uint32),
+                ("pad_", ctypes.c_uint32),
+                ("meta_mask", ctypes.c_uint64),
                 ("nest", ctypes.c_void_p),
                 ("mv", ctypes.c_void_p),
                 ("mv2", ctypes.c_void_p)]
@@ -294,10 +303,11 @@ def unpack_plane(d: dict[str, np.ndarray], raw_pool: np.ndarray,
 
 def pack_offsets(slot_used: np.ndarray, is_i: np.ndarray,
                  nest_elems: int, offs: np.ndarray) -> tuple[int, int]:
-    """Fill one shard's (nvl, 4) packed-base table from its slot_used
-    rows (+ nest bytes on I slots); returns the exact (u8, u32-elem)
-    region totals the tier pick quantizes. C mirror of the numpy offset
-    pass in `multistream._assemble`."""
+    """Fill one shard's (nvl, 4) packed-base table from its (nvl, 4)
+    slot_used rows (+ nest bytes on I slots); u32 bases cumsum each slot's
+    desc entries plus its mv2 pool words (v6). Returns the exact (u8,
+    u32-elem) region totals the tier pick quantizes. C mirror of the
+    numpy offset pass in `multistream._assemble`."""
     totals = np.zeros(2, np.uint64)
     _load().hvqm4_pack_offsets(
         _ptr(slot_used), _ptr(is_i), len(is_i), nest_elems,
@@ -312,20 +322,32 @@ def assemble_shard(st8_row: np.ndarray, st32_row: np.ndarray, *,
                    u8l: dict, u32l: dict,
                    new_nest: np.ndarray | None,
                    is_i: np.ndarray, is_ref: np.ndarray,
+                   metas: list[np.ndarray],
                    meta5s: list[np.ndarray],
+                   meta_mask: np.ndarray, meta_bits: int,
                    mv: np.ndarray, mv2: np.ndarray, mv_mode: int) -> None:
     """Pack one shard's planned scratch into its staging rows — the C-side
-    mirror of `multistream._assemble`'s per-shard numpy loop (v5 layout:
-    pool prefixes at the precomputed per-slot packed bases in `offs`, nest
-    only on I slots, dense fields at their layout offsets, vectors in the
-    step's mv encoding). `*_cap_full` are the scratch strides; field
-    offsets come from `multistream._layout` for the chosen variant."""
+    mirror of `multistream._assemble`'s per-shard numpy loop (v6 layout:
+    pool prefixes — desc then refsel-2 mv2 pool on the u32 side — at the
+    precomputed per-slot packed bases in `offs`, nest only on I slots,
+    per-slot meta codebooks + B-bit indices (or the planner's 6-bit words
+    when meta_bits == 6), dense fields at their layout offsets, forward
+    vectors in the step's mv encoding). `*_cap_full` are the scratch
+    strides; field offsets come from `multistream._layout` for the chosen
+    variant."""
     nvl = len(is_i)
-    mv_offs = {0: (0, 0), 1: ("mvp8", 0), 2: ("mvp", 0), 3: ("mv", "mv2")}
-    k1, k2 = mv_offs[mv_mode]
-    # the C AssembleArgs ABI has exactly 3 meta5 slots (Y, U, V)
-    assert len(meta5s) <= 3, f"{len(meta5s)} planes exceed the C ABI's 3"
+    mv_key = {0: None, 1: "mvp8", 3: "mv"}[mv_mode]
+    # the C AssembleArgs ABI has exactly 3 meta slots (Y, U, V)
+    assert len(metas) <= 3, f"{len(metas)} planes exceed the C ABI's 3"
+    mg = list(metas) + [None] * (3 - len(metas))
     m5 = list(meta5s) + [None] * (3 - len(meta5s))
+    kw = {}
+    for pi in range(3):
+        present = mg[pi] is not None
+        kw[f"meta_{pi}"] = _ptr(mg[pi]) if present else None
+        kw[f"meta_nb{pi}"] = mg[pi].size // max(nvl, 1) if present else 0
+        kw[f"meta_off{pi}"] = u32l[f"meta{pi}"][0] if present else 0
+        kw[f"meta5_{pi}"] = _ptr(m5[pi]) if m5[pi] is not None else None
     args = _AssembleArgs(
         st8=_ptr(st8_row), st32=_ptr(st32_row),
         raw=_ptr(raw), desc=_ptr(desc), dcp=_ptr(dcp),
@@ -338,20 +360,16 @@ def assemble_shard(st8_row: np.ndarray, st32_row: np.ndarray, *,
                     if new_nest is not None else 0),
         is_i=_ptr(is_i), isi_off=u8l["is_i"][0],
         is_ref=_ptr(is_ref), isref_off=u8l["is_ref"][0],
-        meta5_0=_ptr(m5[0]) if m5[0] is not None else None,
-        meta5_n0=m5[0].size if m5[0] is not None else 0,
-        meta5_off0=u32l["meta0"][0] if m5[0] is not None else 0,
-        meta5_1=_ptr(m5[1]) if m5[1] is not None else None,
-        meta5_n1=m5[1].size if m5[1] is not None else 0,
-        meta5_off1=u32l["meta1"][0] if m5[1] is not None else 0,
-        meta5_2=_ptr(m5[2]) if m5[2] is not None else None,
-        meta5_n2=m5[2].size if m5[2] is not None else 0,
-        meta5_off2=u32l["meta2"][0] if m5[2] is not None else 0,
+        meta_mask=_ptr(meta_mask),
+        cb_off=u8l["metacb"][0] if meta_bits < 6 else 0,
+        meta_bits=meta_bits,
         mv=_ptr(mv), mv2=_ptr(mv2),
         mv_per_stream=mv.size // max(nvl, 1),
+        mb_w=mv.shape[-1],
+        luma_bw=metas[0].shape[-1],
         mv_mode=mv_mode,
-        mv_off=u32l[k1][0] if isinstance(k1, str) else 0,
-        mv2_off=u32l[k2][0] if isinstance(k2, str) else 0)
+        mv_off=u32l[mv_key][0] if mv_key is not None else 0,
+        **kw)
     _load().hvqm4_assemble_shard(ctypes.byref(args))
 
 

@@ -277,11 +277,19 @@ struct FrameOut {
     uint32_t nest_x, nest_y;
     uint32_t raw_used, desc_used;  // pool slots consumed by this frame
     uint32_t dc_used;              // DC pool bytes consumed
-    uint32_t mv_flags;             // bit0 any nonzero vector, bit1 every
-                                   // component fits s8, bit2 any second
-                                   // (refsel-2) vector — the host picks the
-                                   // step's mv variant from these without
-                                   // re-scanning the grids
+    uint32_t mv_flags;             // bit0 any nonzero FIRST vector, bit1
+                                   // every first-vector component fits s8,
+                                   // bit2 any second (refsel-2) vector —
+                                   // the host picks the step's mv variant
+                                   // from these without re-scanning the
+                                   // grids (v6: the flags cover mv only;
+                                   // mv2 rides a meta-derived pool)
+    uint32_t mv2_carriers;         // bi MBs (luma top-left block cls==1 &
+                                   // refsel==2): the slot's mv2 pool length
+    uint32_t pad_;
+    uint64_t meta_mask;            // OR of (1 << meta byte) over all blocks
+                                   // of all planes — the host derives the
+                                   // step's meta codebook width from it
     uint8_t* nest;  // nest_h*nest_w (filled for I frames)
     uint32_t* mv;   // (mh, mw) per-MB forward vector, packed (y16 << 16 | x16),
                     // luma half-pel units (P/B; 0 on I)
@@ -727,37 +735,60 @@ extern "C" int hvqm4_plan_frame(const uint8_t* payload, size_t n, int ftype,
         fout->raw_used = raw_ctr.load();
         fout->desc_used = desc_ctr.load();
         fout->dc_used = dc_ctr.load();
+        // value-presence bitmap via byte stores (a 1ull<<m OR chain is a
+        // serial dependency that measurably slows the packing loop)
+        uint8_t seen[64] = {0};
         for (int pi = 0; pi < 3; pi++) {
             const size_t nb = (size_t)g.bh[pi] * g.bw[pi];
             const uint8_t* m = planes[pi].meta;
             uint32_t* o = planes[pi].meta5;
             size_t bi = 0;
-            for (; bi + 5 <= nb; bi += 5)
+            for (; bi + 5 <= nb; bi += 5) {
                 *o++ = (uint32_t)m[bi] | ((uint32_t)m[bi + 1] << 6)
                        | ((uint32_t)m[bi + 2] << 12)
                        | ((uint32_t)m[bi + 3] << 18)
                        | ((uint32_t)m[bi + 4] << 24);
+                seen[m[bi]] = seen[m[bi + 1]] = seen[m[bi + 2]] = 1;
+                seen[m[bi + 3]] = seen[m[bi + 4]] = 1;
+            }
             if (bi < nb) {
                 uint32_t w = 0;
-                for (int j = 0; bi < nb; bi++, j += 6)
+                for (int j = 0; bi < nb; bi++, j += 6) {
                     w |= (uint32_t)m[bi] << j;
+                    seen[m[bi]] = 1;
+                }
                 *o = w;
             }
         }
+        uint64_t meta_mask = 0;
+        for (int v = 0; v < 64; v++)
+            if (seen[v]) meta_mask |= 1ull << v;
+        fout->meta_mask = meta_mask;
+        // mv variant flags cover the FIRST vector grid only (v6: refsel-2
+        // second vectors ride the meta-derived pool, never a dense field)
         uint32_t any = 0, wide = 0, second = 0;
         const size_t nmb = (size_t)g.mh * g.mw;
         for (size_t i = 0; i < nmb; i++) {
-            const uint32_t v = fout->mv[i], v2 = fout->mv2[i];
-            any |= v | v2;
-            second |= v2;
+            const uint32_t v = fout->mv[i];
+            any |= v;
+            second |= fout->mv2[i];
             // a s16 half fits s8 iff (half + 0x80) has no bits above 8
             wide |= ((v & 0xFFFF) + 0x80) & 0xFF00;
             wide |= ((v >> 16) + 0x80) & 0xFF00;
-            wide |= ((v2 & 0xFFFF) + 0x80) & 0xFF00;
-            wide |= ((v2 >> 16) + 0x80) & 0xFF00;
         }
         fout->mv_flags = (any ? 1u : 0u) | (wide ? 0u : 2u)
                          | (second ? 4u : 0u);
+        // mv2 pool length: bi MBs by the device's carrier rule (luma meta
+        // at the MB's top-left block, cls==1 & refsel==2)
+        uint32_t carriers = 0;
+        const int BW0 = g.bw[0];
+        for (int my = 0; my < g.mh; my++)
+            for (int mx = 0; mx < g.mw; mx++) {
+                const uint8_t m = planes[0].meta[(size_t)(2 * my) * BW0
+                                                 + 2 * mx];
+                carriers += ((m >> 5) & 1) && (((m >> 3) & 3) == 2);
+            }
+        fout->mv2_carriers = carriers;
         if (ftype == 0) {  // nest from luma DC grid (FORMAT.md §6.1)
             const int BW = g.bw[0], BH = g.bh[0];
             for (int y = 0; y < g.nest_h; y++) {
@@ -864,9 +895,9 @@ struct AssembleArgs {
     const uint8_t* raw;          // (nvl, raw_cap_full, 16) scratch
     const uint32_t* desc;        // (nvl, desc_cap_full)
     const uint8_t* dcp;          // (nvl, dc_cap_full)
-    const int64_t* slot_used;    // (nvl, 3): raw/desc/dc used per slot
+    const int64_t* slot_used;    // (nvl, 4): raw/desc/dc/mv2 used per slot
     const uint32_t* offs;        // (nvl, 4): packed bases per slot —
-                                 // raw B, dc B, nest B, desc elem
+                                 // raw B, dc B, nest B, u32 elem
     uint64_t nvl;
     uint64_t raw_cap_full, desc_cap_full, dc_cap_full;
     uint64_t offs_off;           // u32 layout offset of the offs field
@@ -876,30 +907,40 @@ struct AssembleArgs {
     uint64_t isi_off;
     const uint8_t* is_ref;
     uint64_t isref_off;
-    const uint32_t* meta5_0; uint64_t meta5_n0, meta5_off0;
-    const uint32_t* meta5_1; uint64_t meta5_n1, meta5_off1;
-    const uint32_t* meta5_2; uint64_t meta5_n2, meta5_off2;
+    // dense per-plane meta grids (u8, (nvl, nb)) — the B-bit index source
+    const uint8_t* meta_0; uint64_t meta_nb0, meta_off0;
+    const uint8_t* meta_1; uint64_t meta_nb1, meta_off1;
+    const uint8_t* meta_2; uint64_t meta_nb2, meta_off2;
+    // planner-packed 6-bit words: the meta_bits==6 (no-codebook) fast path
+    const uint32_t* meta5_0; const uint32_t* meta5_1; const uint32_t* meta5_2;
+    const uint64_t* meta_mask;   // (nvl,) per-slot value masks
+    uint64_t cb_off;             // u8 layout offset of the codebook field
+    int32_t meta_bits;           // 3/4/5 codebook widths, 6 = raw escape
+    int32_t mv_mode;             // 0 none, 1 packed8, 3 wide
+    uint64_t mv_off;
     const uint32_t* mv;          // (nvl, mh*mw) packed y16|x16
     const uint32_t* mv2;
     uint64_t mv_per_stream;      // mh*mw
-    int32_t mv_mode;             // 0 none, 1 packed8, 2 packed, 3 wide
-    int32_t _pad;
-    uint64_t mv_off, mv2_off;
+    uint64_t mb_w;               // mw (mv2 carrier scan)
+    uint64_t luma_bw;            // luma block-grid width (carrier scan)
 };
 
-// Per-slot packed bases + region totals for one shard (the v5 layout's
+// Per-slot packed bases + region totals for one shard (the v5/v6 layout's
 // pre-assembly pass): raw first (16-aligned segment starts), then dc,
-// then nest bytes on I slots; desc bases are elem cumsums. Replaces
-// ~15 numpy ops per step in `multistream._assemble` (measured ~0.15
-// ms/step on the 1-vCPU box — real against a 2.2 ms/step C plan call).
+// then nest bytes on I slots; u32 bases are cumsums of each slot's desc
+// entries PLUS its refsel-2 mv2 pool words (v6: slot_used is (nvl, 4)).
+// Replaces ~15 numpy ops per step in `multistream._assemble` (measured
+// ~0.15 ms/step on the 1-vCPU box — real against a 2.2 ms/step C plan
+// call).
 void hvqm4_pack_offsets(const int64_t* slot_used, const uint8_t* is_i,
                         uint64_t nvl, uint64_t nest_elems,
                         uint32_t* offs, uint64_t* totals) {
     uint64_t o8 = 0, o32 = 0;
     for (uint64_t lv = 0; lv < nvl; lv++) {
-        const uint64_t ru16 = (uint64_t)slot_used[lv * 3 + 0] * 16;
-        const uint64_t du = (uint64_t)slot_used[lv * 3 + 1];
-        const uint64_t cu = (uint64_t)slot_used[lv * 3 + 2];
+        const uint64_t ru16 = (uint64_t)slot_used[lv * 4 + 0] * 16;
+        const uint64_t du = (uint64_t)slot_used[lv * 4 + 1];
+        const uint64_t cu = (uint64_t)slot_used[lv * 4 + 2];
+        const uint64_t m2u = (uint64_t)slot_used[lv * 4 + 3];
         const uint64_t ne = is_i[lv] ? nest_elems : 0;
         uint32_t* o = offs + lv * 4;
         o[0] = (uint32_t)o8;
@@ -907,17 +948,20 @@ void hvqm4_pack_offsets(const int64_t* slot_used, const uint8_t* is_i,
         o[2] = (uint32_t)(o8 + ru16 + cu);
         o[3] = (uint32_t)o32;
         o8 += (ru16 + cu + ne + 15) & ~(uint64_t)15;
-        o32 += du;
+        o32 += du + m2u;
     }
     totals[0] = o8;
     totals[1] = o32;
 }
 
 void hvqm4_assemble_shard(const AssembleArgs* a) {
+    const uint64_t m = a->mv_per_stream;
+    const uint64_t mw = a->mb_w, mh = mw ? m / mw : 0;
     for (uint64_t lv = 0; lv < a->nvl; lv++) {
-        const int64_t ru = a->slot_used[lv * 3 + 0];
-        const int64_t du = a->slot_used[lv * 3 + 1];
-        const int64_t cu = a->slot_used[lv * 3 + 2];
+        const int64_t ru = a->slot_used[lv * 4 + 0];
+        const int64_t du = a->slot_used[lv * 4 + 1];
+        const int64_t cu = a->slot_used[lv * 4 + 2];
+        const int64_t m2u = a->slot_used[lv * 4 + 3];
         const uint32_t* o = a->offs + lv * 4;
         if (ru)
             std::memcpy(a->st8 + o[0],
@@ -931,28 +975,97 @@ void hvqm4_assemble_shard(const AssembleArgs* a) {
         if (du)
             std::memcpy(a->st32 + o[3],
                         a->desc + lv * a->desc_cap_full, (size_t)du * 4);
+        if (m2u) {
+            // refsel-2 mv2 pool: one y16|x16 word per bi MB (the device's
+            // carrier rule: luma meta at the MB top-left block, cls==1 &
+            // refsel==2), appended after the slot's desc prefix
+            uint32_t* out = a->st32 + o[3] + du;
+            const uint32_t* v2 = a->mv2 + lv * m;
+            const uint8_t* lm = a->meta_0 + lv * a->meta_nb0;
+            int64_t left = m2u;
+            for (uint64_t my = 0; my < mh && left; my++)
+                for (uint64_t mx = 0; mx < mw && left; mx++) {
+                    const uint8_t mb = lm[(2 * my) * a->luma_bw + 2 * mx];
+                    if (((mb >> 5) & 1) && (((mb >> 3) & 3) == 2)) {
+                        *out++ = v2[my * mw + mx];
+                        left--;
+                    }
+                }
+        }
     }
     std::memcpy(a->st32 + a->offs_off, a->offs, a->nvl * 4 * 4);
     std::memcpy(a->st8 + a->isi_off, a->is_i, a->nvl);
     std::memcpy(a->st8 + a->isref_off, a->is_ref, a->nvl);
-    if (a->meta5_0)
-        std::memcpy(a->st32 + a->meta5_off0, a->meta5_0, a->meta5_n0 * 4);
-    if (a->meta5_1)
-        std::memcpy(a->st32 + a->meta5_off1, a->meta5_1, a->meta5_n1 * 4);
-    if (a->meta5_2)
-        std::memcpy(a->st32 + a->meta5_off2, a->meta5_2, a->meta5_n2 * 4);
 
-    const uint64_t m = a->mv_per_stream, N = a->nvl * m;
-    if (a->mv_mode == 3) {  // WIDE: verbatim s16-pair words
-        std::memcpy(a->st32 + a->mv_off, a->mv, N * 4);
-        std::memcpy(a->st32 + a->mv2_off, a->mv2, N * 4);
-    } else if (a->mv_mode == 2) {  // PACKED: 4 s8 components per u32
-        uint32_t* o = a->st32 + a->mv_off;
-        for (uint64_t i = 0; i < N; i++) {
-            const uint32_t v = a->mv[i], v2 = a->mv2[i];
-            o[i] = (v & 0xFF) | (((v >> 16) & 0xFF) << 8)
-                   | ((v2 & 0xFF) << 16) | (((v2 >> 16) & 0xFF) << 24);
+    if (a->meta_bits == 6) {  // raw escape: planner-packed 6-bit words
+        const uint32_t* m5s[3] = {a->meta5_0, a->meta5_1, a->meta5_2};
+        const uint64_t nbs[3] = {a->meta_nb0, a->meta_nb1, a->meta_nb2};
+        const uint64_t offs5[3] = {a->meta_off0, a->meta_off1, a->meta_off2};
+        for (int pi = 0; pi < 3; pi++) {
+            if (!m5s[pi]) continue;
+            const uint64_t nw5 = (nbs[pi] + 4) / 5;
+            std::memcpy(a->st32 + offs5[pi], m5s[pi], a->nvl * nw5 * 4);
         }
+    } else {
+        // per-slot codebook (set-bit values ascending, tail zero) + B-bit
+        // indices packed 32/B per u32 — B-specialized so the per-word
+        // lookup loop fully unrolls (this runs once per block; the generic
+        // variable-bound version measured ~3 ns/block)
+        const uint8_t* metas[3] = {a->meta_0, a->meta_1, a->meta_2};
+        const uint64_t nbs[3] = {a->meta_nb0, a->meta_nb1, a->meta_nb2};
+        const uint64_t moffs[3] = {a->meta_off0, a->meta_off1, a->meta_off2};
+        const uint64_t cb_size = 1ull << a->meta_bits;
+        auto pack = [&](auto bconst, const uint8_t* lut, const uint8_t* src,
+                        uint64_t nb, uint32_t* out) {
+            constexpr int B = decltype(bconst)::value;
+            constexpr int PW = 32 / B;
+            const uint64_t full = nb / PW;
+            uint64_t bi = 0;
+            for (uint64_t w = 0; w < full; w++, bi += PW) {
+                uint32_t acc = lut[src[bi]];
+                for (int j = 1; j < PW; j++)
+                    acc |= (uint32_t)lut[src[bi + j]] << (B * j);
+                out[w] = acc;
+            }
+            if (bi < nb) {
+                uint32_t acc = 0;
+                for (int j = 0; bi < nb; bi++, j++)
+                    acc |= (uint32_t)lut[src[bi]] << (B * j);
+                out[full] = acc;
+            }
+        };
+        for (uint64_t lv = 0; lv < a->nvl; lv++) {
+            uint8_t lut[64] = {0};
+            uint8_t* cb = a->st8 + a->cb_off + lv * cb_size;
+            std::memset(cb, 0, cb_size);
+            uint64_t mask = a->meta_mask[lv];
+            int nvals = 0;
+            for (int v = 0; v < 64; v++)
+                if (mask & (1ull << v)) {
+                    lut[v] = (uint8_t)nvals;
+                    cb[nvals++] = (uint8_t)v;
+                }
+            for (int pi = 0; pi < 3; pi++) {
+                if (!metas[pi]) continue;
+                const uint8_t* src = metas[pi] + lv * nbs[pi];
+                const uint64_t nwm =
+                    (nbs[pi] + (32 / a->meta_bits) - 1) / (32 / a->meta_bits);
+                uint32_t* out = a->st32 + moffs[pi] + lv * nwm;
+                switch (a->meta_bits) {
+                    case 3: pack(std::integral_constant<int, 3>{}, lut, src,
+                                 nbs[pi], out); break;
+                    case 4: pack(std::integral_constant<int, 4>{}, lut, src,
+                                 nbs[pi], out); break;
+                    default: pack(std::integral_constant<int, 5>{}, lut, src,
+                                  nbs[pi], out); break;
+                }
+            }
+        }
+    }
+
+    const uint64_t N = a->nvl * m;
+    if (a->mv_mode == 3) {  // WIDE: verbatim s16-pair words (mv only; mv2
+        std::memcpy(a->st32 + a->mv_off, a->mv, N * 4);  // rides the pool)
     } else if (a->mv_mode == 1) {  // PACKED8: two MBs (x.s8,y.s8) per u32
         const uint64_t mwp = (m + 1) / 2;
         for (uint64_t lv = 0; lv < a->nvl; lv++) {

@@ -19,14 +19,16 @@ Host-side cost engineering:
   scratch (plan fields, sparse raw/desc/dc pools, upload-form packed meta,
   per-frame mv-variant flags) — no per-frame allocation;
 - `_assemble` then packs two dtype-homogeneous staging buffers (u8 + u32)
-  in the step's VARIANT layout (v5 "offset-packed pools" — see `_layout`):
-  per-slot pool prefixes back-to-back at host-computed bases that travel
-  as data, vectors in the narrowest of four encodings, nest bytes only on
-  I slots — so each step is two h2d transfers (interconnect latency, not
-  bandwidth, dominated the ~20-transfer per-field path) carrying the SUM
-  of used prefixes (~54 KB/frame at 640×480 retail at ANY fused-dispatch
-  factor; the v4 per-slot tier regions paid window-max sizes, 92.6
-  KB/frame at K=8);
+  in the step's VARIANT layout (v6 "offset-packed pools + coded meta +
+  pooled mv2" — see `_layout`): per-slot pool prefixes back-to-back at
+  host-computed bases that travel as data, meta as per-slot codebook
+  indices at the narrowest width that fits (3-6 bits), forward vectors
+  s8-packed with a wide escape, refsel-2 second vectors in a meta-derived
+  pool, nest bytes only on I slots — so each step is two h2d transfers
+  (interconnect latency, not bandwidth, dominated the ~20-transfer
+  per-field path) carrying the SUM of used prefixes (~35 KB/frame at
+  640×480 retail at ANY fused-dispatch factor; v5 was 53-56, the v4
+  per-slot tier regions paid window-max sizes at 92.6 KB/frame at K=8);
 - device state buffers are donated to the step so XLA updates them in place;
 - `run_pipelined` plans step k+1 on a worker thread (the C++ planner releases
   the GIL) while the device executes step k.
@@ -47,6 +49,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import os
+import time
 
 import jax
 import jax.numpy as jnp
@@ -67,16 +70,24 @@ from ..plans import FramePlan
 # jitted step recomputes them from meta (see `_derive_slots`).
 _PLANE_KEYS = ("meta", "dc", "slot", "meta5")
 
-# Per-step motion-vector encoding (part of the step variant; each variant is
-# its own persistently-cached compiled step):
-#   NONE    no vector field uploaded — every vector in the step is zero
+# Per-step motion-vector encoding of the FIRST (forward) vector grid (part
+# of the step variant; each variant is its own persistently-cached compiled
+# step). Second (refsel-2 backward) vectors do not ride a dense field at
+# all since layout v6: they live in a meta-derived pool appended after each
+# slot's desc prefix in the packed u32 region — bi MBs are identifiable
+# in-jit from the luma meta (cls==1 & refsel==2 at the MB's top-left
+# block), so the pool needs no index upload and costs ZERO bytes on steps
+# without bi MBs (measured: mv2 carriers are ~5-6% of MBs on both corpora
+# while the dense mv2 half of the old PACKED/WIDE encodings cost 4-19
+# KB/frame).
+#   NONE    no mv field uploaded — every FORWARD vector in the step is zero
 #           (all-I steps, and P steps that happen to be all-copy)
-#   PACKED8 TWO MBs per u32 (x.s8, y.s8 each) — every vector fits s8 AND no
-#           MB uses a second (refsel-2) vector; typical P-frame steps
-#   PACKED  one u32 per MB: (y2.s8 << 24 | x2.s8 << 16 | y.s8 << 8 | x.s8);
-#           ±127 half-pel covers ±63 px — effectively every real stream
-#   WIDE    two u32 per MB (y16 << 16 | x16) — the mv_extreme escape tier
-_MV_NONE, _MV_PACKED8, _MV_PACKED, _MV_WIDE = 0, 1, 2, 3
+#   PACKED8 TWO MBs per u32 (x.s8, y.s8 each): every mv fits s8 — ±127
+#           half-pel covers ±63 px, effectively every real stream
+#   WIDE    one u32 per MB (y16 << 16 | x16) — the mv_extreme escape tier
+# (mode value 2 was the retired PACKED encoding; 3 keeps its value so
+# persistent-cache keys stay distinct from historical PACKED entries)
+_MV_NONE, _MV_PACKED8, _MV_WIDE = 0, 1, 3
 
 
 # ---------------------------------------------------------------------------
@@ -93,17 +104,20 @@ def _pool_caps(cfg: SeqConfig):
 
 @functools.lru_cache(maxsize=None)
 def _layout(cfg: SeqConfig, n: int, p8_cap: int, p32_cap: int,
-            mv_mode: int, has_nest: bool):
+            mv_mode: int, has_nest: bool, meta_bits: int = 6):
     """Static element layout of the two staging uploads for one step variant
-    (v5 "offset-packed pools").
+    (v6 "offset-packed pools + coded meta + pooled mv2").
 
     u8  = [packed pool region, p8_cap bytes: per-slot segments back-to-back
            (raw ru*16 B, 16-aligned | dc cu B | nest nh*nw B on I slots),
-           quantized to a 9/8 ladder | is_i | is_ref]
-    u32 = [packed desc region, p32_cap elems: per-slot used prefixes
-           back-to-back | offs (n, 4): per-slot bases (raw B, dc B, nest B,
-           desc elem) | meta planes (n,⌈bh*bw/5⌉) ×3 (5 six-bit metas per
-           u32) | mv field(s)]
+           quantized to a 17/16 ladder | is_i | is_ref | meta codebook
+           (n, 1<<meta_bits) when meta_bits < 6]
+    u32 = [packed region, p32_cap elems: per-slot prefixes back-to-back —
+           desc entries then refsel-2 mv2 pool words (y16 << 16 | x16) —
+           | offs (n, 4): per-slot bases (raw B, dc B, nest B, u32 elem)
+           | meta planes ×3: ⌊32/meta_bits⌋ codebook indices per u32
+           (meta_bits == 6: raw meta values, 5 per u32, no codebook)
+           | mv field (see _MV_*)]
 
     Two dtype-homogeneous buffers → two h2d transfers per step (a single
     mixed-dtype buffer would need on-device reinterpretation, which hangs
@@ -120,28 +134,34 @@ def _layout(cfg: SeqConfig, n: int, p8_cap: int, p32_cap: int,
     DATA (the `offs` field feeds the in-jit gathers), not as shapes; only
     the two quantized region sizes are static.
 
+    Meta rides as per-slot CODEBOOK indices since v6: real frames use few
+    distinct meta bytes (measured ≤12 retail / ≤21 heavy per frame of 64
+    possible), so the assembler emits each slot's sorted distinct values
+    (≤ 2^meta_bits entries) plus meta_bits-bit indices — 23.0 → 14.4
+    KB/frame at 640×480 with meta_bits=4. meta_bits=6 is the no-codebook
+    escape for adversarial content (>32 distinct values).
+
     Returns ({u8 field → (elem_off, shape)}, {u32 ...}, size8, size32).
     """
     u8: dict = {"is_i": (p8_cap, (n,)), "is_ref": (p8_cap + n, (n,))}
     size8 = p8_cap + 2 * n
+    if meta_bits < 6:
+        u8["metacb"] = (size8, (n, 1 << meta_bits))
+        size8 += n * (1 << meta_bits)
     u32: dict = {"offs": (p32_cap, (n, 4))}
     off = p32_cap + 4 * n
+    per_word = 32 // meta_bits      # 5 @6 bits, 6 @5, 8 @4, 10 @3
     for pi, (bh, bw) in enumerate(cfg.block_grids):
-        nw5 = (bh * bw + 4) // 5    # meta is 6 bits: 5 blocks per u32
-        u32[f"meta{pi}"] = (off, (n, nw5))
-        off += n * nw5
+        nwm = (bh * bw + per_word - 1) // per_word
+        u32[f"meta{pi}"] = (off, (n, nwm))
+        off += n * nwm
     mh, mw = cfg.mb_grid
     if mv_mode == _MV_PACKED8:
         mwp = (mh * mw + 1) // 2    # two MBs per u32
         u32["mvp8"] = (off, (n, mwp))
         off += n * mwp
-    elif mv_mode == _MV_PACKED:
-        u32["mvp"] = (off, (n, mh, mw))
-        off += n * mh * mw
     elif mv_mode == _MV_WIDE:
         u32["mv"] = (off, (n, mh, mw))
-        off += n * mh * mw
-        u32["mv2"] = (off, (n, mh, mw))
         off += n * mh * mw
     size32 = off
     return u8, u32, size8, size32
@@ -149,18 +169,21 @@ def _layout(cfg: SeqConfig, n: int, p8_cap: int, p32_cap: int,
 
 @functools.lru_cache(maxsize=None)
 def _packed_tiers(full: int):
-    """Size ladder for a packed region: geometric 9/8 steps from a 4096
+    """Size ladder for a packed region: geometric 17/16 steps from a 4096
     floor up to the worst case. A step's totals cluster within ±3% for
     same-type frames, so the ladder's job is only to merge those clusters
-    into one (persistently cached) compiled step each; 9/8 keeps the mean
-    transfer overshoot ~6% (a 4/3 ladder measured +28-33% on the heavy
-    corpus — real megabytes at these region sizes). Values are
-    16-multiples so the u8 region keeps raw segments aligned at any
-    tier."""
+    into one (persistently cached) compiled step each; 17/16 keeps the
+    mean transfer overshoot ~3% (9/8 measured 9.3% tier pad on the heavy
+    corpus's desc region — 9.7 KB/frame of real transfer; a 4/3 ladder
+    measured +28-33%). The finer ladder roughly doubles the POSSIBLE
+    variant count, but the variants a given clip actually compiles stay
+    few (per-frame totals cluster) and each is persistently cached.
+    Values are 16-multiples so the u8 region keeps raw segments aligned
+    at any tier."""
     ts, v = [], 4096
     while v < full:
         ts.append(v)
-        v = (v * 9 // 8 + 15) & ~15
+        v = (v * 17 // 16 + 15) & ~15
     ts.append(full)
     return tuple(ts)
 
@@ -174,7 +197,7 @@ def _pick_tier(used: int, full: int) -> int:
 
 def _unpack_arena(cfg: SeqConfig, n: int, arenas: dict,
                   p8_cap: int, p32_cap: int,
-                  mv_mode: int, has_nest: bool):
+                  mv_mode: int, has_nest: bool, meta_bits: int = 6):
     """In-jit: staging buffers → (plane plan dicts, new_nest|None, is_i,
     is_ref).
 
@@ -187,10 +210,14 @@ def _unpack_arena(cfg: SeqConfig, n: int, arenas: dict,
     the gather indices were already data-dependent (block slots derive
     from meta cumsums), so a data-dependent base changes nothing about
     how XLA compiles the gathers — while letting the upload carry exact
-    used prefixes instead of max-sized per-slot regions.
+    used prefixes instead of max-sized per-slot regions. v6 additions:
+    meta decodes through a per-slot codebook gather when meta_bits < 6,
+    and refsel-2 second vectors gather from a meta-derived pool after
+    each slot's desc prefix (base = desc base + meta-derived desc count;
+    entry k belongs to the k-th bi MB in row-major MB scan order).
     """
     u8l, u32l, _s8, _s32 = _layout(cfg, n, p8_cap, p32_cap,
-                                   mv_mode, has_nest)
+                                   mv_mode, has_nest, meta_bits)
 
     def fld(group, lay, name):
         off, shape = lay[name]
@@ -200,19 +227,26 @@ def _unpack_arena(cfg: SeqConfig, n: int, arenas: dict,
 
     sra = device_core._sra
     planes = [dict() for _ in cfg.block_grids]
+    per_word = 32 // meta_bits
+    mmask = (1 << meta_bits) - 1
+    if meta_bits < 6:
+        cb = fld("u8", u8l, "metacb").astype(jnp.int32)  # (n, 1<<B)
     for pi, (bh, bw) in enumerate(cfg.block_grids):
-        # 5 six-bit metas per u32, block-scan order
+        # per_word B-bit values per u32, block-scan order
         w = fld("u32", u32l, f"meta{pi}")
-        parts = jnp.stack([(w >> (6 * j)) & 0x3F for j in range(5)],
+        parts = jnp.stack([(w >> (meta_bits * j)) & mmask
+                           for j in range(per_word)],
                           axis=-1).reshape(n, -1)
-        planes[pi]["meta"] = jax.lax.slice_in_dim(
-            parts, 0, bh * bw, axis=1).reshape(n, bh, bw).astype(jnp.uint8)
+        vals = jax.lax.slice_in_dim(parts, 0, bh * bw, axis=1)
+        if meta_bits < 6:   # codebook indices → meta bytes (one gather)
+            vals = jnp.take_along_axis(cb, vals.astype(jnp.int32), axis=1)
+        planes[pi]["meta"] = vals.reshape(n, bh, bw).astype(jnp.uint8)
 
-    # motion vectors at MB resolution, component-major (n, 2, mh, mw) i32
+    # forward motion vectors at MB resolution (n, mh, mw) i32
     mh, mw = cfg.mb_grid
     if mv_mode == _MV_NONE:
         z = jnp.zeros((n, mh, mw), jnp.int32)
-        mvc = {"mv": (z, z), "mv2": (z, z)}
+        mvc = {"mv": (z, z)}
     elif mv_mode == _MV_PACKED8:
         w = fld("u32", u32l, "mvp8").astype(jnp.int32)
 
@@ -226,22 +260,10 @@ def _unpack_arena(cfg: SeqConfig, n: int, arenas: dict,
             return jax.lax.slice_in_dim(v, 0, mh * mw, axis=1).reshape(
                 n, mh, mw)
 
-        z = jnp.zeros((n, mh, mw), jnp.int32)
-        mvc = {"mv": (lanes(s8p(0), s8p(2)), lanes(s8p(1), s8p(3))),
-               "mv2": (z, z)}
-    elif mv_mode == _MV_PACKED:
-        w = fld("u32", u32l, "mvp").astype(jnp.int32)
-
-        def s8(k):
-            b = sra(w, 8 * k) & 0xFF
-            return b - ((b & 0x80) << 1)
-
-        mvc = {"mv": (s8(0), s8(1)), "mv2": (s8(2), s8(3))}
+        mvc = {"mv": (lanes(s8p(0), s8p(2)), lanes(s8p(1), s8p(3)))}
     else:
-        mvc = {}
-        for key in ("mv", "mv2"):
-            v = fld("u32", u32l, key).astype(jnp.int32)
-            mvc[key] = (sra(v << 16, 16), sra(v, 16))
+        v = fld("u32", u32l, "mv").astype(jnp.int32)
+        mvc = {"mv": (sra(v << 16, 16), sra(v, 16))}
 
     extras = {name: fld("u8", u8l, name) for name in ("is_i", "is_ref")}
 
@@ -264,7 +286,27 @@ def _unpack_arena(cfg: SeqConfig, n: int, arenas: dict,
                         0, p8_cap - 1)
         new_nest = jnp.take(pool8, nidx).reshape(n, nh, nw)
 
-    slots, dc_slots = _derive_slots(cfg, n, [pp["meta"] for pp in planes])
+    slots, dc_slots, desc_tot = _derive_slots(
+        cfg, n, [pp["meta"] for pp in planes])
+
+    # refsel-2 (bi) second vectors: pool entries (y16 << 16 | x16) after
+    # each slot's desc prefix; entry k = the k-th bi MB in row-major MB
+    # scan. Carrier-ness comes from the luma meta at each MB's top-left
+    # block (cls==1 & refsel==2), so no index field is uploaded and the
+    # pool is empty on steps without bi MBs.
+    m0 = planes[0]["meta"].astype(jnp.int32)
+    mbm = m0[:, ::2, ::2].reshape(n, -1)           # (n, mh*mw)
+    carrier = ((sra(mbm, 5) & 1) != 0) & ((sra(mbm, 3) & 3) == 2)
+    ci = carrier.astype(jnp.int32)
+    # desc base + meta-derived desc count = this slot's mv2 pool base
+    pos = jnp.cumsum(ci, axis=1) - ci
+    mv2_base = desc_e + desc_tot
+    m2idx = jnp.clip(mv2_base[:, None] + pos, 0, p32_cap - 1)
+    w2 = jnp.where(carrier, jnp.take(desc_flat, m2idx),
+                   jnp.uint32(0)).astype(jnp.int32)
+    mvc["mv2"] = (sra(w2 << 16, 16).reshape(n, mh, mw),
+                  sra(w2, 16).reshape(n, mh, mw))
+
     for pi, pp in enumerate(planes):
         bh, bw = cfg.block_grids[pi]
         H, W = bh * 4, bw * 4
@@ -316,7 +358,8 @@ def _derive_slots(cfg: SeqConfig, n: int, metas: list):
     output field (the inapplicable gather is masked by meta downstream).
     This replaces dense u32 uploads per block with ~µs of device work.
 
-    Returns (per-plane unified raw/desc slots, per-plane dc slots).
+    Returns (per-plane unified raw/desc slots, per-plane dc slots,
+    per-slot total desc count (n,) i32 — the v6 mv2 pool base offset).
     """
     flat = jnp.concatenate(
         [m.reshape(n, -1).astype(jnp.int32) for m in metas], axis=1)
@@ -324,10 +367,11 @@ def _derive_slots(cfg: SeqConfig, n: int, metas: list):
     mode = flat & 7
     counts = device_core.basis_count(cls_, mode)
     is_raw = ((cls_ == 0) & (mode == 6)).astype(jnp.int32)
+    csum = jnp.cumsum(counts, axis=1)
     slot_flat = jnp.where(
         is_raw != 0,
         jnp.cumsum(is_raw, axis=1) - is_raw,
-        jnp.cumsum(counts, axis=1) - counts).astype(jnp.uint32)
+        csum - counts).astype(jnp.uint32)
     is_dc = ((cls_ == 0) & (mode != 6)).astype(jnp.int32)
     dc_flat = (jnp.cumsum(is_dc, axis=1) - is_dc).astype(jnp.uint32)
     out, out_dc, off = [], [], 0
@@ -337,7 +381,7 @@ def _derive_slots(cfg: SeqConfig, n: int, metas: list):
         out_dc.append(jax.lax.slice_in_dim(dc_flat, off, off + bh * bw,
                                            axis=1).reshape(n, bh, bw))
         off += bh * bw
-    return out, out_dc
+    return out, out_dc, csum[:, -1]
 
 
 # ---------------------------------------------------------------------------
@@ -375,7 +419,7 @@ def multi_frame_step(plane_plans: list, nest, new_nest, is_i, is_ref,
 
 def _run_steps(cfg: SeqConfig, n: int, k_steps: int,
                p8_cap: int, p32_cap: int,
-               mv_mode: int, has_nest: bool,
+               mv_mode: int, has_nest: bool, meta_bits: int,
                arenas, nest, ref_prev, ref_last):
     """The shared step body (single-chip jit AND per-shard under shard_map):
     1-D typed arenas for n*k_steps virtual streams → K sequential lock-step
@@ -391,7 +435,7 @@ def _run_steps(cfg: SeqConfig, n: int, k_steps: int,
     """
     nv = n * k_steps
     plane_plans, new_nest, is_i, is_ref = _unpack_arena(
-        cfg, nv, arenas, p8_cap, p32_cap, mv_mode, has_nest)
+        cfg, nv, arenas, p8_cap, p32_cap, mv_mode, has_nest, meta_bits)
     if k_steps == 1:
         return _step_body(plane_plans, nest, new_nest, is_i, is_ref,
                           ref_prev, ref_last)
@@ -416,13 +460,14 @@ def _run_steps(cfg: SeqConfig, n: int, k_steps: int,
 @functools.lru_cache(maxsize=None)
 def _arena_step(cfg: SeqConfig, n: int, k_steps: int,
                 p8_cap: int, p32_cap: int,
-                mv_mode: int, has_nest: bool):
-    """Jitted production step for one (pool tier, mv mode, nest, K) variant."""
+                mv_mode: int, has_nest: bool, meta_bits: int = 6):
+    """Jitted production step for one (pool tiers, mv mode, nest, meta
+    bits, K) variant."""
 
     @functools.partial(jax.jit, donate_argnums=(1, 2, 3))
     def step(arenas, nest, ref_prev, ref_last):
         return _run_steps(cfg, n, k_steps, p8_cap, p32_cap,
-                          mv_mode, has_nest,
+                          mv_mode, has_nest, meta_bits,
                           arenas, nest, ref_prev, ref_last)
 
     return step
@@ -431,7 +476,8 @@ def _arena_step(cfg: SeqConfig, n: int, k_steps: int,
 @functools.lru_cache(maxsize=None)
 def _arena_step_sharded(cfg: SeqConfig, n_local: int, k_steps: int,
                         p8_cap: int, p32_cap: int,
-                        mv_mode: int, has_nest: bool, mesh, axis: str):
+                        mv_mode: int, has_nest: bool, meta_bits: int,
+                        mesh, axis: str):
     """Jitted mesh step: `jax.shard_map` of the SAME `_run_steps` body over
     the stream-carrying mesh axis. Each shard sees one (1, arena_len) row —
     its own single-chip-layout arenas for n_local streams — plus its
@@ -442,7 +488,7 @@ def _arena_step_sharded(cfg: SeqConfig, n_local: int, k_steps: int,
     def local_fn(arenas, nest, ref_prev, ref_last):
         arenas = {g: a.reshape(-1) for g, a in arenas.items()}
         return _run_steps(cfg, n_local, k_steps, p8_cap, p32_cap,
-                          mv_mode, has_nest,
+                          mv_mode, has_nest, meta_bits,
                           arenas, nest, ref_prev, ref_last)
 
     st = P(axis)
@@ -549,11 +595,30 @@ class MultiStreamDecoder:
         self._raw_cap_full, self._desc_cap_full = rcap, dcap
         self._dc_cap_full = dccap
         # worst-case packed regions: every slot at full pools + a nest,
-        # each slot segment padded to 16 (the assembler's alignment rule)
+        # each slot segment padded to 16 (the assembler's alignment rule);
+        # the u32 region additionally holds each slot's refsel-2 mv2 pool
+        # (worst case: every MB bi)
+        mh_, mw_ = cfg.mb_grid
         self._p8_full = nvl * ((rcap * 16 + dccap + nh * nw + 15) & ~15)
-        self._p32_full = nvl * dcap
-        _u8l, _u32l, max8, max32 = _layout(cfg, nvl, self._p8_full,
-                                           self._p32_full, _MV_WIDE, True)
+        self._p32_full = nvl * (dcap + mh_ * mw_)
+        # packed-region offsets are u32 on the wire and int32 in-jit
+        # (_unpack_arena casts `offs` to i32 to feed the gathers): a
+        # geometry × streams × K product past 2^31 would silently wrap the
+        # bases and corrupt the decode instead of erroring
+        if max(self._p8_full, self._p32_full) >= 2**31:
+            raise ValueError(
+                f"staging region too large for int32 offsets: "
+                f"p8_full={self._p8_full} p32_full={self._p32_full} "
+                f"(streams*K={nvl} at {cfg.width}x{cfg.height}); reduce "
+                f"streams or steps_per_dispatch")
+        # staging allocation must cover every variant: the u32 side is
+        # largest at meta_bits=6 (5 values/word), the u8 side at
+        # meta_bits=5 (a 32-entry codebook per slot rides in u8)
+        _u8l, _u32l, max8_6, max32 = _layout(cfg, nvl, self._p8_full,
+                                             self._p32_full, _MV_WIDE, True, 6)
+        _u8l5, _u32l5, max8_5, _m32_5 = _layout(
+            cfg, nvl, self._p8_full, self._p32_full, _MV_WIDE, True, 5)
+        max8 = max(max8_6, max8_5)
         mh, mw = cfg.mb_grid
         native = hasattr(self.planner, "prepare")
         if native:
@@ -604,7 +669,12 @@ class MultiStreamDecoder:
             buf = {"staging": staging, "shards": shards,
                    "stream_views": stream_views,
                    "mv_or": 0, "mv_fit": True,
-                   "slot_used": np.zeros((self._shards * nvl, 3), np.int64),
+                   # per-slot used counts: raw slots, desc elems, dc bytes,
+                   # refsel-2 mv2 pool entries (v6)
+                   "slot_used": np.zeros((self._shards * nvl, 4), np.int64),
+                   # per-slot OR of (1 << meta byte): the assembler derives
+                   # each slot's codebook and the step's meta_bits from it
+                   "meta_mask": np.zeros(self._shards * nvl, np.uint64),
                    "offs": np.zeros((self._shards, nvl, 4), np.uint32),
                    "variant": None, "sizes": None}
             if native:
@@ -613,6 +683,17 @@ class MultiStreamDecoder:
                     pool_structs)
             self._bufs.append(buf)
         self._cur = 0
+        # cumulative per-stage wall-clock (seconds), for the pipeline
+        # overlap attribution (bench pipeline_split): plan/assemble are
+        # recorded per buffer by the planning thread and folded in by the
+        # consumer; the device-side stages accumulate on the calling thread
+        self.stats: dict[str, float] = {}
+        self.reset_stats()
+
+    def reset_stats(self) -> None:
+        for k in ("plan_s", "assemble_s", "dequeue_s", "wait_s",
+                  "upload_s", "dispatch_s", "steps", "frames"):
+            self.stats[k] = 0.0
 
     def _put(self, x):
         return (jax.device_put(x, self.sharding)
@@ -653,6 +734,7 @@ class MultiStreamDecoder:
             # the same byte in the packed 5-per-u32 upload form
             pp["meta5"][lv] = 0x20820820
             pp["dc"][lv] = 128
+        buf["meta_mask"][v] = np.uint64(1) << np.uint64(0x20)
         # stale vectors from the buffer's previous use must not force the
         # step into a wider mv variant (the device masks them, but
         # `_assemble` picks the encoding by scanning values)
@@ -669,9 +751,10 @@ class MultiStreamDecoder:
     def _pack_sparse(self, buf, v: int, plan: FramePlan):
         """Dense FramePlan → sparse batch views (python-planner fallback).
 
-        Returns (raw_used, desc_used, dc_used)."""
+        Returns (raw_used, desc_used, dc_used, mv2_used)."""
         sh, lv = self._shard_of(buf, v)
         raw_slot = desc_slot = dc_slot = 0
+        mask = np.uint64(0)
         for pp, p in zip(sh["planes"], plan.planes):
             desc_blk = device_core.pack_desc(p)        # (bh, bw, 4) wire u32
             pp["meta"][lv] = device_core.pack_meta(p)
@@ -696,12 +779,15 @@ class MultiStreamDecoder:
                 desc_slot += k
             pp["slot"][lv] = slot
             m = pp["meta"][lv].reshape(-1)
+            mask |= np.bitwise_or.reduce(
+                np.uint64(1) << m.astype(np.uint64))
             nb = m.size
             if nb % 5:
                 m = np.pad(m, (0, 5 - nb % 5))
             m5 = m.reshape(-1, 5).astype(np.uint32)
             pp["meta5"][lv] = (m5[:, 0] | (m5[:, 1] << 6) | (m5[:, 2] << 12)
                                | (m5[:, 3] << 18) | (m5[:, 4] << 24))
+        buf["meta_mask"][v] = mask
         # per-MB vectors: the luma plan carries them unshifted, one MB = a
         # 2x2 luma block group, so its top-left block is the MB's vector;
         # packed (y16 << 16 | x16) into the u32 arena
@@ -710,14 +796,20 @@ class MultiStreamDecoder:
             mb = mvs[::2, ::2]
             sh[key][lv] = (((mb[..., 1].astype(np.uint32) & 0xFFFF) << 16)
                            | (mb[..., 0].astype(np.uint32) & 0xFFFF))
-        mv_all = np.concatenate([plan.planes[0].mv.reshape(-1, 2),
-                                 plan.planes[0].mv2.reshape(-1, 2)])
-        any_nz = bool(mv_all.any())
+        # refsel-2 pool length: bi MBs by the device's own carrier rule
+        # (luma meta at the MB's top-left block, cls==1 & refsel==2)
+        mtl = sh["planes"][0]["meta"][lv][::2, ::2]
+        mv2_used = int(((((mtl >> 5) & 1) == 1)
+                        & (((mtl >> 3) & 3) == 2)).sum())
+        # mv variant flags cover the FIRST vector grid only (v6: second
+        # vectors ride the meta-derived pool, never a dense field)
+        mv1 = plan.planes[0].mv.reshape(-1, 2)
+        any_nz = bool(mv1.any())
+        fits = bool((mv1 >= -128).all() and (mv1 <= 127).all())
         any2 = bool(plan.planes[0].mv2.any())
-        fits = bool((mv_all >= -128).all() and (mv_all <= 127).all())
         buf["mv_or"] |= (1 if any_nz else 0) | (4 if any2 else 0)
         buf["mv_fit"] &= fits
-        return raw_slot, desc_slot, dc_slot
+        return raw_slot, desc_slot, dc_slot, mv2_used
 
     def plan_step(self):
         """Plan the next frame of every stream into the current batch buffers.
@@ -769,11 +861,17 @@ class MultiStreamDecoder:
         failures) where failures lists (si, k) streams newly poisoned by
         THIS step — the pipelined consumer uses it to invalidate frames of
         later steps that were dequeued before the failure was known."""
+        t0 = time.perf_counter()
         buf["mv_or"] = 0
         buf["mv_fit"] = True
         buf["slot_used"][:] = 0
+        buf["meta_mask"][:] = 0
         metas, valid, failures = self._plan_super(buf, slot_jobs)
+        t1 = time.perf_counter()
         self._assemble(buf)
+        # stashed per-buffer (not summed here): workers run concurrently,
+        # the consumer folds these into self.stats race-free
+        buf["t_split"] = (t1 - t0, time.perf_counter() - t1)
         return buf, metas, valid, failures
 
     def _plan_super(self, buf, slot_jobs):
@@ -812,7 +910,9 @@ class MultiStreamDecoder:
                 self._set_flags(buf, v, fchar)
                 buf["slot_used"][v] = (int(fout.raw_used),
                                        int(fout.desc_used),
-                                       int(fout.dc_used))
+                                       int(fout.dc_used),
+                                       int(fout.mv2_carriers))
+                buf["meta_mask"][v] = np.uint64(fout.meta_mask)
                 flags = int(fout.mv_flags)
                 buf["mv_or"] |= flags
                 buf["mv_fit"] &= bool(flags & 2)
@@ -890,7 +990,8 @@ class MultiStreamDecoder:
                 o[:, 0] = base
                 o[:, 1] = base + ru16
                 o[:, 2] = base + ru16 + su[:, 2]
-                du = su[:, 1]
+                # each slot's u32 prefix = desc entries then mv2 pool words
+                du = su[:, 1] + su[:, 3]
                 o[:, 3] = np.concatenate(([0], np.cumsum(du)[:-1]))
                 t8 = int(base[-1] + seg[-1])
                 t32 = int(o[-1, 3] + du[-1])
@@ -898,18 +999,25 @@ class MultiStreamDecoder:
             tot32 = max(tot32, t32)
         p8_cap = _pick_tier(tot8, self._p8_full)
         p32_cap = _pick_tier(tot32, self._p32_full)
-        # mv variant from the planner's per-frame flags (no grid re-scans)
+        buf["used"] = (tot8, tot32)  # pre-tier totals (byte attribution)
+        # mv variant from the planner's per-frame flags (no grid re-scans);
+        # flags cover the first vector grid only (mv2 is pooled)
         if not (buf["mv_or"] & 1):
             mv_mode = _MV_NONE
         elif not buf["mv_fit"]:
             mv_mode = _MV_WIDE
-        elif buf["mv_or"] & 4:
-            mv_mode = _MV_PACKED
         else:
-            mv_mode = _MV_PACKED8  # two MBs per u32, no second vectors
+            mv_mode = _MV_PACKED8  # two MBs per u32
+        # meta width from the per-slot value masks: smallest B whose
+        # codebook holds the worst slot's distinct count (6 = raw escape)
+        maxpop = max(int(bin(int(m)).count("1"))
+                     for m in buf["meta_mask"]) if len(buf["meta_mask"]) \
+            else 1
+        meta_bits = 3 if maxpop <= 8 else 4 if maxpop <= 16 else \
+            5 if maxpop <= 32 else 6
         u8l, u32l, size8, size32 = _layout(cfg, nvl, p8_cap, p32_cap,
-                                           mv_mode, has_nest)
-        variant = (p8_cap, p32_cap, mv_mode, has_nest)
+                                           mv_mode, has_nest, meta_bits)
+        variant = (p8_cap, p32_cap, mv_mode, has_nest, meta_bits)
         if native_pack:
             st8, st32 = buf["staging"]["u8"], buf["staging"]["u32"]
             for s, sh in enumerate(buf["shards"]):
@@ -925,7 +1033,10 @@ class MultiStreamDecoder:
                     u8l=u8l, u32l=u32l,
                     new_nest=sh["new_nest"] if has_nest else None,
                     is_i=sh["is_i"], is_ref=sh["is_ref"],
+                    metas=[pp["meta"] for pp in sh["planes"]],
                     meta5s=[pp["meta5"] for pp in sh["planes"]],
+                    meta_mask=buf["meta_mask"][s * nvl:(s + 1) * nvl],
+                    meta_bits=meta_bits,
                     mv=sh["mv"], mv2=sh["mv2"], mv_mode=mv_mode)
         else:
             self._assemble_numpy(buf, u8l, u32l, variant)
@@ -934,25 +1045,48 @@ class MultiStreamDecoder:
 
     def _assemble_numpy(self, buf, u8l, u32l, variant) -> None:
         nvl = self._nvl
-        _p8_cap, _p32_cap, mv_mode, has_nest = variant
+        _p8_cap, _p32_cap, mv_mode, has_nest, meta_bits = variant
         st8, st32 = buf["staging"]["u8"], buf["staging"]["u32"]
+        per_word = 32 // meta_bits
 
         def put(st, s, lay, name, arr):
             off, _shape = lay[name]
             st[s, off:off + arr.size] = arr.reshape(-1)
 
+        def pack_bits(idx):
+            """(rows, nb) B-bit values → (rows, ceil(nb/per_word)) u32."""
+            nb = idx.shape[1]
+            pad = (-nb) % per_word
+            if pad:
+                idx = np.pad(idx, [(0, 0), (0, pad)])
+            g = idx.reshape(idx.shape[0], -1, per_word).astype(np.uint32)
+            w = g[:, :, 0]
+            for j in range(1, per_word):
+                w = w | (g[:, :, j] << np.uint32(meta_bits * j))
+            return w
+
         for s, sh in enumerate(buf["shards"]):
             # packed pool regions: per-slot exact used prefixes at the
-            # precomputed bases (offs columns: raw B, dc B, nest B, desc e)
+            # precomputed bases (offs columns: raw B, dc B, nest B, u32 e);
+            # the u32 prefix is desc entries then the refsel-2 mv2 pool
+            # (one y16|x16 word per bi MB, row-major MB scan — the same
+            # carrier rule `_unpack_arena` derives from the luma meta)
             rp, dp = sh["pools"]["raw"], sh["pools"]["desc"]
             cp = sh["pools"]["dc"]
             for lv in range(nvl):
-                ru, du, cu = buf["slot_used"][s * nvl + lv]
+                ru, du, cu, m2u = buf["slot_used"][s * nvl + lv]
                 rb, cb, nb, de = buf["offs"][s, lv]
                 if ru:
                     st8[s, rb:rb + ru * 16] = rp[lv, :ru].reshape(-1)
                 if du:
                     st32[s, de:de + du] = dp[lv, :du]
+                if m2u:
+                    mtl = sh["planes"][0]["meta"][lv][::2, ::2]
+                    car = ((((mtl >> 5) & 1) == 1)
+                           & (((mtl >> 3) & 3) == 2)).reshape(-1)
+                    vals = sh["mv2"][lv].reshape(-1)[car]
+                    assert vals.size == m2u, (vals.size, m2u)
+                    st32[s, de + du:de + du + m2u] = vals
                 if cu:
                     st8[s, cb:cb + cu] = cp[lv, :cu]
                 if has_nest and sh["is_i"][lv]:
@@ -961,9 +1095,27 @@ class MultiStreamDecoder:
             put(st32, s, u32l, "offs", buf["offs"][s])
             put(st8, s, u8l, "is_i", sh["is_i"])
             put(st8, s, u8l, "is_ref", sh["is_ref"])
-            for pi in range(len(self.cfg.block_grids)):
-                # the planner already packed meta 5-per-u32: one row copy
-                put(st32, s, u32l, f"meta{pi}", sh["planes"][pi]["meta5"])
+            if meta_bits == 6:
+                for pi in range(len(self.cfg.block_grids)):
+                    # the planner already packed meta 5-per-u32: a row copy
+                    put(st32, s, u32l, f"meta{pi}", sh["planes"][pi]["meta5"])
+            else:
+                # per-slot codebook (set-bit values of the mask, ascending;
+                # tail zero) + B-bit indices through the inverse map
+                masks = buf["meta_mask"][s * nvl:(s + 1) * nvl]
+                cb_size = 1 << meta_bits
+                cbk = np.zeros((nvl, cb_size), np.uint8)
+                inv = np.zeros((nvl, 64), np.uint8)
+                for lv in range(nvl):
+                    vals = np.flatnonzero(
+                        (int(masks[lv]) >> np.arange(64)) & 1)
+                    cbk[lv, :vals.size] = vals
+                    inv[lv, vals] = np.arange(vals.size, dtype=np.uint8)
+                put(st8, s, u8l, "metacb", cbk)
+                for pi in range(len(self.cfg.block_grids)):
+                    m = sh["planes"][pi]["meta"].reshape(nvl, -1)
+                    idx = np.take_along_axis(inv, m.astype(np.int64), axis=1)
+                    put(st32, s, u32l, f"meta{pi}", pack_bits(idx))
             if mv_mode == _MV_PACKED8:
                 v = sh["mv"].reshape(nvl, -1)
                 # per MB: x.s8 | y.s8<<8 (low bytes of the s16 halves)
@@ -972,15 +1124,8 @@ class MultiStreamDecoder:
                     b = np.pad(b, [(0, 0), (0, 1)])
                 w = b[:, 0::2] | (b[:, 1::2] << 16)
                 put(st32, s, u32l, "mvp8", w)
-            elif mv_mode == _MV_PACKED:
-                v, v2 = sh["mv"], sh["mv2"]
-                # low byte of each s16 half IS its s8 encoding (range checked)
-                w = ((v & 0xFF) | (((v >> 16) & 0xFF) << 8)
-                     | ((v2 & 0xFF) << 16) | (((v2 >> 16) & 0xFF) << 24))
-                put(st32, s, u32l, "mvp", w)
             elif mv_mode == _MV_WIDE:
                 put(st32, s, u32l, "mv", sh["mv"])
-                put(st32, s, u32l, "mv2", sh["mv2"])
 
     def snapshot_step(self, buf):
         """Minimal copyable upload payload of a planned step — what
@@ -1001,10 +1146,11 @@ class MultiStreamDecoder:
 
         With fused dispatch (K > 1) the returned frames are stacked
         per step: [3 x (K, n, H, W)]."""
-        p8_cap, p32_cap, mv_mode, has_nest = buf["variant"]
+        p8_cap, p32_cap, mv_mode, has_nest, meta_bits = buf["variant"]
         size8, size32 = buf["sizes"]
         h8 = buf["staging"]["u8"][:, :size8]
         h32 = buf["staging"]["u32"][:, :size32]
+        t0 = time.perf_counter()
         if self.sharding is None:
             # single shard: rows are contiguous, upload 1-D views
             h8r, h32r = h8[0], h32[0]
@@ -1015,7 +1161,7 @@ class MultiStreamDecoder:
                 h8r, h32r = h8r.copy(), h32r.copy()
             arenas = {"u8": jnp.asarray(h8r), "u32": jnp.asarray(h32r)}
             step_fn = _arena_step(self.cfg, self.n, self._k, p8_cap,
-                                  p32_cap, mv_mode, has_nest)
+                                  p32_cap, mv_mode, has_nest, meta_bits)
         else:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -1030,9 +1176,13 @@ class MultiStreamDecoder:
                       "u32": jax.device_put(h32, ash)}
             step_fn = _arena_step_sharded(
                 self.cfg, self._n_local, self._k, p8_cap, p32_cap,
-                mv_mode, has_nest, self._mesh, self._axis)
+                mv_mode, has_nest, meta_bits, self._mesh, self._axis)
+        t1 = time.perf_counter()
         frames, self.nest, self.ref_prev, self.ref_last = step_fn(
             arenas, self.nest, self.ref_prev, self.ref_last)
+        t2 = time.perf_counter()
+        self.stats["upload_s"] += t1 - t0
+        self.stats["dispatch_s"] += t2 - t1
         return frames
 
     def step(self):
@@ -1086,7 +1236,9 @@ class MultiStreamDecoder:
                 # the staging slot of a still-in-flight device_step
                 if not any(self.active):
                     return False
+                t0 = time.perf_counter()
                 jobs = self._dequeue_jobs()       # serial, in step order
+                self.stats["dequeue_s"] += time.perf_counter() - t0
                 buf = self._bufs[self._cur]
                 self._cur = (self._cur + 1) % ring
                 pending.append(ex.submit(self._plan_step_into, buf, jobs))
@@ -1096,7 +1248,15 @@ class MultiStreamDecoder:
                 if not submit():
                     break
             while pending:
+                t0 = time.perf_counter()
                 buf, metas, valid, failures = pending.popleft().result()
+                self.stats["wait_s"] += time.perf_counter() - t0
+                tp, ta = buf["t_split"]
+                self.stats["plan_s"] += tp
+                self.stats["assemble_s"] += ta
+                self.stats["steps"] += 1
+                self.stats["frames"] += sum(
+                    v for row in valid for v in row)
                 submit()
                 frames = self.device_step(buf)
                 for si in range(self.n):

@@ -54,7 +54,7 @@ def test_native_assemble_matches_numpy_all_variants():
 
     cfg = SeqConfig(64, 48)
     # I steps (nest, no vectors), P steps (PACKED8), B steps with refsel-2
-    # (PACKED); 3 streams x K=2 exercises the virtual-slot layout
+    # (mv2 pool entries); 3 streams x K=2 exercises the virtual-slot layout
     clips = [make_clip(cfg, ["IPBPB", "IPP"], seed=s) for s in range(3)]
     ms = msm.MultiStreamDecoder(cfg, clips, planner_factory=NativePlanner,
                                 steps_per_dispatch=2)
@@ -62,9 +62,11 @@ def test_native_assemble_matches_numpy_all_variants():
 
     seen = set()
     steps = 0
+    mv2_pooled = 0
     while any(ms.active):
         buf, _metas, _valid = ms.plan_step()
         seen.add(buf["variant"][2:])
+        mv2_pooled += int(buf["slot_used"][:, 3].sum())
         (a8, a32), (b8, b32) = _both_assemblies(ms, buf)
         np.testing.assert_array_equal(a8, b8)
         np.testing.assert_array_equal(a32, b32)
@@ -94,11 +96,14 @@ def test_native_assemble_matches_numpy_all_variants():
     mv_modes = {v[0] for v in seen}
     assert msm._MV_NONE in mv_modes          # all-I step
     assert msm._MV_WIDE in mv_modes          # forced escape tier
-    # BOTH packed encodings must be parity-covered: PACKED8 (P steps, one
-    # byte-pair per MB) and PACKED (refsel-2 B steps merging mv2 into bits
-    # 16-31 — its C packer is a distinct branch that must not lose
+    assert msm._MV_PACKED8 in mv_modes       # P/B steps, one byte-pair/MB
+    # refsel-2 second vectors must be parity-covered through the v6 mv2
+    # POOL (the C pool writer is a distinct branch that must not lose
     # coverage silently if the encoder's refsel statistics drift)
-    assert msm._MV_PACKED8 in mv_modes
-    assert msm._MV_PACKED in mv_modes
+    assert mv2_pooled > 0
+    # the codebook path (meta_bits < 6) must be covered: tiny synthetic
+    # frames use far fewer than 32 distinct meta bytes
+    # (seen holds variant[2:] = (mv_mode, has_nest, meta_bits))
+    assert any(v[2] < 6 for v in seen)
     assert any(v[1] for v in seen)           # a nest-carrying step
     assert steps >= 4

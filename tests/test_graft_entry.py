@@ -6,7 +6,12 @@ import pathlib
 import subprocess
 import sys
 
+import pytest
+
 import __graft_entry__ as graft
+
+# assurance tier: driver-contract subprocess rehearsals (multi-minute cold) (docs/TESTING.md)
+pytestmark = pytest.mark.assurance
 
 REPO = pathlib.Path(__file__).resolve().parent.parent
 

@@ -12,6 +12,9 @@ from tools.encoder import make_clip
 from .conftest import golden_decode
 
 
+# assurance tier: serving-surface integration (sockets, batching) (docs/TESTING.md)
+pytestmark = pytest.mark.assurance
+
 @pytest.fixture(scope="module")
 def server():
     srv = serve.DecodeServer(("127.0.0.1", 0), backend="numpy")

@@ -14,6 +14,9 @@ from tools.encoder import make_clip
 from .conftest import golden_decode, run_oracle
 
 
+# assurance tier: randomized 40-config conformance battery (docs/TESTING.md)
+pytestmark = pytest.mark.assurance
+
 @pytest.mark.parametrize("seed", range(100, 140))
 def test_randomized_conformance(oracle_bin, tmp_path, seed):
     rng = np.random.default_rng(seed)

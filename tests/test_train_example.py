@@ -1,5 +1,7 @@
 """The sharded training example drives real gradients end-to-end."""
 
+import pytest
+
 import jax
 import numpy as np
 
@@ -9,6 +11,9 @@ from tools.encoder import make_clip
 
 from examples.train_vit import train
 
+
+# assurance tier: mesh training loop (compile-heavy) (docs/TESTING.md)
+pytestmark = pytest.mark.assurance
 
 def test_train_loss_decreases_on_mesh():
     """decode → RGB → ViT → optax over a dp×tp mesh: loss must fall."""
