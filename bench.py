@@ -98,15 +98,80 @@ def phase_pipeline(n_streams: int) -> dict:
     del ms
 
     ms = make_ms()
+    ms.reset_stats()
     t0 = time.perf_counter()
     frames_done, last = 0, None
     for frames, _metas, valid in ms.run_pipelined():
         frames_done += sum(valid)
         last = frames
     jax.block_until_ready(last)
-    fps = frames_done / (time.perf_counter() - t0)
+    wall = time.perf_counter() - t0
+    fps = frames_done / wall
+    # per-frame stage split (VERDICT r4 next-steps #2): wait/upload/dispatch/
+    # dequeue are MAIN-thread time (they sum with `other` to the wall clock);
+    # plan/assemble run on the worker thread and OVERLAP them — on a 1-vCPU
+    # box the worker steals the same core, which shows up as inflated wait/
+    # upload, so the split attributes exactly where the pipeline loses time
+    # against the plan_fps bound.
+    st = ms.stats
+    per = 1000.0 / max(frames_done, 1)
+    main = ["dequeue_s", "wait_s", "upload_s", "dispatch_s"]
+    split = {k[:-2]: round(st[k] * per, 4) for k in main}
+    split["other"] = round(
+        (wall - sum(st[k] for k in main)) * per, 4)
+    split["worker_plan"] = round(st["plan_s"] * per, 4)
+    split["worker_assemble"] = round(st["assemble_s"] * per, 4)
     return {"pipeline_fps": round(fps, 2), "planner": planner_name,
+            "pipeline_split_ms_per_frame": split,
             "backend": jax.devices()[0].platform}
+
+
+def _step_byte_fields(ms, buf) -> dict:
+    """Per-field byte attribution of one planned step's upload (VERDICT r4
+    next-steps #1: publish where every uploaded byte beyond the wire
+    payload goes). Sums to size8 + 4*size32 exactly."""
+    from hvqm4_tpu.parallel.multistream import (
+        _MV_NONE, _MV_PACKED8, _MV_WIDE)
+
+    p8_cap, p32_cap, mv_mode, has_nest, meta_bits = buf["variant"]
+    size8, size32 = buf["sizes"]
+    su = buf["slot_used"]
+    cfg, nvl, shards = ms.cfg, ms._nvl, ms._shards
+    nh, nw = cfg.nest_shape
+    raw_b = int(su[:, 0].sum()) * 16
+    desc_b = int(su[:, 1].sum()) * 4
+    dc_b = int(su[:, 2].sum())
+    mv2_b = int(su[:, 3].sum()) * 4
+    nest_b = sum(int(sh["is_i"].sum()) for sh in buf["shards"]) * nh * nw \
+        if has_nest else 0
+    tot8, tot32 = buf["used"]
+    # u8 pool region: used segments + 16-alignment pad, then tier pad up to
+    # p8_cap; replicated per shard row (shard rows share one quantized size)
+    f = {
+        "raw_pool": raw_b, "dc_pool": dc_b, "nest": nest_b,
+        # exact for the bench's single-shard rows; with mesh shards tot8 is
+        # the max shard total, so the pads are the uploaded (row-uniform)
+        # sizes minus the summed used bytes — still what the wire carried
+        "u8_align_pad": shards * tot8 - (raw_b + dc_b + nest_b),
+        "u8_tier_pad": shards * (p8_cap - tot8),
+        "desc_pool": desc_b,
+        "mv2_pool": mv2_b,
+        "u32_tier_pad": shards * p32_cap * 4 - desc_b - mv2_b,
+        "flags": shards * 2 * nvl,
+        "offs": shards * 16 * nvl,
+    }
+    per_word = 32 // meta_bits
+    meta_w = sum((bh * bw + per_word - 1) // per_word
+                 for bh, bw in cfg.block_grids)
+    f["meta"] = shards * nvl * meta_w * 4
+    f["metacb"] = shards * nvl * (1 << meta_bits) if meta_bits < 6 else 0
+    mh, mw = cfg.mb_grid
+    mv_w = {_MV_NONE: 0, _MV_PACKED8: (mh * mw + 1) // 2,
+            _MV_WIDE: mh * mw}[mv_mode]
+    f["mv"] = shards * nvl * mv_w * 4
+    assert sum(f.values()) == shards * (size8 + size32 * 4), \
+        (f, size8, size32)
+    return f
 
 
 def phase_device(n_streams: int) -> dict:
@@ -116,14 +181,21 @@ def phase_device(n_streams: int) -> dict:
     ms = make_ms()
     all_bufs = []
     frames_planned = 0
+    byte_fields: dict[str, int] = {}
     while any(ms.active):
         buf, _metas, valid = ms.plan_step()
+        for k, v in _step_byte_fields(ms, buf).items():
+            byte_fields[k] = byte_fields.get(k, 0) + v
         # snapshot only the uploaded staging prefixes (what device_step
         # actually transfers at this step's variant) — NOT the full arenas:
         # peak RSS stays independent of clip length (VERDICT r2 weak #5)
         all_bufs.append(ms.snapshot_step(buf))
         ms._cur ^= 1
         frames_planned += int(np.sum(valid))
+    # wire payload per frame (the irreducible floor): one stream's record
+    # payload bytes over its frame count, for the bytes-vs-wire ratio
+    recs = ms.streams[0].records
+    wire_pf = sum(len(p) for _b, _c, p in recs) / max(len(recs), 1)
     # warm each pool-tier VARIANT's executable once (compile/persistent-
     # cache load must not land in the timing) — not every step: a full
     # warm pass at high stream counts burns the tunnel's ~600 MB wedge
@@ -153,6 +225,31 @@ def phase_device(n_streams: int) -> dict:
     t_phase = time.perf_counter()
     samples: list[float] = []
     transferred = 0.0
+    # traffic shaping (VERDICT r4 next-steps #1a): the tunnel RAMPS over
+    # ~6-10 passes of sustained same-client traffic — a transfer-heavy
+    # phase that spends its whole byte budget inside the ramp realizes
+    # ~half the day's ceiling (BENCH_r04: 54% of its own measured link
+    # ceiling). Ramp the link with cheap raw uploads first (12 MB/rep,
+    # ~6x cheaper than a heavy pass) so the timed passes start at the
+    # plateau; ramp bytes count against the byte budget. Stop early once
+    # a fast window is reached or the bandwidth stops improving.
+    ramp_mb = float(os.environ.get("HVQM4_BENCH_RAMP_MB", "12"))
+    ramp_bw: list[float] = []
+    if ramp_mb > 0 and pass_mb > 50:
+        dev = jax.devices()[0]
+        rng = np.random.default_rng(1)
+        sz = int(ramp_mb * 1e6)
+        for _ in range(10):
+            bufr = rng.integers(0, 256, sz, dtype=np.uint8)
+            t0 = time.perf_counter()
+            jax.device_put(bufr, dev).block_until_ready()
+            ramp_bw.append(sz / 1e9 / (time.perf_counter() - t0))
+            transferred += ramp_mb
+            if ramp_bw[-1] >= 2.0:
+                break       # fast window reached
+            if len(ramp_bw) >= 4 and max(ramp_bw[-2:]) <= \
+                    1.05 * max(ramp_bw[:-2]):
+                break       # two reps with no improvement: plateaued
     # hard pass cap: 16 when a pass is cheap (the dev tunnel's realized
     # throughput is bimodal pass-to-pass — measured 2026-08-18: retail
     # samples [1193, 29267, 2324, ..., 6449, 27580] fps in ONE phase —
@@ -183,13 +280,24 @@ def phase_device(n_streams: int) -> dict:
         # construction.
     best = max(samples)
     med = sorted(samples)[len(samples) // 2]
-    return {"device_fps": round(best, 2), "device_streams": n_streams,
-            "device_passes": len(samples),
-            "device_fps_samples": [round(s, 1) for s in samples],
-            "device_fps_spread": round(
-                (max(samples) - min(samples)) / 2 / med, 3),
-            "device_pass_mb": round(pass_mb, 1),
-            "device_frames": frames_planned}
+    out = {"device_fps": round(best, 2), "device_streams": n_streams,
+           "device_passes": len(samples),
+           "device_fps_samples": [round(s, 1) for s in samples],
+           "device_fps_median": round(med, 2),
+           "device_fps_spread": round(
+               (max(samples) - min(samples)) / 2 / med, 3),
+           "device_pass_mb": round(pass_mb, 1),
+           "device_frames": frames_planned,
+           # per-field upload attribution (bytes/frame) + the wire floor:
+           # says exactly which overhead to shave if bytes bound the phase
+           "device_bytes_per_frame_by_field": dict(
+               {k: round(v / frames_planned, 1)
+                for k, v in sorted(byte_fields.items(),
+                                   key=lambda kv: -kv[1])},
+               wire_payload=round(wire_pf, 1))}
+    if ramp_bw:
+        out["device_ramp_gbps"] = [round(b, 3) for b in ramp_bw]
+    return out
 
 
 def phase_plan(n_streams: int) -> dict:
@@ -240,13 +348,18 @@ def phase_link(n_streams: int) -> dict:
         x = jax.device_put(buf, dev)
         x.block_until_ready()
         bw.append(sz / 1e9 / (time.perf_counter() - t0))
-    f = jax.jit(lambda a: a.astype(np.uint32).sum())
-    f(x).block_until_ready()
+    # RTT on a 1-element op: a reduction over the 16 MiB buffer would fold
+    # device compute + a large d2h into the figure (review finding) — the
+    # field means pure dispatch round-trip latency
+    y = jax.device_put(np.zeros(1, np.float32), dev)
+    f = jax.jit(lambda a: a + 1.0)
+    y = f(y)
+    y.block_until_ready()
     # block EACH dispatch: async enqueueing overlaps the round trips and
     # reports a fraction of the true per-dispatch latency (review finding)
     t0 = time.perf_counter()
     for _ in range(10):
-        f(x).block_until_ready()
+        f(y).block_until_ready()
     rtt_ms = (time.perf_counter() - t0) * 100.0
     return {"link_h2d_gbps": round(max(bw), 3),
             "link_h2d_gbps_samples": [round(b, 3) for b in bw],
@@ -519,9 +632,22 @@ def main() -> None:
                 "retail_device_fps_samples",
                 "retail_device_fps_spread", "retail_device_passes",
                 "retail_device_pass_mb", "retail_device_streams",
-                "link_h2d_gbps", "link_h2d_gbps_samples", "link_rtt_ms"):
+                "link_h2d_gbps", "link_h2d_gbps_samples", "link_rtt_ms",
+                "pipeline_split_ms_per_frame",
+                "retail_pipeline_split_ms_per_frame",
+                "device_fps_median", "retail_device_fps_median",
+                "device_ramp_gbps", "retail_device_ramp_gbps",
+                "device_bytes_per_frame_by_field",
+                "retail_device_bytes_per_frame_by_field"):
         if key in merged:
             out[key] = merged[key]
+    # typical-pass ratios (VERDICT r4 next-steps #3): the headline best-of-N
+    # rides the tunnel's fast windows; the median says what a typical pass
+    # achieved against the same run's own oracle pass
+    out["device_median_vs_baseline"] = ratio(
+        merged.get("device_fps_median", 0.0), base_fps)
+    out["retail_device_median_vs_baseline"] = ratio(
+        merged.get("retail_device_fps_median", 0.0), retail_base)
     for pfx in ("", "retail_"):
         mb, fr = merged.get(pfx + "device_pass_mb"), merged.get(
             pfx + "device_frames")
@@ -533,10 +659,10 @@ def main() -> None:
     if probe_failed:
         out["local_archive"] = (
             "relay dead this run; last clean TPU contract runs on this chip "
-            "are archived in BENCH_local_r04.json (2026-08-18: retail device "
-            "best-of-16 32,101 fps; full contract runs bitexact on both "
-            "clips) and BENCH_local_r03.json (heavy device 14,862 fps = "
-            "98.9x; retail 29,004 fps = 100.2x)")
+            "are archived in BENCH_local_r04.json (2026-08-18/19: retail "
+            "device best-of-16 56,037-59,938 fps, 171.5-191.6x; full "
+            "contract runs bitexact on both clips) and BENCH_local_r03.json "
+            "(heavy device 14,862 fps = 98.9x; retail 29,004 fps = 100.2x)")
     elif salvaged:
         out["salvage"] = (
             "live-backend pipeline phases failed mid-run; pipeline/hash "
