@@ -121,6 +121,9 @@ def phase_pipeline(n_streams: int) -> dict:
         (wall - sum(st[k] for k in main)) * per, 4)
     split["worker_plan"] = round(st["plan_s"] * per, 4)
     split["worker_assemble"] = round(st["assemble_s"] * per, 4)
+    # h2d staging runs on the worker since round 5 (overlaps the previous
+    # step's dispatch); `upload` above stays as the inline-path residue
+    split["worker_stage"] = round(st["stage_s"] * per, 4)
     return {"pipeline_fps": round(fps, 2), "planner": planner_name,
             "pipeline_split_ms_per_frame": split,
             "backend": jax.devices()[0].platform}
@@ -512,6 +515,13 @@ def main() -> None:
     # filler slots (fixed fields only), so the setting is safe for any
     # HVQM4_BENCH_CLIP.
     k28 = {"HVQM4_STEPS_PER_DISPATCH": "28"}
+    # pipeline phases run the measured-best overlap config: plan-ahead 1 /
+    # 2 workers. Since round 5 the worker also stages the h2d transfer, so
+    # a second worker lets one step's tunnel-blocked staging overlap the
+    # other's plan CPU even on a 1-vCPU host (measured heavy 1055 -> 1161
+    # fps, retail 2750 -> 2858; deeper rings thrash the single core:
+    # plan-ahead 2/3 measured 1104/1039 heavy)
+    pl2 = {"HVQM4_PLAN_AHEAD": "1", "HVQM4_PLAN_WORKERS": "2"}
     # CPU-fallback job set, shared by the dead-relay and mid-run-salvage
     # branches so their coverage can never drift apart. retail hash runs
     # K=1 here (not the K=28 production config): a cold CPU compile of the
@@ -520,8 +530,8 @@ def main() -> None:
     _cpu = {"HVQM4_BENCH_FORCE_CPU": "1"}
     cpu_jobs = [("", ref_clip, "hash", _cpu),
                 ("retail_", retail_clip, "hash", _cpu),
-                ("", ref_clip, "pipeline", _cpu),
-                ("retail_", retail_clip, "pipeline", _cpu)]
+                ("", ref_clip, "pipeline", {**_cpu, **pl2}),
+                ("retail_", retail_clip, "pipeline", {**_cpu, **pl2})]
     # planning is host-only and backend-independent: always measure it on
     # the pinned-CPU path so it never touches (or waits on) the tunnel
     plan_jobs = [("", ref_clip, "plan", _cpu),
@@ -548,8 +558,8 @@ def main() -> None:
                 ("", ref_clip, "hash", {}),
                 ("retail_", retail_clip, "hash", k28),
                 ("", ref_clip, "link", {}),
-                ("", ref_clip, "pipeline", {}),
-                ("retail_", retail_clip, "pipeline", {}),
+                ("", ref_clip, "pipeline", pl2),
+                ("retail_", retail_clip, "pipeline", pl2),
                 ("retail_", retail_clip, "device", k28),
                 ("", ref_clip, "device", {"HVQM4_BENCH_STREAMS": "16"})]
     else:

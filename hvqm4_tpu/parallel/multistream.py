@@ -175,15 +175,19 @@ def _packed_tiers(full: int):
     into one (persistently cached) compiled step each; 17/16 keeps the
     mean transfer overshoot ~3% (9/8 measured 9.3% tier pad on the heavy
     corpus's desc region — 9.7 KB/frame of real transfer; a 4/3 ladder
-    measured +28-33%). The finer ladder roughly doubles the POSSIBLE
-    variant count, but the variants a given clip actually compiles stay
-    few (per-frame totals cluster) and each is persistently cached.
-    Values are 16-multiples so the u8 region keeps raw segments aligned
-    at any tier."""
+    measured +28-33%), tightening to 33/32 (~1.5% mean) above 64 Ki
+    elements where a rung's pad is real kilobytes per step (heavy
+    16-stream u32 region ~1.7 MB/step: measured 3.2 KB/frame of tier pad
+    under 17/16). The finer ladder roughly doubles the POSSIBLE variant
+    count in the big-region range, but the variants a given clip actually
+    compiles stay few (per-frame totals cluster) and each is persistently
+    cached. Values are 16-multiples so the u8 region keeps raw segments
+    aligned at any tier."""
     ts, v = [], 4096
     while v < full:
         ts.append(v)
-        v = (v * 17 // 16 + 15) & ~15
+        num, den = (33, 32) if v >= 65536 else (17, 16)
+        v = (v * num // den + 15) & ~15
     ts.append(full)
     return tuple(ts)
 
@@ -691,7 +695,7 @@ class MultiStreamDecoder:
         self.reset_stats()
 
     def reset_stats(self) -> None:
-        for k in ("plan_s", "assemble_s", "dequeue_s", "wait_s",
+        for k in ("plan_s", "assemble_s", "stage_s", "dequeue_s", "wait_s",
                   "upload_s", "dispatch_s", "steps", "frames"):
             self.stats[k] = 0.0
 
@@ -873,6 +877,18 @@ class MultiStreamDecoder:
         # the consumer folds these into self.stats race-free
         buf["t_split"] = (t1 - t0, time.perf_counter() - t1)
         return buf, metas, valid, failures
+
+    def _plan_and_stage(self, buf, slot_jobs):
+        """Worker-side plan + assemble + h2d staging (run_pipelined only:
+        the sync `plan_step` API must NOT transfer — callers like the
+        bench device phase plan every step up front and upload later).
+        Pre-staging moves the transfer off the consumer thread so it
+        overlaps the previous step's dispatch and frame handling."""
+        out = self._plan_step_into(buf, slot_jobs)
+        t0 = time.perf_counter()
+        buf["arenas_staged"] = self._stage_arenas(buf)
+        buf["t_stage"] = time.perf_counter() - t0
+        return out
 
     def _plan_super(self, buf, slot_jobs):
         """Plan one step's dequeued jobs into one fused arena (virtual slot
@@ -1137,20 +1153,16 @@ class MultiStreamDecoder:
                             "u32": buf["staging"]["u32"][:, :size32].copy()},
                 "variant": buf["variant"], "sizes": buf["sizes"]}
 
-    def device_step(self, buf):
-        """Batched decode of one planned step + state rotation — ONE code
-        path: two typed staging uploads (u8 + u32) truncated to the step
-        variant's size, then the jitted arena step (wrapped in shard_map
-        when a mesh sharding is set). Accepts a live ping-pong buffer or a
-        `snapshot_step` payload.
-
-        With fused dispatch (K > 1) the returned frames are stacked
-        per step: [3 x (K, n, H, W)]."""
+    def _stage_arenas(self, buf):
+        """Staging slices → device arrays (the h2d transfer) + the jitted
+        step for the buffer's variant. Called inline by `device_step`, or
+        ahead of it on the planning worker in `run_pipelined` so the
+        transfer overlaps the previous step's dispatch and the consumer's
+        frame handling instead of serializing on the main thread."""
         p8_cap, p32_cap, mv_mode, has_nest, meta_bits = buf["variant"]
         size8, size32 = buf["sizes"]
         h8 = buf["staging"]["u8"][:, :size8]
         h32 = buf["staging"]["u32"][:, :size32]
-        t0 = time.perf_counter()
         if self.sharding is None:
             # single shard: rows are contiguous, upload 1-D views
             h8r, h32r = h8[0], h32[0]
@@ -1177,6 +1189,20 @@ class MultiStreamDecoder:
             step_fn = _arena_step_sharded(
                 self.cfg, self._n_local, self._k, p8_cap, p32_cap,
                 mv_mode, has_nest, meta_bits, self._mesh, self._axis)
+        return arenas, step_fn
+
+    def device_step(self, buf):
+        """Batched decode of one planned step + state rotation — ONE code
+        path: two typed staging uploads (u8 + u32) truncated to the step
+        variant's size, then the jitted arena step (wrapped in shard_map
+        when a mesh sharding is set). Accepts a live ping-pong buffer or a
+        `snapshot_step` payload.
+
+        With fused dispatch (K > 1) the returned frames are stacked
+        per step: [3 x (K, n, H, W)]."""
+        t0 = time.perf_counter()
+        pre = buf.pop("arenas_staged", None)
+        arenas, step_fn = pre if pre is not None else self._stage_arenas(buf)
         t1 = time.perf_counter()
         frames, self.nest, self.ref_prev, self.ref_last = step_fn(
             arenas, self.nest, self.ref_prev, self.ref_last)
@@ -1241,7 +1267,7 @@ class MultiStreamDecoder:
                 self.stats["dequeue_s"] += time.perf_counter() - t0
                 buf = self._bufs[self._cur]
                 self._cur = (self._cur + 1) % ring
-                pending.append(ex.submit(self._plan_step_into, buf, jobs))
+                pending.append(ex.submit(self._plan_and_stage, buf, jobs))
                 return True
 
             for _ in range(self._depth):
@@ -1254,6 +1280,7 @@ class MultiStreamDecoder:
                 tp, ta = buf["t_split"]
                 self.stats["plan_s"] += tp
                 self.stats["assemble_s"] += ta
+                self.stats["stage_s"] += buf.get("t_stage", 0.0)
                 self.stats["steps"] += 1
                 self.stats["frames"] += sum(
                     v for row in valid for v in row)
