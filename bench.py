@@ -669,10 +669,12 @@ def main() -> None:
     if probe_failed:
         out["local_archive"] = (
             "relay dead this run; last clean TPU contract runs on this chip "
-            "are archived in BENCH_local_r04.json (2026-08-18/19: retail "
-            "device best-of-16 56,037-59,938 fps, 171.5-191.6x; full "
-            "contract runs bitexact on both clips) and BENCH_local_r03.json "
-            "(heavy device 14,862 fps = 98.9x; retail 29,004 fps = 100.2x)")
+            "are archived in BENCH_local_r05.json (2026-08-19: retail device "
+            "MEDIAN-of-16 35,960 fps = 100.6x its same-run oracle, best "
+            "77,036 = 215.6x; heavy 14,030 = 74.5x = 84% of that day's "
+            "measured link ceiling; bitexact both clips, v6 layout) and "
+            "BENCH_local_r04.json (retail best-of-16 56,037-59,938 fps, "
+            "171.5-191.6x)")
     elif salvaged:
         out["salvage"] = (
             "live-backend pipeline phases failed mid-run; pipeline/hash "

@@ -42,15 +42,18 @@ _SRC = _DIR / "_entropy.cc"
 _CXXFLAGS = ["-std=c++17", "-O3", "-march=native", "-fPIC", "-shared",
              "-Wall", "-Wextra", "-pthread"]
 
-# Profile-guided optimization of the on-demand build (HVQM4_PGO=off to
-# disable). The planner is ~94% serial entropy walk (branchy Huffman /
-# symbol loops), exactly the shape PGO helps: measured +21% heavy /
-# +8% retail plan fps on the bench corpora from a profile trained on the
-# tiny SYNTHETIC clips below (the profile transfers across content and
-# geometry — it is the branch structure, not the bitrate, that trains).
-# Cost: two extra compiles + a ~15 s training run, once per host
-# fingerprint. Training pins the CPU backend: a build must never touch
-# the (exclusive, possibly dead) TPU tunnel.
+# Profile-guided optimization of the on-demand build (HVQM4_PGO=on to
+# enable; OFF by default — a measured dead end on this box, see ROADMAP
+# "Measured dead ends"). The planner is ~94% serial entropy walk (branchy
+# Huffman/symbol loops), the shape PGO usually helps, and a first A/B
+# showed +27% heavy — but 12 interleaved bench-harness samples put the
+# PGO build at MINUS ~5% on both corpora (medians: heavy 1509 vs 1426,
+# retail 3861 vs 3644 plan fps); the +27% was two box-frequency states
+# ~15 min apart, not the compiler. The machinery stays for real TPU-VM
+# hosts where it deserves a re-trial: two extra compiles + a ~15 s
+# training run, once per host fingerprint. Training pins the CPU
+# backend: a build must never touch the (exclusive, possibly dead) TPU
+# tunnel.
 _PGO_TRAIN = r"""
 import os, pathlib, sys
 os.environ["JAX_PLATFORMS"] = "cpu"
@@ -95,7 +98,7 @@ def _fingerprint() -> str:
         pass
     key = "|".join([platform.machine(), platform.system(), cpu,
                     " ".join(_CXXFLAGS),
-                    "pgo-v1:" + os.environ.get("HVQM4_PGO", "on")])
+                    "pgo-v1:" + os.environ.get("HVQM4_PGO", "off")])
     return hashlib.sha256(key.encode()).hexdigest()[:12]
 
 
@@ -223,7 +226,7 @@ def _build() -> pathlib.Path:
         return _LIB
     for stale in _DIR.glob("_entropy*.so"):  # drop caches for other hosts
         stale.unlink(missing_ok=True)
-    if os.environ.get("HVQM4_PGO", "on") != "off" \
+    if os.environ.get("HVQM4_PGO", "off") == "on" \
             and "HVQM4_PGO_SO" not in os.environ:  # not inside training
         try:
             _build_pgo()
