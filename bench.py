@@ -282,6 +282,31 @@ def phase_device(n_streams: int) -> dict:
         # bought. The pass/byte/time budgets bound the cost by
         # construction.
     best = max(samples)
+    # upload-only attribution pass (round-5, after rehearsal #2 showed
+    # fresh-probe ceilings overstating sustained throughput 3x on erratic
+    # days): replay every timed pass's EXACT transfers — same buffers,
+    # same per-step granularity — with no dispatch. This measures the
+    # tunnel's floor for *this phase's traffic shape* in the same
+    # minutes, so device_fps/upload_only_fps says how much of the phase
+    # is pure transfer. Runs last (link maximally ramped — biases the
+    # denominator fast, i.e. against us, which is the honest direction);
+    # bounded by the session wedge window, never fails the phase.
+    upload_fps = None
+    window_mb = float(os.environ.get("HVQM4_BENCH_WINDOW_MB", "560"))
+    if os.environ.get("HVQM4_BENCH_UPLOAD_ONLY", "1") != "0" and \
+            transferred + pass_mb <= window_mb:
+        try:
+            t0 = time.perf_counter()
+            outs = []
+            for buf in all_bufs:
+                s8, s32 = buf["sizes"]
+                outs.append(jax.device_put(buf["staging"]["u8"][0, :s8]))
+                outs.append(jax.device_put(buf["staging"]["u32"][0, :s32]))
+            jax.block_until_ready(outs)
+            upload_fps = frames_planned / (time.perf_counter() - t0)
+            transferred += pass_mb
+        except Exception:
+            pass
     med = sorted(samples)[len(samples) // 2]
     out = {"device_fps": round(best, 2), "device_streams": n_streams,
            "device_passes": len(samples),
@@ -300,6 +325,11 @@ def phase_device(n_streams: int) -> dict:
                wire_payload=round(wire_pf, 1))}
     if ramp_bw:
         out["device_ramp_gbps"] = [round(b, 3) for b in ramp_bw]
+    if upload_fps:
+        out["device_upload_only_fps"] = round(upload_fps, 2)
+        # >1.0 means the link was faster during the timed passes than
+        # during the (later) upload-only replay — still attribution data
+        out["device_transfer_bound_pct"] = round(best / upload_fps, 3)
     return out
 
 
@@ -648,7 +678,10 @@ def main() -> None:
                 "device_fps_median", "retail_device_fps_median",
                 "device_ramp_gbps", "retail_device_ramp_gbps",
                 "device_bytes_per_frame_by_field",
-                "retail_device_bytes_per_frame_by_field"):
+                "retail_device_bytes_per_frame_by_field",
+                "device_upload_only_fps", "device_transfer_bound_pct",
+                "retail_device_upload_only_fps",
+                "retail_device_transfer_bound_pct"):
         if key in merged:
             out[key] = merged[key]
     # typical-pass ratios (VERDICT r4 next-steps #3): the headline best-of-N

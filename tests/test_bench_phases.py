@@ -11,6 +11,8 @@ import pathlib
 import subprocess
 import sys
 
+import pytest
+
 REPO = pathlib.Path(__file__).resolve().parents[1]
 
 
@@ -42,3 +44,27 @@ def test_phase_plan_emits_json():
     assert out["plan_fps"] > 0
     assert out["plan_frames"] > 0
     assert out["planner"] == "native"
+
+
+@pytest.mark.assurance
+def test_phase_device_field_contract():
+    """--phase device on the tiny clip (CPU backend, 2 streams): the
+    artifact machinery relies on the field contract — samples, median,
+    byte table, and the round-5 upload-only attribution pair. The
+    NUMBERS are meaningless on the CPU backend (jnp.asarray may
+    zero-copy); production only runs this phase on a live TPU."""
+    env = dict(os.environ,
+               HVQM4_BENCH_FORCE_CPU="1",
+               HVQM4_BENCH_STREAMS="2",
+               HVQM4_BENCH_CLIP=str(REPO / "testdata" / "i320.h4m"))
+    r = subprocess.run(
+        [sys.executable, str(REPO / "bench.py"), "--phase", "device"],
+        capture_output=True, text=True, timeout=540, env=env, cwd=REPO)
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["device_fps"] > 0
+    assert out["device_fps_samples"]
+    assert out["device_fps_median"] > 0
+    assert out["device_bytes_per_frame_by_field"]["wire_payload"] > 0
+    assert out["device_upload_only_fps"] > 0
+    assert out["device_transfer_bound_pct"] > 0
