@@ -199,18 +199,39 @@ def phase_device(n_streams: int) -> dict:
     # payload bytes over its frame count, for the bytes-vs-wire ratio
     recs = ms.streams[0].records
     wire_pf = sum(len(p) for _b, _c, p in recs) / max(len(recs), 1)
-    # warm each pool-tier VARIANT's executable once (compile/persistent-
-    # cache load must not land in the timing) — not every step: a full
-    # warm pass at high stream counts burns the tunnel's ~600 MB wedge
-    # budget before the timed passes run (device_sweep.py learned this)
+    pass_mb = sum(b["sizes"][0] + b["sizes"][1] * 4 for b in all_bufs) / 1e6
+    # packed-pass replay (round 5): one contiguous h2d per dtype per pass
+    # instead of two per step — a 28-step heavy pass is 56 small
+    # transfers, and the tunnel's per-transfer latency swings make those
+    # passes realize 118-768 MB/s while a single contiguous upload rides
+    # at GB/s (BASELINE.md rehearsal #2). Same bytes, same plans, same
+    # per-variant executables (device-side slices feed them); bit-exact
+    # vs per-step staging (tests/test_multistream.py).
+    packed_on = os.environ.get("HVQM4_BENCH_PACKED", "1") != "0"
+    packed = None
+    # warm the executables (compile/persistent-cache load must not land
+    # in the timing). Packed: one full packed pass — it also compiles the
+    # per-step slice ops and doubles as ramp traffic; its bytes count
+    # against the budget below. Per-step fallback: each pool-tier VARIANT
+    # once — a full per-step warm pass at high stream counts burns the
+    # tunnel's ~600 MB wedge budget (device_sweep.py learned this).
     ms2 = make_ms()
-    last, seen = None, set()
-    for buf in all_bufs:
-        if buf["variant"] in seen:
-            continue
-        seen.add(buf["variant"])
-        last = ms2.device_step(buf)
-    jax.block_until_ready(last)
+    warm_mb = 0.0
+    if packed_on:
+        packed = ms2.stage_packed(all_bufs)
+        last = None
+        for buf in all_bufs:
+            last = ms2.device_step(buf)
+        jax.block_until_ready(last)
+        warm_mb = pass_mb
+    else:
+        last, seen = None, set()
+        for buf in all_bufs:
+            if buf["variant"] in seen:
+                continue
+            seen.add(buf["variant"])
+            last = ms2.device_step(buf)
+        jax.block_until_ready(last)
     # best of N timed passes: tunnel round-trip latency swings ±30-50%
     # with recent transfer history (BASELINE.md variance note), and a
     # single unlucky pass under-reports the realized throughput by 2x;
@@ -219,7 +240,6 @@ def phase_device(n_streams: int) -> dict:
     # pass cap within the transfer/time budgets — never past the tunnel's
     # wedge window (VERDICT r3 next-steps #3: reliable best-of-N with the
     # per-pass samples recorded in the artifact).
-    pass_mb = sum(b["sizes"][0] + b["sizes"][1] * 4 for b in all_bufs) / 1e6
     # 470 fits three 151 MB heavy passes (450 allowed only two — and the
     # first pass is reliably cold, so two passes = ONE real sample);
     # warm-up + 3 passes ≈ 475 MB, still inside the ~600 MB wedge window
@@ -227,7 +247,7 @@ def phase_device(n_streams: int) -> dict:
     budget_s = float(os.environ.get("HVQM4_BENCH_DEVICE_S", "600"))
     t_phase = time.perf_counter()
     samples: list[float] = []
-    transferred = 0.0
+    transferred = warm_mb
     # traffic shaping (VERDICT r4 next-steps #1a): the tunnel RAMPS over
     # ~6-10 passes of sustained same-client traffic — a transfer-heavy
     # phase that spends its whole byte budget inside the ramp realizes
@@ -263,6 +283,8 @@ def phase_device(n_streams: int) -> dict:
     while True:
         ms3 = make_ms()
         t0 = time.perf_counter()
+        if packed_on:
+            ms3.stage_packed(all_bufs, packed)
         last = None
         for buf in all_bufs:
             last = ms3.device_step(buf)
@@ -298,10 +320,17 @@ def phase_device(n_streams: int) -> dict:
         try:
             t0 = time.perf_counter()
             outs = []
-            for buf in all_bufs:
-                s8, s32 = buf["sizes"]
-                outs.append(jax.device_put(buf["staging"]["u8"][0, :s8]))
-                outs.append(jax.device_put(buf["staging"]["u32"][0, :s32]))
+            if packed is not None:
+                # match the timed passes' traffic shape: one contiguous
+                # upload per dtype
+                outs = [jax.device_put(packed["u8"]),
+                        jax.device_put(packed["u32"])]
+            else:
+                for buf in all_bufs:
+                    s8, s32 = buf["sizes"]
+                    outs.append(jax.device_put(buf["staging"]["u8"][0, :s8]))
+                    outs.append(jax.device_put(
+                        buf["staging"]["u32"][0, :s32]))
             jax.block_until_ready(outs)
             upload_fps = frames_planned / (time.perf_counter() - t0)
             transferred += pass_mb
@@ -330,6 +359,7 @@ def phase_device(n_streams: int) -> dict:
         # >1.0 means the link was faster during the timed passes than
         # during the (later) upload-only replay — still attribution data
         out["device_transfer_bound_pct"] = round(best / upload_fps, 3)
+    out["device_packed_staging"] = packed_on
     return out
 
 
@@ -681,7 +711,8 @@ def main() -> None:
                 "retail_device_bytes_per_frame_by_field",
                 "device_upload_only_fps", "device_transfer_bound_pct",
                 "retail_device_upload_only_fps",
-                "retail_device_transfer_bound_pct"):
+                "retail_device_transfer_bound_pct",
+                "device_packed_staging", "retail_device_packed_staging"):
         if key in merged:
             out[key] = merged[key]
     # typical-pass ratios (VERDICT r4 next-steps #3): the headline best-of-N

@@ -478,6 +478,32 @@ def _arena_step(cfg: SeqConfig, n: int, k_steps: int,
 
 
 @functools.lru_cache(maxsize=None)
+def _packed_step(cfg: SeqConfig, n: int, k_steps: int,
+                 p8_cap: int, p32_cap: int,
+                 mv_mode: int, has_nest: bool, meta_bits: int,
+                 s8: int, s32: int):
+    """Jitted replay step reading its arenas out of a whole-pass packed
+    upload: dynamic-slices (s8,)/(s32,) at traced offsets, then runs the
+    variant's `_run_steps` body. One dispatch per step with zero eager
+    slice ops — offsets ride as data, so one executable serves every
+    step of the same (variant, sizes, pass length) shape. See
+    `MultiStreamDecoder.stage_packed`."""
+
+    @functools.partial(jax.jit, donate_argnums=(1, 2, 3))
+    def step(packed, nest, ref_prev, ref_last):
+        arenas = {
+            "u8": jax.lax.dynamic_slice(
+                packed["u8"], (packed["o8"],), (s8,)),
+            "u32": jax.lax.dynamic_slice(
+                packed["u32"], (packed["o32"],), (s32,))}
+        return _run_steps(cfg, n, k_steps, p8_cap, p32_cap,
+                          mv_mode, has_nest, meta_bits,
+                          arenas, nest, ref_prev, ref_last)
+
+    return step
+
+
+@functools.lru_cache(maxsize=None)
 def _arena_step_sharded(cfg: SeqConfig, n_local: int, k_steps: int,
                         p8_cap: int, p32_cap: int,
                         mv_mode: int, has_nest: bool, meta_bits: int,
@@ -1152,6 +1178,58 @@ class MultiStreamDecoder:
         return {"staging": {"u8": buf["staging"]["u8"][:, :size8].copy(),
                             "u32": buf["staging"]["u32"][:, :size32].copy()},
                 "variant": buf["variant"], "sizes": buf["sizes"]}
+
+    def stage_packed(self, bufs, packed=None):
+        """Pre-stage a replay pass of `snapshot_step` payloads with ONE
+        h2d transfer per dtype instead of two per step.
+
+        Concatenates every step's staging prefixes into one contiguous
+        u8 and one u32 host buffer, uploads the pair, then hands each
+        step the whole-pass device arrays plus its slice offsets (which
+        ride as data into `_packed_step`, a jitted dynamic-slice wrapper
+        around the variant's `_run_steps` body) through the
+        `arenas_staged` fast path `device_step` already consumes — one
+        dispatch per step, zero eager slice ops, and decode is bit-exact
+        vs per-step staging (test_stage_packed_bitexact).
+
+        Built for pre-planned replay over high-latency links: a 28-step
+        heavy pass is 56 small transfers, and the dev tunnel's
+        per-transfer latency swings make such passes realize 118-768
+        MB/s while a single contiguous upload rides at GB/s (BASELINE.md
+        round-5 rehearsal #2). Single-shard only — the sharded path
+        uploads per-row anyway.
+
+        Returns the packed host buffers; pass them back in to skip the
+        concatenation on repeated passes over the same steps.
+        """
+        assert self.sharding is None, \
+            "stage_packed is single-shard replay; use device_step on a mesh"
+        if packed is None:
+            tot8 = sum(b["sizes"][0] for b in bufs)
+            tot32 = sum(b["sizes"][1] for b in bufs)
+            big8 = np.empty(tot8, np.uint8)
+            big32 = np.empty(tot32, np.uint32)
+            offs, o8, o32 = [], 0, 0
+            for b in bufs:
+                s8, s32 = b["sizes"]
+                big8[o8:o8 + s8] = b["staging"]["u8"][0, :s8]
+                big32[o32:o32 + s32] = b["staging"]["u32"][0, :s32]
+                offs.append((o8, o32))
+                o8 += s8
+                o32 += s32
+            # private copies by construction: safe against the CPU
+            # backend's zero-copy aliasing of aligned host buffers
+            packed = {"u8": big8, "u32": big32, "offs": offs}
+        d8 = jnp.asarray(packed["u8"])
+        d32 = jnp.asarray(packed["u32"])
+        for b, (o8, o32) in zip(bufs, packed["offs"]):
+            s8, s32 = b["sizes"]
+            step_fn = _packed_step(self.cfg, self.n, self._k,
+                                   *b["variant"], s8, s32)
+            b["arenas_staged"] = ({"u8": d8, "u32": d32,
+                                   "o8": np.int32(o8),
+                                   "o32": np.int32(o32)}, step_fn)
+        return packed
 
     def _stage_arenas(self, buf):
         """Staging slices → device arrays (the h2d transfer) + the jitted

@@ -77,6 +77,35 @@ def test_fused_dispatch_native_planner():
         assert got[si] == expected[si], f"stream {si}"
 
 
+def test_stage_packed_bitexact():
+    """Packed-pass replay (one h2d per dtype, device-side slices feeding
+    the per-variant executables) decodes bit-exactly vs per-step staging
+    — including fused dispatch and a re-used packed buffer."""
+    clips = [make_clip(CFG, ["IPBPB", "IPP"], seed=21) for _ in range(2)]
+    for k in (1, 2):
+        ms = MultiStreamDecoder(CFG, clips, steps_per_dispatch=k)
+        bufs, expected = [], []
+        while any(ms.active):
+            buf, _metas, _valid = ms.plan_step()
+            bufs.append(ms.snapshot_step(buf))
+            ms._cur ^= 1
+        ms2 = MultiStreamDecoder(CFG, clips, steps_per_dispatch=k)
+        for b in bufs:
+            expected.append(
+                [np.asarray(p).copy() for p in ms2.device_step(dict(b))])
+        for reuse in (None, "again"):
+            ms3 = MultiStreamDecoder(CFG, clips, steps_per_dispatch=k)
+            packed = ms3.stage_packed(
+                bufs, packed if reuse else None) if reuse else \
+                ms3.stage_packed(bufs)
+            got = [[np.asarray(p).copy() for p in ms3.device_step(b)]
+                   for b in bufs]
+            for st, (e, g) in enumerate(zip(expected, got)):
+                for pi in range(3):
+                    assert np.array_equal(e[pi], g[pi]), \
+                        f"K={k} step {st} plane {pi} reuse={bool(reuse)}"
+
+
 def test_fused_dispatch_poisons_failed_stream_only():
     good = make_clip(CFG, ["IPPPP"], seed=14)
     bad = bytearray(make_clip(CFG, ["IPPPP"], seed=15))
