@@ -209,6 +209,7 @@ def phase_device(n_streams: int) -> dict:
     # vs per-step staging (tests/test_multistream.py).
     packed_on = os.environ.get("HVQM4_BENCH_PACKED", "1") != "0"
     packed = None
+    replay_ok = None
     # warm the executables (compile/persistent-cache load must not land
     # in the timing). Packed: one full packed pass — it also compiles the
     # per-step slice ops and doubles as ramp traffic; its bytes count
@@ -218,11 +219,29 @@ def phase_device(n_streams: int) -> dict:
     ms2 = make_ms()
     warm_mb = 0.0
     if packed_on:
+        # the warm pass doubles as an on-chip bit-exactness check of the
+        # EXACT path the timed passes run: every step's frame checksums
+        # accumulate device-side (csum == `oracle --csum`), one d2h at
+        # the end. The headline device_fps is then self-verifying.
+        from hvqm4_tpu.utils.hashing import batch_csum_fn, oracle_csums
+
+        csum_jit = batch_csum_fn()
         packed = ms2.stage_packed(all_bufs)
-        last = None
+        step_cs = []
         for buf in all_bufs:
-            last = ms2.device_step(buf)
-        jax.block_until_ready(last)
+            frames = ms2.device_step(buf)
+            if ms2._k == 1:
+                step_cs.append(csum_jit(*frames))           # (n,)
+            else:
+                kk = frames[0].shape[0]
+                flat = [p.reshape((-1,) + p.shape[2:]) for p in frames]
+                step_cs.append(csum_jit(*flat).reshape(kk, -1))  # (K, n)
+        cs = np.concatenate([np.asarray(c).reshape(-1, n_streams)
+                             for c in step_cs])              # (frames, n)
+        want = oracle_csums(ensure_oracle(), _cp)
+        replay_ok = cs.shape[0] == len(want) and all(
+            [f"{cs[fi, si]:08x}" for fi in range(cs.shape[0])] == want
+            for si in range(n_streams))
         warm_mb = pass_mb
     else:
         last, seen = None, set()
@@ -360,6 +379,8 @@ def phase_device(n_streams: int) -> dict:
         # during the (later) upload-only replay — still attribution data
         out["device_transfer_bound_pct"] = round(best / upload_fps, 3)
     out["device_packed_staging"] = packed_on
+    if replay_ok is not None:
+        out["device_replay_bitexact"] = replay_ok
     return out
 
 
@@ -446,13 +467,18 @@ def phase_hash(n_streams: int) -> dict:
     _cfg, clip_path, make_ms, _pn = _setup(n_streams)
     csum_jit = batch_csum_fn()
     ms = make_ms()
-    per_stream: list[list[str]] = [[] for _ in range(n_streams)]
     # run_pipelined yields per single step for any fused-dispatch factor,
-    # so this hashes exactly the configuration the throughput phases run
-    for frames, _metas, _valid in ms.run_pipelined():
-        cs = np.asarray(csum_jit(*frames))  # (N,) u32 — 4 bytes/stream d2h
-        for si in range(n_streams):
-            per_stream[si].append(f"{cs[si]:08x}")
+    # so this hashes exactly the configuration the pipeline phases run.
+    # Checksums stay device-side until ONE stacked d2h at the end — a
+    # blocking 4-byte fetch per step serializes a tunnel round trip into
+    # every step, which dominated the phase on high-RTT relay states.
+    import jax.numpy as jnp
+
+    cs_dev = [csum_jit(*frames)
+              for frames, _metas, _valid in ms.run_pipelined()]
+    allcs = np.asarray(jnp.stack(cs_dev))  # (steps, N) u32
+    per_stream = [[f"{c:08x}" for c in allcs[:, si]]
+                  for si in range(n_streams)]
 
     want = oracle_csums(ensure_oracle(), clip_path)
     ok = all(h == want for h in per_stream)
@@ -608,20 +634,25 @@ def main() -> None:
         # cost (75.5 MB -> 6 passes), doubling the draws on the fast
         # window for a ~12% lower per-pass ceiling — better expected
         # best-of-N on an erratic link
-        # retail device runs BEFORE the heavy device phase: the heavy
-        # phase pushes ~450 MB and degrades the tunnel for minutes, and
-        # retail_device_vs_baseline is the headline >=100x figure — it
-        # gets the fresher link. The link probe (~50 MB) runs between the
-        # hash and throughput phases: cheap, and it timestamps the link
-        # state the throughput numbers were measured under.
+        # HEAVY device runs BEFORE retail (order flipped round 5): the
+        # relay degrades with cumulative session traffic and LARGE
+        # transfers degrade first (measured 2026-08-19 ~23:20 after
+        # ~1.5 GB: 64 MB uploads at 0.01-0.9 GB/s while 4-12 MB reps
+        # still rode at 0.9-3.4 GB/s). Heavy's 66 MB packed passes are
+        # the fragile ones and heavy ≥100x is the open north-star item;
+        # retail's 7.9 MB passes survive a late-session relay and clear
+        # the median bar with a 38% margin (138.3x, rehearsal #2). The
+        # link probe (~50 MB) runs between the hash and throughput
+        # phases: cheap, and it timestamps the link state the
+        # throughput numbers were measured under.
         jobs = plan_jobs + [
                 ("", ref_clip, "hash", {}),
                 ("retail_", retail_clip, "hash", k28),
                 ("", ref_clip, "link", {}),
-                ("", ref_clip, "pipeline", pl2),
-                ("retail_", retail_clip, "pipeline", pl2),
+                ("", ref_clip, "device", {"HVQM4_BENCH_STREAMS": "16"}),
                 ("retail_", retail_clip, "device", k28),
-                ("", ref_clip, "device", {"HVQM4_BENCH_STREAMS": "16"})]
+                ("", ref_clip, "pipeline", pl2),
+                ("retail_", retail_clip, "pipeline", pl2)]
     else:
         # dead relay: bit-exactness is backend-independent (exact integer
         # core — tests/conftest.py) and the pipeline number is still a real
@@ -712,7 +743,8 @@ def main() -> None:
                 "device_upload_only_fps", "device_transfer_bound_pct",
                 "retail_device_upload_only_fps",
                 "retail_device_transfer_bound_pct",
-                "device_packed_staging", "retail_device_packed_staging"):
+                "device_packed_staging", "retail_device_packed_staging",
+                "device_replay_bitexact", "retail_device_replay_bitexact"):
         if key in merged:
             out[key] = merged[key]
     # typical-pass ratios (VERDICT r4 next-steps #3): the headline best-of-N

@@ -68,3 +68,6 @@ def test_phase_device_field_contract():
     assert out["device_bytes_per_frame_by_field"]["wire_payload"] > 0
     assert out["device_upload_only_fps"] > 0
     assert out["device_transfer_bound_pct"] > 0
+    assert out["device_packed_staging"] is True
+    # the packed warm pass verifies the timed path against the C oracle
+    assert out["device_replay_bitexact"] is True
