@@ -181,6 +181,15 @@ def phase_device(n_streams: int) -> dict:
     import jax
 
     _cfg, _cp, make_ms, _pn = _setup(n_streams)
+    # hard internal deadline for the WHOLE phase (warm + ramp + passes +
+    # upload-only): a fully collapsed tunnel (rehearsal 2026-08-20: ramp at
+    # 0.001-0.06 GB/s, heavy phase 1258 s) pushes the phase toward the
+    # 1500 s subprocess timeout, which would drop every device field from
+    # the artifact. Everything below checks this and degrades gracefully
+    # (fewer passes / no upload-only) instead of timing out JSON-less.
+    t_start = time.perf_counter()
+    phase_deadline = t_start + float(
+        os.environ.get("HVQM4_BENCH_PHASE_S", "1000"))
     ms = make_ms()
     all_bufs = []
     frames_planned = 0
@@ -289,6 +298,9 @@ def phase_device(n_streams: int) -> dict:
             transferred += ramp_mb
             if ramp_bw[-1] >= 2.0:
                 break       # fast window reached
+            if time.perf_counter() - t0 > 20 or \
+                    time.perf_counter() > phase_deadline - 300:
+                break       # dead link: ramping is pointless and expensive
             if len(ramp_bw) >= 4 and max(ramp_bw[-2:]) <= \
                     1.05 * max(ramp_bw[:-2]):
                 break       # two reps with no improvement: plateaued
@@ -315,6 +327,11 @@ def phase_device(n_streams: int) -> dict:
         elapsed = time.perf_counter() - t_phase
         if elapsed + elapsed / len(samples) > budget_s:
             break
+        # projected next pass (~ the last pass's duration) must leave room
+        # for the upload-only pass + JSON emission before the deadline
+        if time.perf_counter() + (time.perf_counter() - t0) > \
+                phase_deadline - 60:
+            break
         # NO tight-spread early stop: a "stable" stretch of the tunnel's
         # medium state (measured 13.4/13.9/12.3k fps, 5.8% half-width)
         # converges any spread rule while 2x-faster windows exist minutes
@@ -335,7 +352,8 @@ def phase_device(n_streams: int) -> dict:
     upload_fps = None
     window_mb = float(os.environ.get("HVQM4_BENCH_WINDOW_MB", "560"))
     if os.environ.get("HVQM4_BENCH_UPLOAD_ONLY", "1") != "0" and \
-            transferred + pass_mb <= window_mb:
+            transferred + pass_mb <= window_mb and \
+            time.perf_counter() < phase_deadline - 30:
         try:
             t0 = time.perf_counter()
             outs = []
